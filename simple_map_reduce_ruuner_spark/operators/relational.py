@@ -1,0 +1,387 @@
+"""Relational operator coverage: scans, filters, joins (broadcast /
+shuffle / semi / anti / as-of), aggregations (incl. rollup), windows,
+sorts / top-k, set operations, scalar functions.
+
+The reference implements none of these (SURVEY.md §2.C) — its only
+relational operators live inside the four user programs. This module is
+the engine's full relational surface, built purely on DataFrame ops so
+Catalyst supplies pushdown, pruning, join selection, and AQE.
+
+Determinism-for-oracle conventions used throughout:
+- Double sums go through ``dsum`` (decimal-cast) so partial-aggregation
+  order can never flip a rounded digit vs the DuckDB oracle.
+- Every top-k / window rank has a total tiebreak order.
+- Every computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+# Products of 2-decimal inputs have ≤6 decimals; DECIMAL(30,6) holds them
+# exactly, so SUM is exact and engine-independent (see module docstring).
+_DEC = "decimal(30,6)"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent exact sum of a money-like double column."""
+    return F.sum(col.cast(_DEC))
+
+
+def dsum_sql(expr: str) -> str:
+    return f"SUM(CAST({expr} AS DECIMAL(30,6)))"
+
+
+def as_money(col: Column) -> Column:
+    """Decimal aggregate → rounded double output column."""
+    return F.round(col.cast("double"), 2)
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: filter + multi-aggregate + group (partial/final
+# hash agg; the canonical "is the scan pruned and the agg map-side" probe).
+# --------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    grouped = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            as_money(dsum(F.col("l_quantity"))).alias("sum_qty"),
+            as_money(dsum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            as_money(dsum(disc_price)).alias("sum_disc_price"),
+            as_money(dsum(charge)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return grouped
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST({dsum_sql('l_quantity')} AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST({dsum_sql('l_extendedprice')} AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS DOUBLE), 2) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+# customer/nation/region are broadcast — no shuffle of the fact table
+# beyond the final small-key aggregation exchange.
+# --------------------------------------------------------------------------
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(as_money(dsum(revenue)).alias("revenue"))
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT n_name,
+       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k with total order (sort + limit; TakeOrderedAndProject physical op —
+# a driver-side k-row heap, never a full sort at scale).
+# --------------------------------------------------------------------------
+
+
+def top_suppliers_revenue(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(as_money(dsum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(k)
+    )
+
+
+TOP_SUPPLIERS_REVENUE_SQL = f"""
+SELECT s_suppkey, s_name,
+       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY revenue DESC, s_suppkey ASC
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (existence predicates — no row multiplication).
+# --------------------------------------------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def parts_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+PARTS_WITH_SHIPMENTS_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions: rank-per-group top-N and running totals.
+# --------------------------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative order value per customer in order-date order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        as_money(F.sum(F.col("o_totalprice").cast(_DEC)).over(w)).alias(
+            "running_total"
+        ),
+    )
+
+
+CUSTOMER_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP (hierarchical grouping sets).
+# --------------------------------------------------------------------------
+
+
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            as_money(dsum(F.col("o_totalprice"))).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total")
+    )
+
+
+ORDER_STATUS_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       ROUND(CAST({dsum_sql('o_totalprice')} AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+
+
+def segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having BUILDING-segment customers but no MACHINERY ones:
+    EXCEPT(INTERSECT-style distinct set algebra) over projected keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey"
+    )
+    machinery = customer.where(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_nationkey"
+    )
+    # subtract == EXCEPT DISTINCT (matches the SQL oracle's EXCEPT).
+    return building.subtract(machinery).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+
+
+SEGMENT_OVERLAP_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join: each error event matched to the same user's most recent
+# prior-or-equal signup. Implemented with a union + last_value window —
+# one shuffle on user_id, no range-explosion, skew-safe under AQE.
+# (DuckDB oracle uses its native ASOF JOIN.)
+# --------------------------------------------------------------------------
+
+
+def error_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    tagged = errors.select(
+        "user_id",
+        F.col("error_ts").alias("ts"),
+        F.col("error_id"),
+        F.lit(None).cast("timestamp").alias("signup_ts"),
+        F.lit(1).alias("is_error"),
+    ).unionAll(
+        signups.select(
+            "user_id",
+            F.col("signup_ts").alias("ts"),
+            F.lit(None).cast("long").alias("error_id"),
+            F.col("signup_ts"),
+            F.lit(0).alias("is_error"),
+        )
+    )
+    # At equal ts, signups sort first (is_error ascending) so an error can
+    # match a signup at the very same timestamp ("<=" as-of semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_error")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    return (
+        matched.where(F.col("is_error") == 1)
+        .where(F.col("last_signup_ts").isNotNull())
+        .select("user_id", "error_id", F.col("last_signup_ts").alias("signup_ts"))
+    )
+
+
+ERROR_ASOF_SIGNUP_SQL = """
+SELECT e.user_id, e.event_id AS error_id, s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+    ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function showcase: string / date / math / array / map / json on a
+# single projection (everything stays in whole-stage codegen).
+# --------------------------------------------------------------------------
+
+
+def event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.round(F.sqrt(F.col("value")), 6).alias("sqrt_value"),
+        F.round(F.log(F.col("value") + F.lit(1.0)), 6).alias("log1p_value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.length("props").cast("long").alias("props_len"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        (F.col("user_id") % 16).alias("user_bucket"),
+    )
+
+
+EVENT_FEATURES_SQL = """
+SELECT event_id,
+       upper(event_type) AS type_upper,
+       strftime(ts, '%Y-%m-%d') AS day,
+       EXTRACT(hour FROM ts)::BIGINT AS hour,
+       ROUND(sqrt(value), 6) AS sqrt_value,
+       ROUND(ln(value + 1.0), 6) AS log1p_value,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+       length(props) AS props_len,
+       event_type || ':' || CAST(user_id AS VARCHAR) AS type_user,
+       user_id % 16 AS user_bucket
+FROM events
+"""

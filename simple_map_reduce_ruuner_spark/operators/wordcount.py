@@ -1,0 +1,74 @@
+"""Reference workloads 1+2: word frequency and character frequency.
+
+Reference semantics (SURVEY.md §2.B B1-B6):
+- word_count: whitespace tokenization (``cin >> str``,
+  word_count/mapper.cpp:22-25), per-chunk partial count
+  (mapper.cpp:16,23-25), global merge-sum (reducer.cpp:16,24-26).
+- char_count: every character except newline (char_count/mapper.py:8-15),
+  partial + final count (reduce.py:9-15).
+
+Spark expresses the whole chunk-partial → global-final contract as one
+``groupBy().count()`` — Catalyst plans a partial HashAggregate before the
+exchange and a final one after, which is exactly the reference's
+mapper-combiner + reducer-merge split, minus the hand-rolled HTTP plumbing.
+At 100 TB the shuffle carries only (token, partial_count) pairs — the
+cardinality of the vocabulary per partition, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.text import chars, tokens
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+
+def word_count_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) frequency of whitespace tokens, lowercased."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def char_count_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(ch, cnt) frequency of characters (newline excluded)."""
+    return (
+        df.select(F.explode(chars(F.col(text_col))).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---- queries() bindings over the driver tables ----
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_count_df(load_table(spark, sf_dir, "documents"))
+
+
+def char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_count_df(load_table(spark, sf_dir, "documents"))
+
+
+WORD_COUNT_SQL = r"""
+SELECT word, count(*) AS cnt
+FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+CHAR_COUNT_SQL = r"""
+SELECT ch, count(*) AS cnt
+FROM (
+    SELECT unnest(string_split(text, '')) AS ch
+    FROM documents
+)
+WHERE ch <> '' AND ch <> chr(10)
+GROUP BY ch
+"""

@@ -1,0 +1,173 @@
+"""Central query registry: name → (Spark builder, DuckDB oracle SQL).
+
+``__spark_entry__.py`` re-exports this. Every operator from SURVEY.md §2
+that is implemented gets one named entry here; oracle SQL is ``None`` only
+for genuinely non-SQL-expressible operators (the driver then records a
+weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from simple_map_reduce_ruuner_spark.operators import peaks, relational, suspects, wordcount
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+def _builtin_queries() -> dict[str, Query]:
+    q: dict[str, Query] = {}
+
+    # --- reference-parity workloads (SURVEY.md §2.B) ---
+    q["word_count"] = Query(
+        wordcount.word_count,
+        wordcount.WORD_COUNT_SQL,
+        "reference workload 1: whitespace-token frequency (B1-B4)",
+    )
+    q["char_count"] = Query(
+        wordcount.char_count,
+        wordcount.CHAR_COUNT_SQL,
+        "reference workload 2: character frequency (B5-B6)",
+    )
+    q["suspects_orders"] = Query(
+        suspects.suspects_orders,
+        suspects.SUSPECTS_ORDERS_SQL,
+        "reference workload 4: group + collect_set + HAVING (B10-B13)",
+    )
+    q["peak_concurrency_explode"] = Query(
+        peaks.peak_concurrency_explode,
+        peaks.PEAK_CONCURRENCY_SQL,
+        "reference workload 3, direct interval-explode formulation (B7-B9)",
+    )
+    q["peak_concurrency_sweep"] = Query(
+        peaks.peak_concurrency_sweep,
+        peaks.PEAK_CONCURRENCY_SQL,
+        "reference workload 3, O(n) sweep-line formulation (scale path)",
+    )
+
+    # --- relational surface (SURVEY.md §2.C coverage) ---
+    q["pricing_summary"] = Query(
+        relational.pricing_summary,
+        relational.PRICING_SUMMARY_SQL,
+        "filter + grouped multi-aggregate (TPC-H Q1 shape)",
+    )
+    q["revenue_by_nation"] = Query(
+        relational.revenue_by_nation,
+        relational.REVENUE_BY_NATION_SQL,
+        "star join with broadcast dims + grouped sum",
+    )
+    q["top_suppliers_revenue"] = Query(
+        relational.top_suppliers_revenue,
+        relational.TOP_SUPPLIERS_REVENUE_SQL,
+        "join + agg + total-order top-k",
+    )
+    q["customers_without_orders"] = Query(
+        relational.customers_without_orders,
+        relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "anti join (NOT EXISTS)",
+    )
+    q["parts_with_shipments"] = Query(
+        relational.parts_with_shipments,
+        relational.PARTS_WITH_SHIPMENTS_SQL,
+        "semi join (EXISTS)",
+    )
+    q["top_orders_per_customer"] = Query(
+        relational.top_orders_per_customer,
+        relational.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "window row_number rank-per-group",
+    )
+    q["customer_running_total"] = Query(
+        relational.customer_running_total,
+        relational.CUSTOMER_RUNNING_TOTAL_SQL,
+        "window running sum",
+    )
+    q["order_status_rollup"] = Query(
+        relational.order_status_rollup,
+        relational.ORDER_STATUS_ROLLUP_SQL,
+        "ROLLUP grouping sets",
+    )
+    q["segment_overlap"] = Query(
+        relational.segment_overlap,
+        relational.SEGMENT_OVERLAP_SQL,
+        "set operation (EXCEPT DISTINCT)",
+    )
+    q["error_asof_signup"] = Query(
+        relational.error_asof_signup,
+        relational.ERROR_ASOF_SIGNUP_SQL,
+        "as-of join via union + last_value window",
+    )
+    q["event_features"] = Query(
+        relational.event_features,
+        relational.EVENT_FEATURES_SQL,
+        "scalar functions: string/date/math/json/map",
+    )
+    return q
+
+
+def all_queries() -> dict[str, Query]:
+    """Full registry. Modules with optional deps are imported lazily so a
+    broken extension can never take down the core registry."""
+    q = _builtin_queries()
+    for loader in _EXTENSION_LOADERS:
+        try:
+            q.update(loader())
+        except ImportError:
+            # extension module not built yet (incremental rounds)
+            pass
+    return q
+
+
+def _load_dedup() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import dedup
+
+    return dedup.QUERIES
+
+
+def _load_similarity() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import similarity
+
+    return similarity.QUERIES
+
+
+def _load_textstats() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import textstats
+
+    return textstats.QUERIES
+
+
+def _load_streaming() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.streaming import windows
+
+    return windows.QUERIES
+
+
+def _load_multimodal() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import multimodal
+
+    return multimodal.QUERIES
+
+
+def _load_approx() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import approx
+
+    return approx.QUERIES
+
+
+_EXTENSION_LOADERS = [
+    _load_dedup,
+    _load_similarity,
+    _load_textstats,
+    _load_streaming,
+    _load_multimodal,
+    _load_approx,
+]

@@ -1,0 +1,71 @@
+"""Parquet table catalog over the driver's deterministic fixtures.
+
+The reference ingests only uploaded newline-delimited text
+(Master.java:87-129); this engine adds typed columnar sources. Tables are
+the TPC-H-ish star schema plus events/documents/embeddings (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Filters/projections applied downstream are
+    pushed into this scan by Catalyst (PushedFilters / ReadSchema)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    Read the raw INT64 nanos via the legacy conf, then convert to a
+    microsecond timestamp (lossless here: the generator emits whole µs).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # Convert to TIMESTAMP_NTZ (like every other table's timestamps) so
+        # results never depend on the session timezone. Integral `div`, not
+        # `/`: nanos exceed double's exact-integer range. The decimal secs
+        # argument of make_dt_interval keeps microseconds exact.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "make_timestamp_ntz(1970, 1, 1, 0, 0, 0)"
+                " + make_dt_interval(0, 0, 0,"
+                "     CAST(ts div 1000 AS DECIMAL(26, 6)) / 1000000)"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
