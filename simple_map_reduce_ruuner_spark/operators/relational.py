@@ -144,18 +144,24 @@ LIMIT 5
 # --------------------------------------------------------------------------
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against a filtered build side — the filter is pushed into
+    the orders scan, so the join's build input shrinks before any shuffle."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
-CUSTOMERS_WITHOUT_ORDERS_SQL = """
+CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 
@@ -269,26 +275,42 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 # --------------------------------------------------------------------------
 
 
-def segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations having BUILDING-segment customers but no MACHINERY ones:
-    EXCEPT(INTERSECT-style distinct set algebra) over projected keys."""
+def _rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
-        "c_nationkey"
+    return customer.where(F.col("c_acctbal") > 7000).select(
+        F.col("c_custkey").alias("custkey")
     )
-    machinery = customer.where(F.col("c_mktsegment") == "MACHINERY").select(
-        "c_nationkey"
+
+
+def _big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
     )
+
+
+def rich_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT: high-balance customers with no 300k+ order."""
     # subtract == EXCEPT DISTINCT (matches the SQL oracle's EXCEPT).
-    return building.subtract(machinery).select(
-        F.col("c_nationkey").alias("nationkey")
-    )
+    return _rich_customers(spark, sf_dir).subtract(_big_spenders(spark, sf_dir))
 
 
-SEGMENT_OVERLAP_SQL = """
-SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+RICH_WITHOUT_BIG_ORDERS_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
 EXCEPT
-SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def rich_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: high-balance customers who placed a 300k+ order."""
+    return _rich_customers(spark, sf_dir).intersect(_big_spenders(spark, sf_dir))
+
+
+RICH_WITH_BIG_ORDERS_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
 """
 
 

@@ -71,10 +71,10 @@ def _builtin_queries() -> dict[str, Query]:
         relational.TOP_SUPPLIERS_REVENUE_SQL,
         "join + agg + total-order top-k",
     )
-    q["customers_without_orders"] = Query(
-        relational.customers_without_orders,
-        relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
-        "anti join (NOT EXISTS)",
+    q["customers_without_urgent_orders"] = Query(
+        relational.customers_without_urgent_orders,
+        relational.CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL,
+        "anti join (NOT EXISTS) with pushed-down build-side filter",
     )
     q["parts_with_shipments"] = Query(
         relational.parts_with_shipments,
@@ -96,10 +96,15 @@ def _builtin_queries() -> dict[str, Query]:
         relational.ORDER_STATUS_ROLLUP_SQL,
         "ROLLUP grouping sets",
     )
-    q["segment_overlap"] = Query(
-        relational.segment_overlap,
-        relational.SEGMENT_OVERLAP_SQL,
+    q["rich_without_big_orders"] = Query(
+        relational.rich_without_big_orders,
+        relational.RICH_WITHOUT_BIG_ORDERS_SQL,
         "set operation (EXCEPT DISTINCT)",
+    )
+    q["rich_with_big_orders"] = Query(
+        relational.rich_with_big_orders,
+        relational.RICH_WITH_BIG_ORDERS_SQL,
+        "set operation (INTERSECT DISTINCT)",
     )
     q["error_asof_signup"] = Query(
         relational.error_asof_signup,
