@@ -1,0 +1,90 @@
+"""Generic external-process map/reduce surface — the reference's product.
+
+The reference's entire user-facing capability (SURVEY.md §2.A A5/A8,
+§2.B B14/B15) is: split a text file into line-aligned chunks, run an
+arbitrary user *mapper* program over each chunk, concatenate the outputs,
+and run an arbitrary user *reducer* program once over the concatenation
+(exec contract: Worker.java:134-160 for the map side, Master.java:182-208
+for the reduce side). Correct user programs therefore compute
+chunk-partial → global-final algebraic aggregations (SURVEY.md §1.4).
+
+Spark-native equivalents provided here:
+
+- :func:`pipe_map_reduce` — exact fidelity. ``RDD.pipe`` execs the user
+  command once per partition, streaming the partition's lines to stdin
+  and reading result lines from stdout (the reference ships files via
+  HTTP + argv instead of stdin/stdout; semantics are identical: a whole
+  chunk in, result lines out). The reduce command runs on a single
+  coalesced partition, exactly like the reference's one reducer on the
+  master. Mapper parallelism scales with partitions; the single reducer
+  is the same serial bottleneck the reference has — by design.
+
+- :func:`map_reduce_in_pandas` — idiomatic fidelity. The same
+  chunk-partial/global-final contract with Python callables over Arrow
+  batches (``mapInPandas``), no process spawn per partition.
+
+At 100 TB: ``pipe`` maps are embarrassingly parallel (one exec per
+partition, ~maxPartitionBytes-sized). The global single reduce only works
+when the mapped output is small (aggregated partials); that is exactly
+the reference's implicit contract, and callers needing distributed
+reduction should express it as ``groupBy().agg()`` instead (every named
+query in the registry does).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def pipe_map_reduce(
+    df: DataFrame,
+    mapper_cmd: str,
+    reducer_cmd: str,
+    input_col: str | None = None,
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Run external map/reduce programs over a text DataFrame.
+
+    Programs read lines on stdin and write lines to stdout (the pipe
+    twin of the reference's ``<prog> <in_file> <out_file>`` contract).
+
+    :param df: input; one text column (or name it via ``input_col``).
+    :param mapper_cmd: shell command run once per chunk/partition.
+    :param reducer_cmd: shell command run once, globally.
+    :param num_chunks: optional repartition before mapping — the
+        reference's ``chunk_size`` knob expressed in partition count.
+    """
+    col = input_col or df.columns[0]
+    lines = df.select(col).rdd.map(lambda r: r[0])
+    if num_chunks is not None:
+        lines = lines.repartition(num_chunks)
+    mapped = lines.pipe(mapper_cmd)
+    # Global single reduce (reference Master.java:182-208): all mapped
+    # partials to one partition, one reducer process.
+    reduced = mapped.coalesce(1).pipe(reducer_cmd)
+    spark = df.sparkSession
+    return spark.createDataFrame(reduced.map(lambda l: (l,)), "line: string")
+
+
+MapFn = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+
+
+def map_reduce_in_pandas(
+    df: DataFrame,
+    mapper: MapFn,
+    reducer: MapFn,
+    map_schema: str,
+    out_schema: str,
+) -> DataFrame:
+    """Chunk-partial → global-final contract with Python callables.
+
+    ``mapper`` sees each partition as an iterator of Arrow-backed pandas
+    batches (= the reference mapper seeing a whole chunk file);
+    ``reducer`` sees every mapped row in one partition (= the reference's
+    single reducer over the concatenation).
+    """
+    mapped = df.mapInPandas(mapper, schema=map_schema)
+    return mapped.coalesce(1).mapInPandas(reducer, schema=out_schema)
