@@ -1,0 +1,355 @@
+"""Deduplication operators for LLM-scale data pipelines.
+
+Not present in the reference (SURVEY.md §2.C) — these are the north-star
+extensions, built Spark-first:
+
+- exact_dedup        — hash-groupBy on normalized text; one shuffle on a
+                       64-bit digest, never on the full text.
+- neardup_jaccard    — exact k-shingle Jaccard over candidate pairs that
+                       share ≥1 shingle (inverted-index join). Exact but
+                       super-linear in shared-shingle volume: the
+                       *correctness anchor* for the LSH variant.
+- neardup_minhash_lsh— MinHash signatures + banded LSH bucketing
+                       (Broder 1997; Leskovec et al., "Mining of Massive
+                       Datasets" ch. 3). Sub-quadratic: candidates only
+                       within equal (band, band-signature) buckets. This
+                       is the 100 TB path.
+- simhash64          — 64-bit SimHash fingerprint per document
+                       (Charikar 2002): near-dup docs differ in few bits.
+
+Every hash is the md5-derived 60-bit portable hash (functions/hashing.py)
+so the DuckDB oracles compute bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.hashing import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    hash60,
+    hash60_sql,
+    minhash_perm,
+    minhash_perm_sql,
+)
+from simple_map_reduce_ruuner_spark.functions.text import norm_text, word_shingles
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.20
+N_PERMS = 16
+N_BANDS = 4  # 4 rows/band: P(candidate) = 1-(1-j^4)^4, ~0.5 at j≈0.45
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct normalized text: canonical (min) doc_id and
+    duplicate count. Grouping key is a 60-bit digest of the normalized
+    text, so the shuffle carries 8-byte keys, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", hash60(norm_text(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+EXACT_DEDUP_SQL = f"""
+SELECT {hash60_sql(_NORM_TEXT_SQL)} AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Shingles (shared by jaccard / minhash / oracle SQL)
+# --------------------------------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# DuckDB twin of functions.text.word_shingles (k=3): token array from
+# lowercased regex split, windows of 3 joined by spaces, min one window.
+_SHINGLES_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+    FROM documents
+),
+shingled AS (
+    SELECT doc_id,
+           unnest([
+               array_to_string(t[i : i + 2], ' ')
+               for i in range(1, greatest(len(t) - 2, 1) + 1)
+           ]) AS shingle
+    FROM toks
+)
+SELECT DISTINCT doc_id, shingle FROM shingled
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact near-dup: k-shingle Jaccard via inverted-index self-join
+# --------------------------------------------------------------------------
+
+
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs (doc_a < doc_b) with shingle-set Jaccard ≥ threshold.
+
+    Candidate generation joins on the shingle (inverted index) so only
+    pairs sharing ≥1 shingle are scored — exact, and already far better
+    than cross-join, but worst-case quadratic in hot shingles. Use the
+    MinHash-LSH variant at scale; this one is its correctness anchor.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    raw_jaccard = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # filter on the RAW ratio (like the oracle), round only for output —
+        # filtering on the rounded value would disagree at the boundary
+        .where(raw_jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(raw_jaccard, 6).alias("jaccard"))
+    )
+
+
+NEARDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + banded LSH candidates
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash): N_PERMS-permutation MinHash signature.
+
+    Formulated as explode(perms) + min() groupBy — pure built-ins, fully
+    partial-aggregated map-side, no UDF.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    h = hash60(F.col("shingle"))
+    perm_cols = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), minhash_perm(h, i).alias("h"))
+            for i in range(N_PERMS)
+        ]
+    )
+    return (
+        sh.select("doc_id", F.explode(perm_cols).alias("p"))
+        .groupBy("doc_id", F.col("p.perm").alias("perm"))
+        .agg(F.min("p.h").alias("minhash"))
+    )
+
+
+def _minhash_sql() -> str:
+    perm_exprs = ", ".join(
+        f"({minhash_perm_sql(hash60_sql('shingle'), i)}) AS h{i}"
+        for i in range(N_PERMS)
+    )
+    unpivots = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, min(h{i}) AS minhash FROM hashed GROUP BY doc_id"
+        for i in range(N_PERMS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {perm_exprs} FROM sh)
+{unpivots}
+"""
+
+
+MINHASH_SIGNATURES_SQL = _minhash_sql()
+
+
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash-LSH.
+
+    Signature is split into N_BANDS bands of N_PERMS/N_BANDS values; a
+    pair is a candidate iff it agrees on *all* values of ≥1 band. The
+    band groupBy keys are (band, h0..h3) — the shuffle is signatures,
+    not documents, and candidate scoring touches only bucket-mates:
+    the sub-quadratic path that survives 100 TB.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_PERMS // N_BANDS
+    banded = sig.withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int")
+    ).groupBy("doc_id", "band").agg(
+        # per (doc, band): the band's minhash values in perm order
+        F.array_sort(
+            F.collect_list(F.struct("perm", "minhash"))
+        ).alias("sig_struct")
+    ).select(
+        "doc_id",
+        "band",
+        F.transform(F.col("sig_struct"), lambda s: s["minhash"]).alias("band_sig"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _lsh_sql() -> str:
+    rows_per_band = N_PERMS // N_BANDS
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+banded AS (
+    SELECT doc_id, CAST(floor(perm / {rows_per_band}) AS INTEGER) AS band,
+           list(minhash ORDER BY perm) AS band_sig
+    FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+"""
+
+
+NEARDUP_MINHASH_LSH_SQL = _lsh_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash (Charikar 2002): 64-bit fingerprint; near-dups differ in few bits
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # our portable hash has 60 usable bits
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token hashes.
+
+    explode(tokens) × explode(bits) stays JVM-side; the per-bit vote is a
+    sum aggregate, then bits reassemble with a dot-product against powers
+    of two. Token multiplicity counts (standard SimHash weighting by
+    term frequency).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from simple_map_reduce_ruuner_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    # Python API shiftright/shiftleft only take int literals; the SQL
+    # functions accept expressions, so the per-bit logic is SQL text.
+    votes = (
+        tok.select("doc_id", hash60(F.col("token")).alias("h"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> struct("
+                    "  b AS bit,"
+                    "  CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END AS vote))"
+                )
+            ).alias("bv"),
+        )
+        .groupBy("doc_id", F.col("bv.bit").alias("bit"))
+        .agg(F.sum("bv.vote").alias("vote_sum"))
+    )
+    return (
+        votes.where(F.col("vote_sum") > 0)
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("simhash"))
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+hashed AS (SELECT doc_id, {hash60_sql("token")} AS h FROM toks),
+votes AS (
+    SELECT doc_id, bit,
+           SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote_sum
+    FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+    GROUP BY doc_id, bit
+)
+SELECT doc_id, CAST(SUM(1::BIGINT << bit) AS BIGINT) AS simhash
+FROM votes
+WHERE vote_sum > 0
+GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, "hash-groupBy exact dedup"),
+    "neardup_jaccard": Query(
+        neardup_jaccard,
+        NEARDUP_JACCARD_SQL,
+        "exact k-shingle Jaccard pairs (inverted-index join)",
+    ),
+    "minhash_signatures": Query(
+        minhash_signatures,
+        MINHASH_SIGNATURES_SQL,
+        "portable 16-permutation MinHash signatures",
+    ),
+    "neardup_minhash_lsh": Query(
+        neardup_minhash_lsh,
+        NEARDUP_MINHASH_LSH_SQL,
+        "banded MinHash-LSH candidate pairs (sub-quadratic near-dedup)",
+    ),
+    "simhash": Query(simhash, SIMHASH_SQL, "60-bit SimHash fingerprints"),
+}

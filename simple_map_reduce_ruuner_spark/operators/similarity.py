@@ -1,0 +1,291 @@
+"""Embedding similarity search (north-star extension).
+
+- embedding_norms       — L2 norms: sanity anchor + the normalization
+                          every downstream op reuses.
+- ann_topk_bruteforce   — exact cosine top-k for a query set: broadcast
+                          the (small) query side against every vector.
+                          O(Q·N): correct at any N, the correctness
+                          anchor for approximate variants.
+- rh_lsh_buckets        — random-hyperplane LSH (SimHash for vectors,
+                          Charikar 2002): 8 signed projections → 8-bit
+                          bucket id per vector.
+- ann_topk_lsh          — top-k *within the query's LSH bucket*: the
+                          sub-quadratic path. At 100 TB the bucket join
+                          shuffles each vector once by bucket id, and
+                          scoring touches ~N/256 candidates per query.
+
+Hyperplane weights are derived from the portable md5 hash (deterministic,
+engine-independent), so even the approximate variant has an exact DuckDB
+oracle — the approximation is in the *recall*, not in nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
+from simple_map_reduce_ruuner_spark.functions.vectors import cosine, dot, l2_norm
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+N_QUERIES = 5  # query set = vec_id < 5 (deterministic)
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, label,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (self excluded)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("raw_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("raw_score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ANN_TOPK_BRUTEFORCE_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           CASE
+             WHEN sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) = 0
+             THEN 0.0
+             ELSE list_dot_product(q_emb, e.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(q_emb, q_emb))
+                     * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           END AS raw_score
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, raw_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, ROUND(raw_score, 6) AS score, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+
+def _planes(spark: SparkSession) -> DataFrame:
+    """(plane, d, w): deterministic pseudo-random weights in [-1, 1],
+    derived from the portable hash so DuckDB builds the same matrix."""
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
+    dims = spark.range(DIM).select(F.col("id").cast("int").alias("d"))
+    seed = F.concat(
+        F.lit("plane"), F.col("plane").cast("string"), F.lit(":"), F.col("d").cast("string")
+    )
+    return planes.crossJoin(dims).select(
+        "plane", "d", ((hash60(seed) % 2001 - 1000) / 1000.0).alias("w")
+    )
+
+
+_PLANES_SQL = f"""
+SELECT p.plane, d.d,
+       (({hash60_sql("'plane' || p.plane || ':' || d.d")} % 2001) - 1000) / 1000.0 AS w
+FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p,
+     (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+"""
+
+
+def rh_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): bucket = bitmap of sign(v·w_plane) over planes.
+
+    posexplode(embedding) ⋈ broadcast(planes) → per-(vec, plane) projection
+    sums — one partial-aggregated shuffle keyed by vec_id, no UDFs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    proj = (
+        comp.join(F.broadcast(_planes(spark)), "d")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("proj"))
+    )
+    return (
+        proj.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("proj") >= 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), plane)"),
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+
+
+RH_LSH_BUCKETS_SQL = f"""
+WITH planes AS ({_PLANES_SQL}),
+comp AS (
+    SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, {DIM})) AS i) s
+),
+proj AS (
+    SELECT vec_id, plane, SUM(x * w) AS proj
+    FROM comp JOIN planes USING (d)
+    GROUP BY vec_id, plane
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << plane ELSE 0 END) AS BIGINT) AS bucket
+FROM proj
+GROUP BY vec_id
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Top-k within the query's LSH bucket — the scale path.
+
+    Deterministic (bucketing + scoring + total-order rank), so it has an
+    exact oracle even though recall vs brute force is approximate.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = rh_lsh_buckets(spark, sf_dir)
+    vecs = emb.join(buckets, "vec_id")
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        vecs.join(F.broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("raw_score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ANN_TOPK_LSH_SQL = f"""
+WITH planes AS ({_PLANES_SQL}),
+comp AS (
+    SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, {DIM})) AS i) s
+),
+proj AS (
+    SELECT vec_id, plane, SUM(x * w) AS proj
+    FROM comp JOIN planes USING (d)
+    GROUP BY vec_id, plane
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << plane ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+vecs AS (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, b.bucket
+    FROM embeddings e JOIN buckets b USING (vec_id)
+),
+q AS (
+    SELECT vec_id AS query_id, emb AS q_emb, bucket
+    FROM vecs WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           CASE
+             WHEN sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(v.emb, v.emb)) = 0 THEN 0.0
+             ELSE list_dot_product(q_emb, v.emb)
+                  / (sqrt(list_dot_product(q_emb, q_emb))
+                     * sqrt(list_dot_product(v.emb, v.emb)))
+           END AS raw_score
+    FROM vecs v JOIN q USING (bucket)
+    WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, raw_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, ROUND(raw_score, 6) AS score, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "embedding_norms": Query(embedding_norms, EMBEDDING_NORMS_SQL, "L2 norms"),
+    "ann_topk_bruteforce": Query(
+        ann_topk_bruteforce,
+        ANN_TOPK_BRUTEFORCE_SQL,
+        "exact cosine top-k (broadcast query set)",
+    ),
+    "rh_lsh_buckets": Query(
+        rh_lsh_buckets,
+        RH_LSH_BUCKETS_SQL,
+        "random-hyperplane LSH bucket per vector",
+    ),
+    "ann_topk_lsh": Query(
+        ann_topk_lsh,
+        ANN_TOPK_LSH_SQL,
+        "cosine top-k within LSH bucket (sub-quadratic ANN)",
+    ),
+}

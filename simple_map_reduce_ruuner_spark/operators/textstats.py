@@ -1,0 +1,211 @@
+"""Text-analysis operators over the documents table (north-star extension;
+absent in the reference, SURVEY.md §2.C).
+
+- token_stats      — token counting: whitespace tokens + a word-regex
+                     variant (the "BPE-ish" proxy), char/token length stats.
+- lang_id          — n-gram-free heuristic language ID: English stopword
+                     ratio (fast, JVM-side; a real pipeline would plug a
+                     model UDF here — the operator shape is identical).
+- quality_score    — composite document-quality heuristic (length,
+                     token-length, stopword signal), the standard cheap
+                     pre-filter before expensive LLM-data processing.
+- doc_fingerprint  — deterministic rolling polynomial hash (mod 1e9+7)
+                     over the normalized text: an order-sensitive content
+                     fingerprint (vs simhash's order-insensitive one).
+
+All operators are single-pass projections/aggregations with no shuffle
+except final output; at 100 TB they are scan-bound and embarrassingly
+parallel. Integer accumulation is exact, so double arithmetic appears
+only in final single-step ratios — deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+WORD_RE = "[a-z]+"
+FP_MOD = 1_000_000_007
+FP_MULT = 31
+
+
+def _tok_col():
+    return tokens(F.col("text")).alias("toks")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.length("text").alias("n_chars_raw"), _tok_col())
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        F.col("n_chars_raw").cast("long").alias("n_chars_raw"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        sum_len.alias("sum_token_chars"),
+        F.round(
+            F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+                sum_len / F.size("toks")
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_raw,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_chars_raw,
+           len(toks)::BIGINT AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x)::BIGINT)), 0) AS BIGINT)
+               AS sum_token_chars
+    FROM t
+)
+SELECT doc_id, n_chars_raw, n_tokens, sum_token_chars,
+       ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE sum_token_chars * 1.0 / n_tokens END, 6) AS avg_token_len
+FROM s
+"""
+
+
+def _stopword_ratio():
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw, t)))
+    return F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+        n_sw / F.size("toks")
+    )
+
+
+_SW_LIST_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict 'en' when the English stopword ratio clears a threshold.
+    Emits the true lang column too, so accuracy is directly queryable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", _tok_col())
+    ratio = _stopword_ratio()
+    return t.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+LANG_ID_SQL = rf"""
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_filter(toks, x -> x IN {_SW_LIST_SQL})) * 1.0 / len(toks)
+           END AS ratio
+    FROM t
+)
+SELECT doc_id, lang,
+       ROUND(ratio, 6) AS en_stopword_ratio,
+       CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'other' END AS pred_lang
+FROM r
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic in [0,1]:
+    0.4·stopword-signal + 0.3·length-signal + 0.3·token-shape-signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tok_col())
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sw = _stopword_ratio()
+    length_signal = F.least(n / F.lit(200.0), F.lit(1.0))
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(sum_len / n)
+    shape_signal = F.lit(1.0) - F.least(
+        F.abs(avg_len - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
+    )
+    score = F.lit(0.4) * F.least(sw / F.lit(0.05), F.lit(1.0)) + F.lit(
+        0.3
+    ) * length_signal + F.lit(0.3) * shape_signal
+    return t.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+QUALITY_SCORE_SQL = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x)::BIGINT)), 0) AS BIGINT) AS sum_len,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_filter(toks, x -> x IN {_SW_LIST_SQL})) * 1.0 / len(toks)
+           END AS sw
+    FROM t
+)
+SELECT doc_id,
+       ROUND(
+           0.4 * least(sw / 0.05, 1.0)
+         + 0.3 * least(n / 200.0, 1.0)
+         + 0.3 * (1.0 - least(abs(CASE WHEN n = 0 THEN 0.0 ELSE sum_len * 1.0 / n END - 5.0) / 5.0, 1.0)),
+       6) AS quality
+FROM m
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash fingerprint of the raw text:
+    fold (acc*31 + codepoint) mod 1e9+7 over every character."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MULT + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+           (acc, x) -> (acc * {FP_MULT} + x) % {FP_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "token_stats": Query(token_stats, TOKEN_STATS_SQL, "token counting + length stats"),
+    "lang_id": Query(lang_id, LANG_ID_SQL, "stopword-ratio language ID heuristic"),
+    "quality_score": Query(quality_score, QUALITY_SCORE_SQL, "document quality heuristic"),
+    "doc_fingerprint": Query(
+        doc_fingerprint, DOC_FINGERPRINT_SQL, "rolling-hash content fingerprint"
+    ),
+}
