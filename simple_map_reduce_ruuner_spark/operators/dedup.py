@@ -177,24 +177,31 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm, minhash): N_PERMS-permutation MinHash signature.
-
-    Formulated as explode(perms) + min() groupBy — pure built-ins, fully
-    partial-aggregated map-side, no UDF.
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15): one MIN aggregate per permutation, computed in a
+    SINGLE pass over the shingle table — no row multiplication. The
+    shuffle carries one 16-column row per document; partial aggregation
+    runs map-side. This is the plan that survives 100×: the explode
+    formulation multiplies the shingle table by N_PERMS before shuffling.
     """
     sh = _doc_shingles(spark, sf_dir)
     h = hash60(F.col("shingle"))
-    perm_cols = F.array(
-        *[
-            F.struct(F.lit(i).alias("perm"), minhash_perm(h, i).alias("h"))
-            for i in range(N_PERMS)
-        ]
+    return sh.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(h, i)).alias(f"h{i}") for i in range(N_PERMS)]
     )
-    return (
-        sh.select("doc_id", F.explode(perm_cols).alias("p"))
-        .groupBy("doc_id", F.col("p.perm").alias("perm"))
-        .agg(F.min("p.h").alias("minhash"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash): N_PERMS-permutation MinHash signature.
+
+    Wide single-pass aggregation, then an unpivot to the long shape —
+    the unpivot touches one row per doc, not one per shingle.
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    stack_expr = ", ".join(f"{i}, h{i}" for i in range(N_PERMS))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({N_PERMS}, {stack_expr}) AS (perm, minhash)"),
     )
 
 
@@ -226,19 +233,26 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     not documents, and candidate scoring touches only bucket-mates:
     the sub-quadratic path that survives 100 TB.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
     rows_per_band = N_PERMS // N_BANDS
-    banded = sig.withColumn(
-        "band", (F.col("perm") / rows_per_band).cast("int")
-    ).groupBy("doc_id", "band").agg(
-        # per (doc, band): the band's minhash values in perm order
-        F.array_sort(
-            F.collect_list(F.struct("perm", "minhash"))
-        ).alias("sig_struct")
-    ).select(
-        "doc_id",
-        "band",
-        F.transform(F.col("sig_struct"), lambda s: s["minhash"]).alias("band_sig"),
+    # bands assemble directly from the wide min columns (one row per doc);
+    # no collect_list, no per-perm rows
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.array(
+                    *[
+                        F.col(f"h{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_sig"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    banded = wide.select("doc_id", F.explode(band_rows).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
@@ -290,28 +304,31 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
-    # Python API shiftright/shiftleft only take int literals; the SQL
-    # functions accept expressions, so the per-bit logic is SQL text.
-    votes = (
+    # Single pass, no bit-explosion: first collapse to per-(doc, token-hash)
+    # counts (vocabulary-bounded), then 60 SUM aggregates — one per bit —
+    # computed in one wide aggregation. The alternative (explode 60 bit
+    # rows per token) multiplies the token table by 60 before shuffling.
+    tok_counts = (
         tok.select("doc_id", hash60(F.col("token")).alias("h"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> struct("
-                    "  b AS bit,"
-                    "  CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END AS vote))"
-                )
-            ).alias("bv"),
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bit_votes = [
+        F.sum(
+            F.col("cnt")
+            * F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = tok_counts.groupBy("doc_id").agg(*bit_votes)
+    simhash_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", F.col("bv.bit").alias("bit"))
-        .agg(F.sum("bv.vote").alias("vote_sum"))
-    )
-    return (
-        votes.where(F.col("vote_sum") > 0)
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("simhash"))
-    )
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    return wide.select("doc_id", simhash_expr.alias("simhash"))
 
 
 SIMHASH_SQL = f"""

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Local simulation of the driver's correctness gate.
+
+Runs entry() + every queries()[name] vs oracle_sql()[name] at the given
+sf dir (default sf0.01) in THIS process's plain SparkSession — built like
+the driver would, NOT via the repo's tuned session factory. Mirrors the
+driver compare: sorted column names + order-insensitive normalized values.
+
+Usage: python tools/driver_sim.py [sf_dir] [--tz America/New_York]
+Exit code 0 iff every oracle-backed query matches.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+import time
+
+import duckdb
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm(x) for x in v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v + 0.0)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", f"{REPO}/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.master("local[8]").config("spark.ui.enabled", "false")
+    if tz:
+        b = b.config("spark.sql.session.timeZone", tz)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = mod.entry(spark).count()
+    print(f"SMOKE entry(): rows={n}")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    fails, zeros = [], []
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        sdf = qs[name](spark, sf).toPandas()
+        if len(sdf) == 0:
+            zeros.append(name)
+        if name not in osql:
+            print(f"{name}: rows-only rows={len(sdf)} ({time.perf_counter()-t0:.1f}s)")
+            continue
+        ddf = con.execute(osql[name]).df()
+        sc, dc = sorted(sdf.columns), sorted(ddf.columns)
+        sr = sorted(
+            (tuple(norm(v) for v in r) for r in sdf[sc].itertuples(index=False, name=None)),
+            key=repr,
+        )
+        dr = sorted(
+            (tuple(norm(v) for v in r) for r in ddf[dc].itertuples(index=False, name=None)),
+            key=repr,
+        )
+        ok = sc == dc and sr == dr
+        print(
+            f"{name}: {'MATCH' if ok else 'MISMATCH'} rows={len(sr)}/{len(dr)}"
+            f" ({time.perf_counter()-t0:.1f}s)"
+        )
+        if not ok:
+            fails.append(name)
+            if sc != dc:
+                print(f"  cols: {sc} vs {dc}")
+            else:
+                s, d = set(sr), set(dr)
+                print(f"  spark_only: {list(s - d)[:3]}")
+                print(f"  duck_only : {list(d - s)[:3]}")
+    print(f"queries={len(qs)} oracles={len(osql)} zero-row={zeros}")
+    print("RESULT:", "ALL MATCH" if not fails else f"FAILS: {fails}")
+    return 0 if not fails else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
