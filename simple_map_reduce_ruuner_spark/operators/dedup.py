@@ -351,8 +351,67 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: semantic duplicates via the embeddings table
+# --------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of vectors with cosine ≥ threshold — semantic near-dedup.
+
+    Here: all-pairs via self-join on vec_id ordering (exact; O(n²) pair
+    candidates). The scale path is the same scoring behind an LSH-bucket
+    prefilter (similarity.ann_topk_lsh shows that join shape); this exact
+    form is its correctness anchor, mirroring neardup_jaccard vs LSH.
+    """
+    from simple_map_reduce_ruuner_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are per-vector, not per-pair: hoist them before the O(n²) join
+    # (same expression value bit-for-bit; 3× fewer dot products per pair).
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    raw = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("ea"), F.col("eb")) / denom
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(raw >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(raw, 6).alias("cos_sim"))
+    )
+
+
+NEARDUP_EMBEDDING_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, "hash-groupBy exact dedup"),
+    "neardup_embedding": Query(
+        neardup_embedding,
+        NEARDUP_EMBEDDING_SQL,
+        "embedding-cosine near-dup pairs (exact anchor for LSH prefilter)",
+    ),
     "neardup_jaccard": Query(
         neardup_jaccard,
         NEARDUP_JACCARD_SQL,

@@ -1,0 +1,183 @@
+"""Second relational batch: union-all (A7), CUBE, range join, and a
+plain shuffle (sort-merge) join — completing the §2.C join/agg/set-op
+checklist alongside relational.py.
+
+- union_all_merge   — the reference's merge phase (Master.java:173-178)
+                      as a real operator: union of two mapped partial-count
+                      streams, re-merged by a final aggregation. This is
+                      the A7 byte-concat expressed relationally.
+- cube_order_stats  — CUBE grouping sets (rollup's sibling).
+- clicks_before_errors — range join: equi key (user_id) + interval
+                      predicate on event time. Formulated as equi-join
+                      first (hash/SMJ on user_id) with the range as a
+                      post-join filter: at scale the equi key bounds the
+                      join fan-out and AQE handles skewed users; a pure
+                      non-equi join would be a nested-loop disaster.
+- supplier_part_smj — deliberately non-broadcast join (both sides large
+                      at scale): shuffle join on the join key, grouped
+                      aggregate on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.operators.relational import as_money, dsum, dsum_sql
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+
+def union_all_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7 as a relational operator: two disjoint partial
+    aggregations (en docs vs non-en docs = two 'mapper outputs'),
+    union-all'd, then re-merged by the final aggregation — the
+    partial→final contract of SURVEY.md §1.4 made visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en")
+    rest = docs.where(F.col("lang") != "en")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("partial_cnt"))
+        )
+
+    return (
+        partial(en)
+        .unionAll(partial(rest))
+        .groupBy("word")
+        .agg(F.sum("partial_cnt").alias("cnt"))
+    )
+
+
+UNION_ALL_MERGE_SQL = r"""
+WITH tok AS (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+),
+partials AS (
+    SELECT word, count(*) AS partial_cnt FROM tok WHERE word <> '' AND lang = 'en' GROUP BY word
+    UNION ALL
+    SELECT word, count(*) AS partial_cnt FROM tok WHERE word <> '' AND lang <> 'en' GROUP BY word
+)
+SELECT word, CAST(SUM(partial_cnt) AS BIGINT) AS cnt FROM partials GROUP BY word
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            as_money(dsum(F.col("o_totalprice"))).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total")
+    )
+
+
+CUBE_ORDER_STATS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       ROUND(CAST({dsum_sql('o_totalprice')} AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many clicks the same user made in
+    the preceding 10 minutes. Equi on user_id; time range as join filter."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = errors.join(
+        clicks,
+        (errors.user_id == clicks.user_id)
+        & (clicks.click_ts <= errors.error_ts)
+        & (clicks.click_ts >= errors.error_ts - F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return joined.groupBy(errors.user_id, "error_id").agg(
+        F.count(clicks.click_ts).alias("n_recent_clicks")
+    )
+
+
+CLICKS_BEFORE_ERRORS_SQL = """
+SELECT e.user_id, e.event_id AS error_id,
+       count(c.ts) AS n_recent_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       ON c.user_id = e.user_id
+      AND c.ts <= e.ts
+      AND c.ts >= e.ts - INTERVAL 10 minutes
+GROUP BY e.user_id, e.event_id
+"""
+
+
+def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle (sort-merge) join: lineitem ⋈ lineitem-scale key without a
+    broadcastable side — per (supplier, part) shipped quantity. At scale
+    both inputs shuffle once on the composite key; the aggregate is
+    partial/final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey", "l_partkey").agg(
+        as_money(dsum(F.col("l_quantity"))).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    # self-join back to find (supp, part) pairs above that supplier's mean.
+    # mean = exact decimal sum / count (plain avg() would accumulate doubles
+    # in engine-dependent order and could flip the boundary filter below)
+    mean_per_supp = agg.groupBy("l_suppkey").agg(
+        (dsum(F.col("total_qty")).cast("double") / F.count(F.lit(1))).alias(
+            "supp_mean"
+        )
+    )
+    return (
+        agg.join(mean_per_supp, "l_suppkey")
+        .where(F.col("total_qty") > F.col("supp_mean") * 1.5)
+        .select("l_suppkey", "l_partkey", "total_qty", "n_lines")
+    )
+
+
+SUPPLIER_PART_VOLUME_SQL = f"""
+WITH agg AS (
+    SELECT l_suppkey, l_partkey,
+           ROUND(CAST({dsum_sql('l_quantity')} AS DOUBLE), 2) AS total_qty,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1, 2
+),
+m AS (SELECT l_suppkey,
+             CAST(SUM(CAST(total_qty AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS supp_mean
+      FROM agg GROUP BY 1)
+SELECT agg.l_suppkey, l_partkey, total_qty, n_lines
+FROM agg JOIN m USING (l_suppkey)
+WHERE total_qty > supp_mean * 1.5
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "union_all_merge": Query(
+        union_all_merge,
+        UNION_ALL_MERGE_SQL,
+        "union-all of partial aggregations + final merge (reference A7)",
+    ),
+    "cube_order_stats": Query(cube_order_stats, CUBE_ORDER_STATS_SQL, "CUBE grouping sets"),
+    "clicks_before_errors": Query(
+        clicks_before_errors,
+        CLICKS_BEFORE_ERRORS_SQL,
+        "range join (equi key + time-interval predicate)",
+    ),
+    "supplier_part_volume": Query(
+        supplier_part_volume,
+        SUPPLIER_PART_VOLUME_SQL,
+        "shuffle join + two-level aggregate (no broadcastable side)",
+    ),
+}

@@ -132,6 +132,12 @@ def all_queries() -> dict[str, Query]:
     return q
 
 
+def _load_relational2() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational2
+
+    return relational2.QUERIES
+
+
 def _load_dedup() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import dedup
 
@@ -169,6 +175,7 @@ def _load_approx() -> dict[str, Query]:
 
 
 _EXTENSION_LOADERS = [
+    _load_relational2,
     _load_dedup,
     _load_similarity,
     _load_textstats,

@@ -1,0 +1,53 @@
+"""CSV / JSON / Parquet source-sink round-trips.
+
+The reference ingests only uploaded text (SURVEY.md §2.C "scans/sources:
+text upload only") and emits only a single text file. This module is the
+engine's typed source/sink surface:
+
+- explicit-schema readers (never infer on the hot path: schema inference
+  scans the data once before the real scan — at 100 TB that doubles I/O);
+- writers with partitioning hooks (``partition_by``), the unit of
+  pruning for downstream consumers.
+
+All formats round-trip the same DataFrame; tests assert scan equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
