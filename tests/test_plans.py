@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the plan shape IS the scale contract.
+
+These tests pin the properties that make the queries survive 100×:
+filters/projections reaching the parquet scan, small dims broadcast,
+aggregates running partial→final (map-side combine), top-k not sorting
+the world, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.operators import relational, wordcount
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_quantity"
+    )
+    plan = plan_of(q)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    q = relational.pricing_summary(spark, sf_dir)
+    plan = plan_of(q)
+    # ReadSchema must NOT include unused wide columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema  # grouped query needs no keys
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_join_for_small_dims(spark, sf_dir):
+    q = relational.revenue_by_nation(spark, sf_dir)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    # the fact table must never be broadcast
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    q = wordcount.word_count(spark, sf_dir)
+    plan = plan_of(q)
+    # two HashAggregates around the exchange = map-side combine, the
+    # reference's chunk-partial -> global-final contract (SURVEY §1.4)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_topk_uses_bounded_sort(spark, sf_dir):
+    q = relational.top_suppliers_revenue(spark, sf_dir)
+    plan = plan_of(q)
+    # orderBy().limit(k) must plan TakeOrderedAndProject (k-row heap),
+    # not a global Sort + CollectLimit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_accidental_cartesian(spark, sf_dir):
+    # every registry query except the documented O(n^2) anchors must be
+    # free of CartesianProduct / unconditional BroadcastNestedLoopJoin
+    from simple_map_reduce_ruuner_spark.registry import all_queries
+
+    allowed_quadratic = {"neardup_embedding", "ann_topk_bruteforce"}
+    offenders = []
+    for name, q in all_queries().items():
+        if name in allowed_quadratic:
+            continue
+        plan = plan_of(q.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    q = relational.pricing_summary(spark, sf_dir)
+    q.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(q)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan and "*(2)" in plan, plan
+    # and AQE coalesced the post-shuffle partitions
+    assert "AQEShuffleRead coalesced" in plan
