@@ -33,6 +33,7 @@ query in the registry does).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -67,6 +68,28 @@ def pipe_map_reduce(
     reduced = mapped.coalesce(1).pipe(reducer_cmd)
     spark = df.sparkSession
     return spark.createDataFrame(reduced.map(lambda l: (l,)), "line: string")
+
+
+def compile_cpp_program(source_path: str, out_dir: str | None = None) -> str:
+    """Compile a user C++ map/reduce program, mirroring the reference
+    worker's compile step (``g++ --std=c++11``, Worker.java:146-151).
+    Returns the binary path, usable as a ``pipe_map_reduce`` command.
+
+    On a real cluster the binary must be shipped to executors
+    (``spark.sparkContext.addFile``) or built on a shared volume; in
+    local mode the filesystem is shared.
+    """
+    import subprocess
+    import tempfile
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="smrr_cpp_")
+    binary = os.path.join(out_dir, "program.out")
+    subprocess.run(
+        ["g++", "--std=c++11", "-O2", "-o", binary, source_path],
+        check=True,
+        capture_output=True,
+    )
+    return binary
 
 
 MapFn = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]

@@ -163,7 +163,76 @@ WHERE total_qty > supp_mean * 1.5
 """
 
 
+def window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window-function coverage beyond row_number:
+    dense_rank, percent_rank, ntile, lag, lead — one windowed projection,
+    single shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+    )
+
+
+WINDOW_SHOWCASE_SQL = """
+SELECT o_custkey, o_orderkey,
+       dense_rank()   OVER w AS drank,
+       ROUND(percent_rank() OVER w, 6) AS prank,
+       ntile(4)       OVER w AS quartile,
+       lag(o_orderkey, 1)  OVER w AS prev_orderkey,
+       lead(o_orderkey, 1) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage: truncation, extraction, day diffs,
+    calendar-safe month addition, ISO weekday."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref_date = F.lit("1995-06-15").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.datediff(ref_date, "o_orderdate").cast("long").alias("days_to_ref"),
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("plus_3mo"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("isodow"),
+    )
+
+
+DATE_ARITHMETIC_SQL = """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS order_month,
+       EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+       EXTRACT(quarter FROM o_orderdate)::BIGINT AS qtr,
+       date_diff('day', o_orderdate::DATE, DATE '1995-06-15')::BIGINT AS days_to_ref,
+       (o_orderdate::DATE + INTERVAL 3 months)::TIMESTAMP AS plus_3mo,
+       isodow(o_orderdate)::BIGINT AS isodow
+FROM orders
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "window_showcase": Query(
+        window_showcase,
+        WINDOW_SHOWCASE_SQL,
+        "dense_rank/percent_rank/ntile/lag/lead window functions",
+    ),
+    "date_arithmetic": Query(
+        date_arithmetic, DATE_ARITHMETIC_SQL, "date/time scalar functions"
+    ),
     "union_all_merge": Query(
         union_all_merge,
         UNION_ALL_MERGE_SQL,

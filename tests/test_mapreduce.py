@@ -38,6 +38,27 @@ def test_pipe_map_reduce_matches_dataframe_wordcount(spark, sf_dir):
     assert got == expected
 
 
+def test_pipe_cpp_mapper(spark, sf_dir, tmp_path):
+    """The reference's C++ path (Worker.java:146-153): compile a user C++
+    mapper, pipe chunks through the binary, reduce with the Python
+    reducer — language-mixing exactly as the reference allows."""
+    import sys
+
+    from simple_map_reduce_ruuner_spark.mapreduce import compile_cpp_program
+
+    binary = compile_cpp_program(f"{EXAMPLES}/wordcount_mapper.cpp", str(tmp_path))
+    docs = load_table(spark, sf_dir, "documents")
+    piped = pipe_map_reduce(
+        docs.select("text"),
+        binary,
+        f"{sys.executable} {EXAMPLES}/wordcount_reducer.py",
+        num_chunks=4,
+    )
+    got = {tuple(line.rsplit(" ", 1)) for line in (r.line for r in piped.collect())}
+    expected = {(r.word, str(r.cnt)) for r in word_count_df(docs).collect()}
+    assert got == expected
+
+
 def test_map_reduce_in_pandas_wordcount(spark, sf_dir):
     import pandas as pd
 
