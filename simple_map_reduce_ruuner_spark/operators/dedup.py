@@ -352,6 +352,84 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the Jaccard pair graph
+# --------------------------------------------------------------------------
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the near-dup graph,
+    cluster_id = min doc_id in the component; singletons keep their own id.
+
+    Iterative min-label propagation — the canonical Pregel-style loop on
+    DataFrames: each round, every node takes the min of its own label and
+    its neighbors' labels; converged when no label changes. Rounds =
+    graph diameter (tiny for dup clusters). ``localCheckpoint`` truncates
+    lineage each round so plans don't grow unboundedly — the standard
+    guard for iterative DataFrame algorithms at scale.
+
+    The DuckDB oracle computes the same fixpoint with a recursive CTE
+    (transitive closure + min), feasible because the pair graph is small
+    at oracle scale.
+    """
+    pairs = neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _clusters_sql() -> str:
+    pairs_sql = NEARDUP_JACCARD_SQL.strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT doc_id AS a, doc_id AS b FROM documents
+    UNION
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+NEARDUP_CLUSTERS_SQL = _clusters_sql()
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup: semantic duplicates via the embeddings table
 # --------------------------------------------------------------------------
 
@@ -411,6 +489,11 @@ QUERIES: dict[str, Query] = {
         neardup_embedding,
         NEARDUP_EMBEDDING_SQL,
         "embedding-cosine near-dup pairs (exact anchor for LSH prefilter)",
+    ),
+    "neardup_clusters": Query(
+        neardup_clusters,
+        NEARDUP_CLUSTERS_SQL,
+        "connected-component dup clusters (iterative label propagation)",
     ),
     "neardup_jaccard": Query(
         neardup_jaccard,

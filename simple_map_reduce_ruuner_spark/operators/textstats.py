@@ -201,8 +201,48 @@ FROM documents
 """
 
 
+#: Portable word-level tokenizer pattern (Java regex ≡ RE2): letter runs,
+#: digit runs, or single non-space symbols — the shape of BPE pre-tokenizers.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization vs whitespace tokenization per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_regex = F.size(F.regexp_extract_all(low, F.lit(BPE_RE), 0)).cast("long")
+    n_ws = F.size(tokens(F.col("text"))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_regex.alias("n_regex_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(
+            F.when(n_ws == 0, F.lit(0.0)).otherwise(n_regex / n_ws), 6
+        ).alias("fertility"),
+    )
+
+
+REGEX_TOKEN_STATS_SQL = rf"""
+WITH t AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{BPE_RE}'))::BIGINT AS n_regex_tokens,
+           len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens
+    FROM documents
+)
+SELECT doc_id, n_regex_tokens, n_ws_tokens,
+       ROUND(CASE WHEN n_ws_tokens = 0 THEN 0.0
+                  ELSE n_regex_tokens * 1.0 / n_ws_tokens END, 6) AS fertility
+FROM t
+"""
+
+
 QUERIES: dict[str, Query] = {
     "token_stats": Query(token_stats, TOKEN_STATS_SQL, "token counting + length stats"),
+    "regex_token_stats": Query(
+        regex_token_stats,
+        REGEX_TOKEN_STATS_SQL,
+        "BPE-style regex tokenization (portable pattern)",
+    ),
     "lang_id": Query(lang_id, LANG_ID_SQL, "stopword-ratio language ID heuristic"),
     "quality_score": Query(quality_score, QUALITY_SCORE_SQL, "document quality heuristic"),
     "doc_fingerprint": Query(

@@ -1,0 +1,74 @@
+"""Full reference-job surface: run_job replays the reference's own
+suspects workload (its committed input through MY external programs via
+the complete chunk→map→merge→reduce→sink pipeline) and reproduces its
+committed golden output file."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from simple_map_reduce_ruuner_spark.engine import run_job
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+REF_SUSPECTS = "/root/reference/exampleCodes/finding_the_suspects"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_SUSPECTS}/sample.data"),
+    reason="reference fixture not present",
+)
+def test_run_job_suspects_golden(spark, tmp_path):
+    out = str(tmp_path / "final_result.out")
+    run_job(
+        spark,
+        data_path=f"{REF_SUSPECTS}/sample.data",
+        mapper_src=f"{EXAMPLES}/suspects_mapper.py",
+        reducer_src=f"{EXAMPLES}/suspects_reducer.py",
+        lang="py",
+        chunk_mb=1,  # force multiple chunks → real partial/final merging
+        out_path=out,
+    )
+
+    def load(path):
+        rows = set()
+        with open(path) as fh:
+            for line in fh:
+                toks = line.split()
+                if toks:
+                    rows.add((toks[0], frozenset(toks[1:])))
+        return rows
+
+    assert load(out) == load(f"{REF_SUSPECTS}/final_result.out")
+
+
+def test_run_job_mixed_languages(spark, sf_dir, tmp_path):
+    """cpp mapper + py reducer through the full job surface."""
+    from simple_map_reduce_ruuner_spark.operators.wordcount import word_count_df
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    data = str(tmp_path / "docs.txt")
+    with open(data, "w") as fh:
+        for r in docs.select("text").collect():
+            fh.write(r.text + "\n")
+
+    result = run_job(
+        spark,
+        data_path=data,
+        mapper_src=f"{EXAMPLES}/wordcount_mapper.cpp",
+        reducer_src=f"{EXAMPLES}/wordcount_reducer.py",
+        mapper_lang="cpp",
+        reducer_lang="py",
+    )
+    got = {tuple(r.line.rsplit(" ", 1)) for r in result.collect()}
+    expected = {(r.word, str(r.cnt)) for r in word_count_df(docs).collect()}
+    assert got == expected
+
+
+def test_run_job_rejects_unknown_lang(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported lang"):
+        run_job(spark, "x", "m", "r", lang="java")
