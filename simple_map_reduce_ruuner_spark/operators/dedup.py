@@ -179,14 +179,23 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h15): one MIN aggregate per permutation, computed in a
-    SINGLE pass over the shingle table — no row multiplication. The
-    shuffle carries one 16-column row per document; partial aggregation
-    runs map-side. This is the plan that survives 100×: the explode
-    formulation multiplies the shingle table by N_PERMS before shuffling.
+    SINGLE pass — no row multiplication. The shuffle carries one
+    16-column row per document; partial aggregation runs map-side. This
+    is the plan that survives 100×: the explode formulation multiplies
+    the shingle table by N_PERMS before shuffling.
+
+    Shingles are hashed BEFORE the distinct: dedup shuffles 8-byte
+    hashes instead of shingle strings. min over distinct hashes equals
+    min over hashes of distinct shingles (identical value multiset up to
+    60-bit collisions, which the oracle's md5 reproduces identically).
     """
-    sh = _doc_shingles(spark, sf_dir)
-    h = hash60(F.col("shingle"))
-    return sh.groupBy("doc_id").agg(
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("shingle"),
+    ).select("doc_id", hash60(F.col("shingle")).alias("h")).distinct()
+    h = F.col("h")
+    return hashed.groupBy("doc_id").agg(
         *[F.min(minhash_perm(h, i)).alias(f"h{i}") for i in range(N_PERMS)]
     )
 

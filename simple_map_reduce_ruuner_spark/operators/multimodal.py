@@ -157,9 +157,79 @@ def decode_media_stub(df: DataFrame, media_col: str = "payload") -> DataFrame:
     )
 
 
+N_FRAMES = 3
+FRAME_BYTES = 32
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: N evenly-spaced fixed-width byte windows
+    per payload ("frames"), digested per frame.
+
+    This is the video/audio frame-sampling shape — seek offsets computed
+    from media length, a decoder invoked per window — with the decoder
+    replaced by a digest (container has no codecs). The mapInPandas UDF
+    does real byte slicing Python-side; one output row per frame.
+    """
+    import hashlib
+
+    df = _with_payload(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, frame_idx, offsets, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                for i in range(N_FRAMES):
+                    # evenly spaced, clamped so the window stays in-bounds
+                    off = 0 if n <= FRAME_BYTES else (i * (n - FRAME_BYTES)) // (N_FRAMES - 1)
+                    frame = b[off : off + FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    frame_idx.append(i)
+                    offsets.append(off)
+                    digests.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(frame_idx, dtype="int64"),
+                    "offset": pd.Series(offsets, dtype="int64"),
+                    "frame_sha256": digests,
+                }
+            )
+
+    return df.mapInPandas(
+        sample, "doc_id long, frame_idx long, offset long, frame_sha256 string"
+    )
+
+
+# ASCII text ⇒ byte slicing == character slicing, so DuckDB can compute
+# the same frames with substr (1-based).
+FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+    SELECT doc_id, length(text)::BIGINT AS n, unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx
+    FROM documents
+),
+w AS (
+    SELECT doc_id, frame_idx,
+           CASE WHEN n <= {FRAME_BYTES} THEN 0
+                ELSE (frame_idx * (n - {FRAME_BYTES})) // {N_FRAMES - 1}
+           END AS "offset"
+    FROM f
+)
+SELECT w.doc_id, frame_idx, "offset",
+       sha256(substr(text, ("offset" + 1)::INTEGER, {FRAME_BYTES})) AS frame_sha256
+FROM w JOIN documents d ON w.doc_id = d.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "multimodal_meta": Query(
         multimodal_meta, MULTIMODAL_META_SQL, "binary column metadata projection"
+    ),
+    "frame_sample": Query(
+        frame_sample,
+        FRAME_SAMPLE_SQL,
+        "evenly-spaced frame sampling over binary payloads (mapInPandas)",
     ),
     "payload_byte_stats": Query(
         payload_byte_stats,

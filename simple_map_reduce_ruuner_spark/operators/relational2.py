@@ -224,7 +224,57 @@ FROM orders
 """
 
 
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF surface (``applyInPandas``): per customer, the
+    largest gap in days between consecutive orders.
+
+    The reference's reduce-side UDAF (B15) done idiomatically: Spark
+    groups and ships each customer's rows as one Arrow batch; arbitrary
+    Python computes the group aggregate. Day gaps are integers, so the
+    result is exact and oracle-checkable (lag + date_diff in SQL).
+    """
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = pdf["o_orderdate"].sort_values().dt.normalize()
+        diffs = days.diff().dt.days.dropna()
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "max_gap_days": [int(diffs.max()) if len(diffs) else 0],
+            }
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        gaps, "o_custkey long, n_orders long, max_gap_days long"
+    )
+
+
+ORDER_GAPS_SQL = """
+WITH d AS (
+    SELECT o_custkey,
+           date_diff('day',
+               lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+               o_orderdate::DATE) AS gap
+    FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       coalesce(max(gap), 0)::BIGINT AS max_gap_days
+FROM d
+GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "order_gaps": Query(
+        order_gaps,
+        ORDER_GAPS_SQL,
+        "applyInPandas grouped-map aggregate (max day-gap per customer)",
+    ),
     "window_showcase": Query(
         window_showcase,
         WINDOW_SHOWCASE_SQL,
