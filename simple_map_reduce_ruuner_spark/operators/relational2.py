@@ -225,14 +225,50 @@ FROM orders
 
 
 def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDAF surface (``applyInPandas``): per customer, the
-    largest gap in days between consecutive orders.
+    """Python UDAF surface, partition-grouped: per customer, the largest
+    gap in days between consecutive orders.
 
-    The reference's reduce-side UDAF (B15) done idiomatically: Spark
-    groups and ships each customer's rows as one Arrow batch; arbitrary
-    Python computes the group aggregate. Day gaps are integers, so the
-    result is exact and oracle-checkable (lag + date_diff in SQL).
+    Pattern: repartition by key so every group is complete within one
+    partition, then ONE vectorized pandas groupby per partition via
+    mapInPandas. The naive per-group ``applyInPandas``
+    (:func:`order_gaps_grouped`, kept for the API surface and tested
+    equal) dispatches Python once per customer — measured 24 s vs ~2 s
+    for this formulation at sf0.1, purely interpreter dispatch overhead
+    on 15k tiny groups. Same lesson at 100 TB: grouped Python must be
+    batched per partition, not per key.
     """
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def gaps_per_partition(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["o_custkey", "o_orderdate"])
+        days = pdf["o_orderdate"].dt.normalize()
+        by_key = pdf.groupby("o_custkey")
+        gap = days.groupby(pdf["o_custkey"]).diff().dt.days
+        out = pd.DataFrame(
+            {
+                "n_orders": by_key.size().astype("int64"),
+                "max_gap_days": gap.groupby(pdf["o_custkey"])
+                .max()
+                .fillna(0)
+                .astype("int64"),
+            }
+        ).reset_index()
+        yield out[["o_custkey", "n_orders", "max_gap_days"]]
+
+    return orders.repartition("o_custkey").mapInPandas(
+        gaps_per_partition, "o_custkey long, n_orders long, max_gap_days long"
+    )
+
+
+def order_gaps_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ``applyInPandas`` form of :func:`order_gaps` — the
+    grouped-map API surface (reference B15 idiomatically). Correct but
+    dispatch-bound on high-cardinality keys; see order_gaps docstring."""
     import pandas as pd
 
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
