@@ -305,7 +305,80 @@ GROUP BY o_custkey
 """
 
 
+PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status, one column per priority. Explicit
+    pivot values keep the plan single-pass (no distinct-values pre-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    # stable oracle-friendly column names
+    renames = {p: f"p{p[0]}" for p in PRIORITIES}
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"p{p[0]}"), F.lit(0)).cast("long").alias(f"p{p[0]}") for p in PRIORITIES],
+    )
+
+
+STATUS_PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    priority, and overall — but not the full cross product."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            as_money(dsum(F.col("o_totalprice"))).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total")
+    )
+
+
+GROUPING_SETS_STATS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       ROUND(CAST({dsum_sql('o_totalprice')} AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "status_priority_pivot": Query(
+        status_priority_pivot, STATUS_PRIORITY_PIVOT_SQL, "PIVOT with explicit values"
+    ),
+    "grouping_sets_stats": Query(
+        grouping_sets_stats, GROUPING_SETS_STATS_SQL, "explicit GROUPING SETS"
+    ),
     "order_gaps": Query(
         order_gaps,
         ORDER_GAPS_SQL,
