@@ -1,0 +1,105 @@
+"""Property-based differential tests (hypothesis).
+
+The fixed-fixture oracle checks prove parity on one dataset; these prove
+the algebraic claims on arbitrary inputs:
+
+1. sweep-line peak concurrency ≡ explode formulation on random interval
+   sets (the gap-merge + running-sum rewrite is the subtlest algorithm
+   in the repo — overlap dedup, adjacent-interval merging, tie handling).
+2. word_count ≡ pure-Python counting on random whitespace-y strings.
+
+Example counts are small: each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+interval = st.tuples(
+    st.sampled_from(["a", "b"]),          # op
+    st.integers(min_value=0, max_value=5),  # number (small pool → overlaps)
+    st.integers(min_value=0, max_value=50),  # start
+    st.integers(min_value=0, max_value=20),  # length
+)
+
+
+def _sweep(df):
+    """Mirror of peaks.peak_concurrency_sweep's core on an interval df."""
+    w_order = Window.partitionBy("op", "number").orderBy("start_sec", "end_sec")
+    prev_max_end = F.max("end_sec").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = df.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_sec") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_order))
+    merged = islands.groupBy("op", "number", "island").agg(
+        F.min("start_sec").alias("start_sec"), F.max("end_sec").alias("end_sec")
+    )
+    deltas = merged.select(
+        "op", F.col("start_sec").alias("sec"), F.lit(1).alias("delta")
+    ).unionAll(
+        merged.select("op", (F.col("end_sec") + 1).alias("sec"), F.lit(-1).alias("delta"))
+    )
+    per_sec = deltas.groupBy("op", "sec").agg(F.sum("delta").alias("delta"))
+    running = per_sec.withColumn(
+        "cnt", F.sum("delta").over(Window.partitionBy("op").orderBy("sec"))
+    )
+    return running.groupBy("op").agg(F.max("cnt").cast("long").alias("peak"))
+
+
+def _explode(df):
+    per_sec = (
+        df.select(
+            "op", "number", F.explode(F.sequence("start_sec", "end_sec")).alias("sec")
+        )
+        .groupBy("op", "sec")
+        .agg(F.countDistinct("number").alias("cnt"))
+    )
+    return per_sec.groupBy("op").agg(F.max("cnt").alias("peak"))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(interval, min_size=1, max_size=25))
+def test_sweep_equals_explode_on_random_intervals(spark, ivs):
+    rows = [(op, n, s, s + ln) for op, n, s, ln in ivs]
+    df = spark.createDataFrame(
+        rows, "op string, number int, start_sec int, end_sec int"
+    )
+    sweep = {(r.op, r.peak) for r in _sweep(df).collect()}
+    explode = {(r.op, r.peak) for r in _explode(df).collect()}
+    assert sweep == explode
+
+
+text_line = st.text(
+    alphabet=st.sampled_from("ab \t"), min_size=0, max_size=30
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(text_line, min_size=1, max_size=20))
+def test_word_count_matches_python(spark, lines):
+    from simple_map_reduce_ruuner_spark.operators.wordcount import word_count_df
+
+    df = spark.createDataFrame([(l,) for l in lines], "text string")
+    got = {(r.word, r.cnt) for r in word_count_df(df).collect()}
+    expected = Counter(
+        tok for l in lines for tok in l.lower().split() if tok
+    )
+    assert got == set(expected.items())
