@@ -96,7 +96,14 @@ _SW_LIST_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict 'en' when the English stopword ratio clears a threshold.
-    Emits the true lang column too, so accuracy is directly queryable."""
+    Emits the true lang column too, so accuracy is directly queryable.
+
+    Data note: the driver's synthetic documents use one English-ish
+    vocabulary for every `lang` label, so no content-based classifier can
+    discriminate on these fixtures — the oracle checks the *operator*
+    (ratio computation + thresholding), not model accuracy. On real data
+    the stopword table extends per language (or a model UDF slots into
+    the same shape)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", _tok_col())
     ratio = _stopword_ratio()
