@@ -62,16 +62,47 @@ FROM events GROUP BY event_type
 """
 
 
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch percentiles — the 100 TB path.
+
+    ``value_percentiles`` (exact ``F.percentile``) buffers every value per
+    group in executor memory; this twin shuffles bounded GK sketches
+    instead (state is O(1/accuracy), not O(rows)). No cross-engine oracle:
+    DuckDB's approx_quantile is a t-digest with different error behavior,
+    so tests assert relative error vs the exact anchor (<1% at
+    accuracy=10000) and the driver records a rows-only check — same
+    anchor+sketch pattern as exact/approx_distinct_users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(pct.getItem(0), 6).alias("p50"),
+        F.round(pct.getItem(1), 6).alias("p90"),
+        F.round(pct.getItem(2), 6).alias("p99"),
+    )
+
+
+# Rows-only sketch queries are registered with oracle=None; the registry
+# orders those last so a driver-side query cap trims the weakest checks
+# first (r1 evidence: the driver recorded exactly the first 50 dict
+# entries, dropping value_percentiles which then sat in slot 51).
 QUERIES: dict[str, Query] = {
     "exact_distinct_users": Query(
         exact_distinct_users, EXACT_DISTINCT_USERS_SQL, "exact distinct counts"
+    ),
+    "value_percentiles": Query(
+        value_percentiles, VALUE_PERCENTILES_SQL, "exact interpolated percentiles"
     ),
     "approx_distinct_users": Query(
         approx_distinct_users,
         None,  # sketch internals are engine-specific; rows-only check
         "HyperLogLog distinct counts (scale path)",
     ),
-    "value_percentiles": Query(
-        value_percentiles, VALUE_PERCENTILES_SQL, "exact interpolated percentiles"
+    "approx_percentiles": Query(
+        approx_percentiles,
+        None,  # GK sketch vs t-digest: engine-specific; rows-only check
+        "Greenwald-Khanna percentile sketch (scale path)",
     ),
 }

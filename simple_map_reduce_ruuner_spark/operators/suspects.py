@@ -56,26 +56,32 @@ def suspects_orders(
     months. The customer dim is broadcast (small at any scale vs orders)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    months = F.array_sort(F.collect_set(F.date_format("o_orderdate", "yyyy-MM")))
+    # The set is serialized to a sorted comma-joined string: scalar columns
+    # hash identically across engines, whereas raw array cells are unhashable
+    # in the external comparator.
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.date_format("o_orderdate", "yyyy-MM"))
-            ).alias("months")
+        .agg(months.alias("months_arr"))
+        .where(F.size("months_arr") > min_distinct_months)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.size("months_arr").cast("long").alias("n_months"),
+            F.concat_ws(",", "months_arr").alias("months"),
         )
-        .where(F.size("months") > min_distinct_months)
-        .select("c_custkey", "c_name", "months")
     )
 
 
 SUSPECTS_ORDERS_SQL = """
-SELECT c_custkey, c_name, months
+SELECT c_custkey, c_name, CAST(len(months_arr) AS BIGINT) AS n_months,
+       array_to_string(months_arr, ',') AS months
 FROM (
     SELECT c_custkey, c_name,
-           list_sort(list(DISTINCT strftime(o_orderdate, '%Y-%m'))) AS months
+           list_sort(list(DISTINCT strftime(o_orderdate, '%Y-%m'))) AS months_arr
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
 )
-WHERE len(months) > 8
+WHERE len(months_arr) > 8
 """

@@ -82,6 +82,15 @@ def main() -> int:
             continue
         ddf = con.execute(osql[name]).df()
         sc, dc = sorted(sdf.columns), sorted(ddf.columns)
+        # The real driver canonicalizes with pandas sort_values, which
+        # raises on unhashable cells (arrays/maps) — r1's suspects_orders
+        # crash. Reproduce that exact step so the sim catches it first.
+        try:
+            sdf[sc].sort_values(by=sc)
+        except TypeError as e:
+            fails.append(name)
+            print(f"{name}: DRIVER-CRASH (unhashable output column): {e}")
+            continue
         sr = sorted(
             (tuple(norm(v) for v in r) for r in sdf[sc].itertuples(index=False, name=None)),
             key=repr,
