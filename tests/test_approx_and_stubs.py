@@ -7,8 +7,34 @@ import pytest
 
 from simple_map_reduce_ruuner_spark.operators.approx import (
     approx_distinct_users,
+    approx_percentiles,
     exact_distinct_users,
+    value_percentiles,
 )
+
+
+def test_approx_percentiles_rank_error_bound(spark, sf_dir):
+    """GK sketch guarantee is in RANK space, not value space: the returned
+    value's empirical rank is within n/accuracy of the target rank (the
+    sketch returns a real element, the exact anchor interpolates — their
+    values can differ by a full inter-element gap even when the sketch is
+    perfect). Assert |empirical_cdf(answer) - q| ≤ 1/accuracy + 2/n."""
+    import numpy as np
+
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    vals = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    approx = {r.event_type: r for r in approx_percentiles(spark, sf_dir).collect()}
+    exact = {r.event_type: r for r in value_percentiles(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k, a in approx.items():
+        group = np.sort(vals.loc[vals.event_type == k, "value"].to_numpy())
+        n = len(group)
+        tol = 1.0 / 10000 + 2.0 / n
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            av = getattr(a, col)
+            cdf = np.searchsorted(group, av, side="right") / n
+            assert abs(cdf - q) <= tol, (k, col, q, cdf, av)
 
 
 def test_approx_distinct_within_5pct(spark, sf_dir):
