@@ -292,6 +292,61 @@ JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
 NEARDUP_MINHASH_LSH_SQL = _lsh_sql()
 
 
+def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with EXACT Jaccard — the production
+    near-dedup pipeline: sub-quadratic candidate generation (banded
+    MinHash-LSH), then exact shingle-set scoring of candidates only.
+
+    The verify join is keyed (doc, shingle) against the candidate list,
+    so scoring cost is O(candidate pairs × shingles/doc), never the
+    inverted-index worst case of the ``neardup_jaccard`` anchor. Output
+    shape matches the anchor; at 100 TB only this path runs.
+    """
+    cand = neardup_minhash_lsh(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    raw_jaccard = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(raw_jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(raw_jaccard, 6).alias("jaccard"))
+    )
+
+
+NEARDUP_LSH_VERIFIED_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cand AS ({NEARDUP_MINHASH_LSH_SQL.strip()}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # SimHash (Charikar 2002): 64-bit fingerprint; near-dups differ in few bits
 # --------------------------------------------------------------------------
@@ -376,11 +431,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Da
     lineage each round so plans don't grow unboundedly — the standard
     guard for iterative DataFrame algorithms at scale.
 
+    Edges come from the PRODUCTION pipeline (``neardup_lsh_verified``:
+    banded LSH candidates, exact-Jaccard-verified within buckets), not
+    from the quadratic ``neardup_jaccard`` anchor — the whole clustering
+    path is sub-quadratic and survives 100 TB.
+
     The DuckDB oracle computes the same fixpoint with a recursive CTE
-    (transitive closure + min), feasible because the pair graph is small
-    at oracle scale.
+    (transitive closure + min) over the same verified-LSH edge set,
+    feasible because the pair graph is small at oracle scale.
     """
-    pairs = neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = neardup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -414,7 +474,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Da
 
 
 def _clusters_sql() -> str:
-    pairs_sql = NEARDUP_JACCARD_SQL.strip()
+    pairs_sql = NEARDUP_LSH_VERIFIED_SQL.strip()
     return f"""
 WITH RECURSIVE
 pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
@@ -444,6 +504,11 @@ NEARDUP_CLUSTERS_SQL = _clusters_sql()
 
 COSINE_DUP_THRESHOLD = 0.45
 
+# Hard ceiling for the anchor's broadcast build side: ~1 GiB of float64 at
+# 64 dims. Above this the anchor refuses and points at the LSH path — the
+# broadcast contract is enforced, not aspirational.
+MAX_BROADCAST_VECTORS = 2_000_000
+
 
 def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of vectors with cosine ≥ threshold — semantic near-dedup.
@@ -459,14 +524,24 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one side streams through mapInPandas partition-by-
     partition; the other side is a broadcast matrix — the vector analog
-    of a broadcast hash join. Beyond broadcastable size, prefilter with
-    rh_lsh_buckets (similarity.py) and run this kernel per bucket.
+    of a broadcast hash join, valid ONLY while the build side fits in
+    memory. That contract is enforced: > MAX_BROADCAST_VECTORS raises and
+    directs callers to ``neardup_embedding_lsh`` (bucketed, no broadcast
+    of the full table).
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    side = emb.toPandas()  # broadcast build side (small by contract)
+    n_vecs = emb.count()
+    if n_vecs > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"neardup_embedding is the broadcast all-pairs ANCHOR and its "
+            f"build side has {n_vecs} vectors (> {MAX_BROADCAST_VECTORS}). "
+            f"Use neardup_embedding_lsh, which prefilters candidate pairs "
+            f"by shared hyperplane-LSH band and never collects the table."
+        )
+    side = emb.toPandas()  # broadcast build side (size-checked above)
     ids_b = side["vec_id"].to_numpy(dtype=np.int64)
     M_b = np.stack([np.asarray(e, dtype=np.float64) for e in side["embedding"]])
     n_b = np.sqrt((M_b * M_b).sum(axis=1))
@@ -507,6 +582,100 @@ WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
 """
 
 
+def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane-LSH prefilter —
+    the 100 TB path for semantic dedup.
+
+    The 8-bit rh_lsh bucket (similarity.py) is split into two 4-bit
+    bands; a pair is a candidate iff it agrees on at least one band
+    (OR-construction, same banding idea as MinHash-LSH). Candidate
+    generation is a self-join keyed by (band, sub-bucket): each vector
+    shuffles twice by a tiny key, scoring touches only band-mates —
+    never all pairs, and nothing is collected to the driver. Scoring is
+    the JVM-side zip_with/aggregate cosine; at ~N²/16 expected
+    candidates per band this stays inside codegen.
+
+    Deterministic end-to-end (md5-derived hyperplanes), so the
+    *approximate* operator still has an exact DuckDB oracle — the
+    approximation lives in recall vs the ``neardup_embedding`` anchor,
+    which pytest bounds (planted duplicate pairs agree on a band with
+    high probability at cosine ≥ ~0.9).
+    """
+    from simple_map_reduce_ruuner_spark.functions.vectors import cosine
+    from simple_map_reduce_ruuner_spark.operators.similarity import rh_lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = rh_lsh_buckets(spark, sf_dir)
+    banded = buckets.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("bucket").bitwiseAND(F.lit(15)).alias("sub"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("bucket"), 4).alias("sub"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.sub").alias("sub"))
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "sub")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "sub")
+    cand = (
+        a.join(b, ["band", "sub"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    raw = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(raw >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(raw, 6).alias("cos_sim"))
+    )
+
+
+def _neardup_embedding_lsh_sql() -> str:
+    from simple_map_reduce_ruuner_spark.operators.similarity import RH_LSH_BUCKETS_SQL
+
+    return f"""
+WITH buckets AS ({RH_LSH_BUCKETS_SQL}),
+banded AS (
+    SELECT vec_id, 0 AS band, bucket & 15 AS sub FROM buckets
+    UNION ALL
+    SELECT vec_id, 1 AS band, bucket >> 4 AS sub FROM buckets
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.sub = b.sub AND a.vec_id < b.vec_id
+),
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT vec_a, vec_b,
+       ROUND(CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
+                  ELSE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+             END, 6) AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
+           ELSE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+      END >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+NEARDUP_EMBEDDING_LSH_SQL = _neardup_embedding_lsh_sql()
+
+
 QUERIES: dict[str, Query] = {
     "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, "hash-groupBy exact dedup"),
     "neardup_embedding": Query(
@@ -535,4 +704,14 @@ QUERIES: dict[str, Query] = {
         "banded MinHash-LSH candidate pairs (sub-quadratic near-dedup)",
     ),
     "simhash": Query(simhash, SIMHASH_SQL, "60-bit SimHash fingerprints"),
+    "neardup_lsh_verified": Query(
+        neardup_lsh_verified,
+        NEARDUP_LSH_VERIFIED_SQL,
+        "LSH candidates + exact Jaccard verify (production near-dedup)",
+    ),
+    "neardup_embedding_lsh": Query(
+        neardup_embedding_lsh,
+        NEARDUP_EMBEDDING_LSH_SQL,
+        "banded hyperplane-LSH embedding near-dup (scale path)",
+    ),
 }
