@@ -29,6 +29,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_map_reduce_ruuner_spark.mapreduce import (
+    argv_file_command,
     compile_cpp_program,
     pipe_map_reduce,
 )
@@ -47,6 +48,39 @@ def _as_command(src_path: str, lang: str) -> str:
     raise ValueError(f"unsupported lang {lang!r}: expected 'py' or 'cpp'")
 
 
+# Last run_job outcome, phase strings verbatim from the reference master
+# (Master.java:186,188 — "something wrong!" / "All done!"). Only jobs that
+# actually executed (out_path given, or the caller collected the returned
+# DataFrame) flip this; Spark is lazy where the reference is eager.
+_IDLE = "idle — no job run yet"
+_last_outcome = _IDLE
+
+
+def job_status(spark: SparkSession) -> dict:
+    """A10: the reference's ``/progress`` page (Master.java:71-73) as an
+    accessor — current phase plus live per-stage task progress from
+    ``statusTracker`` (the reference polls workers' currentPhase,
+    Worker.java:57-59; Spark's status tracker is that poll, built in).
+    """
+    st = spark.sparkContext.statusTracker()
+    active_jobs = list(st.getActiveJobsIds())
+    stages = []
+    for sid in st.getActiveStageIds():
+        si = st.getStageInfo(sid)
+        if si is not None:
+            stages.append(
+                {
+                    "stage_id": sid,
+                    "num_tasks": si.numTasks,
+                    "active_tasks": si.numActiveTasks,
+                    "completed_tasks": si.numCompletedTasks,
+                    "failed_tasks": si.numFailedTasks,
+                }
+            )
+    phase = "running mapper/reducer phase..." if active_jobs else _last_outcome
+    return {"phase": phase, "active_jobs": active_jobs, "active_stages": stages}
+
+
 def run_job(
     spark: SparkSession,
     data_path: str,
@@ -57,16 +91,34 @@ def run_job(
     out_path: str | None = None,
     mapper_lang: str | None = None,
     reducer_lang: str | None = None,
+    argv_files: bool = False,
 ) -> DataFrame | str:
     """Run a full reference-style job. Returns the result DataFrame, or
     writes ``out_path`` (the reference's final_result.out) and returns
     its path. ``mapper_lang``/``reducer_lang`` override ``lang`` per
     program (the reference fixes one language per job; we allow mixing).
+
+    ``argv_files=True`` runs programs with the reference's literal
+    ``<prog> <in_file> <out_file>`` exec contract (Worker.java:134-160)
+    instead of stdin/stdout — the reference's own example sources run
+    unmodified.
     """
+    global _last_outcome
     mapper_cmd = _as_command(mapper_src, mapper_lang or lang)
     reducer_cmd = _as_command(reducer_src, reducer_lang or lang)
+    if argv_files:
+        mapper_cmd = argv_file_command(mapper_cmd)
+        reducer_cmd = argv_file_command(reducer_cmd)
     lines = read_text_chunked(spark, data_path, chunk_mb=chunk_mb)
     result = pipe_map_reduce(lines, mapper_cmd, reducer_cmd)
     if out_path is None:
         return result
-    return write_text_single(result, out_path)
+    try:
+        out = write_text_single(result, out_path)
+    except Exception:
+        # reference master surfaces any worker/reducer failure as the
+        # "something wrong!" phase (Master.java:186,203; Worker.java:154-158)
+        _last_outcome = "something wrong!"
+        raise
+    _last_outcome = "All done!"
+    return out

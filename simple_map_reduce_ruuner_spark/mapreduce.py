@@ -62,12 +62,51 @@ def pipe_map_reduce(
     lines = df.select(col).rdd.map(lambda r: r[0])
     if num_chunks is not None:
         lines = lines.repartition(num_chunks)
-    mapped = lines.pipe(mapper_cmd)
+    # checkCode=True: a nonzero mapper/reducer exit fails the task — the
+    # job-status twin of the reference's "something wrong!" report
+    # (Worker.java:154-158); without it pipe swallows failures as empty
+    # output.
+    mapped = lines.pipe(mapper_cmd, checkCode=True)
     # Global single reduce (reference Master.java:182-208): all mapped
     # partials to one partition, one reducer process.
-    reduced = mapped.coalesce(1).pipe(reducer_cmd)
+    reduced = mapped.coalesce(1).pipe(reducer_cmd, checkCode=True)
     spark = df.sparkSession
     return spark.createDataFrame(reduced.map(lambda l: (l,)), "line: string")
+
+
+def argv_file_command(program_cmd: str, out_dir: str | None = None) -> str:
+    """Bridge a ``<prog> <in_file> <out_file>`` program (the reference's
+    exec contract, Worker.java:134-160) onto the stdin/stdout pipe surface
+    — so the reference's OWN example programs run unmodified.
+
+    Generates a tiny shell shim that spools the partition's stdin to a
+    temp file, execs the program with (in, out) argv paths, and emits the
+    output file to stdout. The program's own stdout is diverted to stderr
+    (reference programs write results only to the out file). Nonzero exit
+    propagates so ``pipe(checkCode=True)`` surfaces failures the way the
+    reference master reports "something wrong!" (Worker.java:154-158).
+
+    A generated script file (not an inline ``sh -c`` string) because
+    ``RDD.pipe`` tokenizes its command on whitespace. On a real cluster
+    ship it with ``SparkContext.addFile`` like any user binary.
+    """
+    import tempfile
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="smrr_argv_")
+    script = os.path.join(out_dir, "argv_shim.sh")
+    with open(script, "w") as fh:
+        fh.write(
+            "#!/bin/sh\n"
+            'i=$(mktemp) || exit 1\no=$(mktemp) || exit 1\n'
+            'cat > "$i"\n'
+            f'{program_cmd} "$i" "$o" 1>&2\n'
+            "rc=$?\n"
+            '[ "$rc" -eq 0 ] && cat "$o"\n'
+            'rm -f "$i" "$o"\n'
+            'exit "$rc"\n'
+        )
+    os.chmod(script, 0o755)
+    return f"/bin/sh {script}"
 
 
 def compile_cpp_program(source_path: str, out_dir: str | None = None) -> str:

@@ -72,3 +72,56 @@ def test_run_job_mixed_languages(spark, sf_dir, tmp_path):
 def test_run_job_rejects_unknown_lang(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported lang"):
         run_job(spark, "x", "m", "r", lang="java")
+
+
+def test_mapper_failure_surfaces_and_sets_phase(spark, tmp_path):
+    """A5 failure semantics: a nonzero-exit mapper fails the job (the
+    pipe's checkCode twin of Worker.java:154-158) and job_status reports
+    the reference's "something wrong!" phase (Master.java:186)."""
+    from simple_map_reduce_ruuner_spark.engine import job_status
+
+    data = str(tmp_path / "in.txt")
+    with open(data, "w") as fh:
+        fh.write("a b c\n" * 100)
+    bad_mapper = str(tmp_path / "bad_mapper.py")
+    with open(bad_mapper, "w") as fh:
+        fh.write("import sys\nsys.exit(3)\n")
+    identity = str(tmp_path / "identity_reducer.py")
+    with open(identity, "w") as fh:
+        fh.write("import sys\nsys.stdout.write(sys.stdin.read())\n")
+
+    with pytest.raises(Exception, match="exited with|Pipe function"):
+        run_job(
+            spark,
+            data_path=data,
+            mapper_src=bad_mapper,
+            reducer_src=identity,
+            lang="py",
+            out_path=str(tmp_path / "out.txt"),
+        )
+    assert job_status(spark)["phase"] == "something wrong!"
+
+
+def test_job_status_after_success(spark, tmp_path):
+    """A10: job_status mirrors the reference /progress page — "All done!"
+    after a completed job, no active jobs/stages when idle."""
+    from simple_map_reduce_ruuner_spark.engine import job_status
+
+    data = str(tmp_path / "in.txt")
+    with open(data, "w") as fh:
+        fh.write("x y\n" * 50)
+    identity = str(tmp_path / "identity.py")
+    with open(identity, "w") as fh:
+        fh.write("import sys\nsys.stdout.write(sys.stdin.read())\n")
+    run_job(
+        spark,
+        data_path=data,
+        mapper_src=identity,
+        reducer_src=identity,
+        lang="py",
+        out_path=str(tmp_path / "out.txt"),
+    )
+    status = job_status(spark)
+    assert status["phase"] == "All done!"
+    assert status["active_jobs"] == []
+    assert status["active_stages"] == []
