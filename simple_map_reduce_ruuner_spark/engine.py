@@ -34,6 +34,7 @@ from simple_map_reduce_ruuner_spark.mapreduce import (
     pipe_map_reduce,
 )
 from simple_map_reduce_ruuner_spark.sources.text import (
+    _MAX_PARTITION_BYTES,
     DEFAULT_CHUNK_MB,
     read_text_chunked,
     write_text_single,
@@ -109,6 +110,14 @@ def run_job(
     if argv_files:
         mapper_cmd = argv_file_command(mapper_cmd)
         reducer_cmd = argv_file_command(reducer_cmd)
+    # chunk_mb is applied via spark.sql.files.maxPartitionBytes, which the
+    # scan reads at EXECUTION time — so it must stay set while the job
+    # runs. Capture the prior value and restore it once the job completes
+    # (eager out_path branch), so a small chunk_mb doesn't silently shrink
+    # every later scan in the session. The lazy branch (returning an
+    # unexecuted DataFrame) necessarily leaves it set until the caller
+    # executes — session-level knob, documented in read_text_chunked.
+    prev_split = spark.conf.get(_MAX_PARTITION_BYTES, None)
     lines = read_text_chunked(spark, data_path, chunk_mb=chunk_mb)
     result = pipe_map_reduce(lines, mapper_cmd, reducer_cmd)
     if out_path is None:
@@ -120,5 +129,10 @@ def run_job(
         # "something wrong!" phase (Master.java:186,203; Worker.java:154-158)
         _last_outcome = "something wrong!"
         raise
+    finally:
+        if prev_split is None:
+            spark.conf.unset(_MAX_PARTITION_BYTES)
+        else:
+            spark.conf.set(_MAX_PARTITION_BYTES, prev_split)
     _last_outcome = "All done!"
     return out

@@ -85,17 +85,32 @@ def payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _with_payload(spark, sf_dir)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
-            n = payloads.map(len)
-            tot = payloads.map(lambda b: sum(b))
-            mx = payloads.map(lambda b: max(b) if len(b) else 0)
+            # One np.frombuffer view per payload (zero-copy) and a single
+            # concatenated reduction — vectorized, no per-byte Python.
+            views = [np.frombuffer(b, dtype=np.uint8) for b in payloads]
+            lens = np.fromiter((v.size for v in views), dtype=np.int64, count=len(views))
+            if views:
+                flat = np.concatenate(views) if lens.sum() else np.empty(0, np.uint8)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+                tot = csum[ends] - csum[starts]
+                mx = np.array(
+                    [int(views[i].max()) if lens[i] else 0 for i in range(len(views))],
+                    dtype=np.int64,
+                )
+            else:
+                tot = mx = np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "sum_bytes": tot.astype("int64"),
-                    "max_byte": mx.astype("int64"),
+                    "n_bytes": lens,
+                    "sum_bytes": tot,
+                    "max_byte": mx,
                 }
             )
 

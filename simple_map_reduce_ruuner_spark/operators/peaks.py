@@ -48,12 +48,19 @@ def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         start,
         F.col("value"),
     )
+    # greatest(..., start_sec): a negative value would otherwise invert the
+    # interval, where Spark's sequence() generates a DESCENDING range while
+    # DuckDB's generate_series returns empty and the sweep emits inverted
+    # deltas — clamp so every formulation agrees on a 1-second interval.
     return df.select(
         "op",
         "number",
         "start_sec",
         F.least(
-            F.col("start_sec") + F.floor("value").cast("int"),
+            F.greatest(
+                F.col("start_sec") + F.floor("value").cast("int"),
+                F.col("start_sec"),
+            ),
             F.lit(DAY_SECONDS - 1),
         ).alias("end_sec"),
     )
@@ -126,7 +133,8 @@ FROM (
                user_id AS number,
                unnest(generate_series(
                    start_sec,
-                   least(start_sec + CAST(floor(value) AS INTEGER), 86399)
+                   least(greatest(start_sec + CAST(floor(value) AS INTEGER),
+                                  start_sec), 86399)
                )) AS sec
         FROM (
             SELECT event_type, user_id, value,

@@ -100,6 +100,10 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_WINDOWS_SQL = f"""
 WITH ordered AS (
     SELECT user_id, ts, event_id,
+           -- strict >: Spark MERGES an event arriving exactly gap after its
+           -- predecessor (touching windows coalesce; pinned by
+           -- test_session_window_exact_gap_merges), so only a strictly
+           -- larger gap starts a new session
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL {SESSION_GAP_SECONDS} seconds
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -152,6 +156,48 @@ def stream_tumbling_counts(
             "event_type",
             "n",
             "sum_value",
+        )
+    )
+
+
+def stream_sliding_counts(
+    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of :func:`sliding_counts` — overlapping windows via
+    the same ``F.window(duration, step)``; each event updates 2 windows'
+    state, watermark bounds how long a window stays open."""
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    return (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", SLIDE_DURATION, SLIDE_STEP).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stream_session_windows(
+    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of :func:`session_windows` — ``F.session_window``
+    merges overlapping per-key windows in the state store; the watermark
+    finalizes a session once no event can extend it (gap + watermark past
+    its end), which is what bounds state at 100 TB."""
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    return (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
         )
     )
 

@@ -102,6 +102,29 @@ def test_mapper_failure_surfaces_and_sets_phase(spark, tmp_path):
     assert job_status(spark)["phase"] == "something wrong!"
 
 
+def test_run_job_restores_max_partition_bytes(spark, tmp_path):
+    """An executed job must not leak its chunk_mb into the session: later
+    parquet scans would silently inherit the tiny split size."""
+    key = "spark.sql.files.maxPartitionBytes"
+    spark.conf.set(key, "134217728")
+    data = str(tmp_path / "in.txt")
+    with open(data, "w") as fh:
+        fh.write("x\n" * 10)
+    identity = str(tmp_path / "identity.py")
+    with open(identity, "w") as fh:
+        fh.write("import sys\nsys.stdout.write(sys.stdin.read())\n")
+    run_job(
+        spark,
+        data_path=data,
+        mapper_src=identity,
+        reducer_src=identity,
+        lang="py",
+        chunk_mb=1,
+        out_path=str(tmp_path / "out.txt"),
+    )
+    assert spark.conf.get(key) == "134217728"
+
+
 def test_job_status_after_success(spark, tmp_path):
     """A10: job_status mirrors the reference /progress page — "All done!"
     after a completed job, no active jobs/stages when idle."""

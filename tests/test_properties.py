@@ -103,3 +103,50 @@ def test_word_count_matches_python(spark, lines):
         tok for l in lines for tok in l.lower().split() if tok
     )
     assert got == set(expected.items())
+
+
+def test_peaks_negative_duration_clamps_to_point_interval(spark, tmp_path):
+    """A negative events.value must clamp to a 1-second interval in EVERY
+    formulation (Spark explode, Spark sweep, DuckDB oracle) — without the
+    greatest() clamp, Spark's sequence() emits a descending range while
+    generate_series returns empty: silent three-way divergence."""
+    import duckdb
+
+    from simple_map_reduce_ruuner_spark.operators.peaks import (
+        PEAK_CONCURRENCY_SQL,
+        peak_concurrency_explode,
+        peak_concurrency_sweep,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:10", 101, "a", -50.0, "{}"),
+        (2, "2024-01-01 00:00:10", 102, "a", 5.0, "{}"),
+        (3, "2024-01-01 00:00:20", 103, "b", -1.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    expected = {("a", 2), ("b", 1)}  # both "a" intervals cover sec 10
+    got_explode = {
+        (r.op, r.peak) for r in peak_concurrency_explode(spark, sf_dir).collect()
+    }
+    got_sweep = {
+        (r.op, r.peak) for r in peak_concurrency_sweep(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    got_oracle = {(op, peak) for op, peak in con.execute(PEAK_CONCURRENCY_SQL).fetchall()}
+    assert got_explode == expected
+    assert got_sweep == expected
+    assert got_oracle == expected

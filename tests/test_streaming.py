@@ -10,9 +10,92 @@ import shutil
 
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 from simple_map_reduce_ruuner_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    stream_session_windows,
+    stream_sliding_counts,
     stream_tumbling_counts,
     tumbling_counts,
 )
+
+
+def _run_stream(spark, stream_df, name, ckpt, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def _stage_events(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").coalesce(2).write.parquet(src_dir)
+    return src_dir
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
+    src_dir = _stage_events(spark, sf_dir, tmp_path)
+    got = {
+        (r.wstart, r.event_type, r.n)
+        for r in _run_stream(
+            spark,
+            stream_sliding_counts(spark, src_dir),
+            "sliding_test",
+            str(tmp_path / "ckpt_slide"),
+        ).collect()
+    }
+    expected = {
+        (r.wstart, r.event_type, r.n)
+        for r in sliding_counts(spark, sf_dir).collect()
+    }
+    assert got == expected
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
+    src_dir = _stage_events(spark, sf_dir, tmp_path)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in _run_stream(
+            spark,
+            stream_session_windows(spark, src_dir),
+            "session_test",
+            str(tmp_path / "ckpt_sess"),
+        ).collect()
+    }
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_windows(spark, sf_dir).collect()
+    }
+    assert got == expected
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary semantics the oracle must mirror: an event arriving
+    EXACTLY gap seconds after its predecessor merges into the same Spark
+    session (touching windows coalesce → one session [t, t+2*gap)), so
+    the oracle's new-session predicate must be strictly >, not >=.
+    (Round-2 advisory claimed the opposite; this pins the measured
+    behavior.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 04:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    sessions = (
+        df.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(sessions) == 1
+    assert sessions[0].w.end.hour == 8  # max(ts) + gap
 
 
 def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
