@@ -150,3 +150,55 @@ def test_peaks_negative_duration_clamps_to_point_interval(spark, tmp_path):
     assert got_explode == expected
     assert got_sweep == expected
     assert got_oracle == expected
+
+
+def test_minhash_lsh_recall_meets_band_curve(spark, tmp_path):
+    """The banded-LSH recall claim, tested statistically: for a pair with
+    true shingle Jaccard j, P(LSH candidate) = 1-(1-j^4)^4 at 16 perms /
+    4 bands of 4 rows (dedup.py band parameters). Plant near-dup pairs
+    across the j spectrum, measure which the LSH catches, and assert the
+    caught count is within 3 sigma of the theoretical expectation (lower
+    bound — the claim under test is recall, not precision)."""
+    import math
+    import random as rnd
+
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        neardup_jaccard,
+        neardup_minhash_lsh,
+    )
+
+    rng = rnd.Random(29)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    doc_id = 0
+    for base in range(30):
+        words = [rng.choice(vocab) for _ in range(60)]
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        # dup with a replacement fraction sweeping the jaccard spectrum
+        frac = 0.02 + 0.7 * (base / 29)
+        dup = [w if rng.random() > frac else rng.choice(vocab) for w in words]
+        rows.append((doc_id, " ".join(dup)))
+        doc_id += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup_jaccard(spark, sf_dir).collect()
+    }
+    assert len(exact) >= 10  # planting must produce a real sample
+    cand = {
+        (r.doc_a, r.doc_b) for r in neardup_minhash_lsh(spark, sf_dir).collect()
+    }
+
+    def p_candidate(j: float) -> float:
+        return 1.0 - (1.0 - j**4) ** 4
+
+    caught = sum(1 for pair in exact if pair in cand)
+    expect = sum(p_candidate(j) for j in exact.values())
+    var = sum(p_candidate(j) * (1 - p_candidate(j)) for j in exact.values())
+    assert caught >= expect - 3 * math.sqrt(var) - 1, (caught, expect, var)
