@@ -84,6 +84,44 @@ def test_no_accidental_cartesian(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_lsh_verified_scores_candidates_with_partial_aggs(spark, sf_dir):
+    """The production near-dedup plan: shingle intersection counts run
+    partial→final (map-side combine before every exchange), and no
+    cartesian product sneaks into candidate generation or verify."""
+    from simple_map_reduce_ruuner_spark.operators import dedup
+
+    plan = plan_of(dedup.neardup_lsh_verified(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # band-bucket + intersection counts
+
+
+def test_embedding_lsh_broadcasts_planes_only(spark, sf_dir):
+    """rh_lsh bucketing must broadcast the tiny hyperplane matrix (512
+    rows), never the embeddings table, and pair scoring must be a real
+    join on (band, sub) keys — not a nested loop."""
+    from simple_map_reduce_ruuner_spark.operators import dedup
+
+    plan = plan_of(dedup.neardup_embedding_lsh(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # planes join against components
+    assert "CartesianProduct" not in plan
+    # candidate generation must shuffle on the tiny (band, sub) key — a
+    # real hash join between band-mates, never an all-pairs loop. (The
+    # one BroadcastNestedLoopJoin in this plan is the intentional 8x64
+    # planes-constant cross join, 512 broadcast rows.)
+    assert "hashpartitioning(band" in plan
+
+
+def test_approx_sketch_aggs_run_partial_final(spark, sf_dir):
+    """Sketch twins must combine map-side: HLL and GK state merges at
+    the exchange, shuffling sketches instead of raw values."""
+    from simple_map_reduce_ruuner_spark.operators import approx
+
+    hll = plan_of(approx.approx_distinct_users(spark, sf_dir))
+    assert "partial_approx_count_distinct" in hll
+    gk = plan_of(approx.approx_percentiles(spark, sf_dir))
+    assert "partial_percentile_approx" in gk
+
+
 def test_whole_stage_codegen_present(spark, sf_dir):
     q = relational.pricing_summary(spark, sf_dir)
     q.collect()  # AQE finalizes the physical plan only on execution
