@@ -533,17 +533,18 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # limit-probe, not count(): reads at most MAX+1 rows at any scale
-    # (LocalLimit short-circuits the scan), where a count() would scan
-    # the full 100 TB table just to refuse it.
-    if emb.limit(MAX_BROADCAST_VECTORS + 1).count() > MAX_BROADCAST_VECTORS:
+    # Collect AT MOST MAX+1 rows (LocalLimit short-circuits the scan, so
+    # a 100 TB table is never pulled to the driver just to be refused) and
+    # enforce the broadcast contract on the collected size — one job, no
+    # separate count probe.
+    side = emb.limit(MAX_BROADCAST_VECTORS + 1).toPandas()
+    if len(side) > MAX_BROADCAST_VECTORS:
         raise ValueError(
             f"neardup_embedding is the broadcast all-pairs ANCHOR and its "
             f"build side exceeds {MAX_BROADCAST_VECTORS} vectors. "
             f"Use neardup_embedding_lsh, which prefilters candidate pairs "
             f"by shared hyperplane-LSH band and never collects the table."
         )
-    side = emb.toPandas()  # broadcast build side (size-checked above)
     ids_b = side["vec_id"].to_numpy(dtype=np.int64)
     M_b = np.stack([np.asarray(e, dtype=np.float64) for e in side["embedding"]])
     n_b = np.sqrt((M_b * M_b).sum(axis=1))
@@ -735,10 +736,12 @@ QUERIES: dict[str, Query] = {
         neardup_lsh_verified,
         NEARDUP_LSH_VERIFIED_SQL,
         "LSH candidates + exact Jaccard verify (production near-dedup)",
+        new_in_round=1,
     ),
     "neardup_embedding_lsh": Query(
         neardup_embedding_lsh,
         NEARDUP_EMBEDDING_LSH_SQL,
         "banded hyperplane-LSH embedding near-dup (scale path)",
+        new_in_round=1,
     ),
 }

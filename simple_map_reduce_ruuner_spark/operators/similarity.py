@@ -271,6 +271,136 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantize into cells, probe the nearest few
+# --------------------------------------------------------------------------
+
+N_CELLS = 16
+NPROBE = 2
+
+
+def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, sim, rk): cosine of every vector against every
+    centroid, ranked per vector. Centroids are the first N_CELLS vectors —
+    deterministic stand-ins for k-means centroids (real deployments train
+    them; the *plan shape* is identical: N × C broadcast scoring, argmin).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Top-k within the query's NPROBE nearest IVF cells — the
+    inverted-file ANN pattern (Sivic & Zisserman 2003 visual words /
+    FAISS IVF): coarse-quantize every vector to its nearest centroid
+    cell, probe only the few cells nearest the query.
+
+    Scale shape: assignment is one broadcast scoring pass (N × C rows,
+    C tiny); the search join shuffles by cell id, touching ~NPROBE/C of
+    the corpus per query. Fully deterministic (fixed centroids, total-
+    order ranking) → exact DuckDB oracle, like the LSH variant.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = _cell_scores(spark, sf_dir)
+    assign = cells.where(F.col("rk") == 1).select("vec_id", F.col("cent_id").alias("cell"))
+    vecs = emb.join(assign, "vec_id")
+    probes = (
+        cells.where((F.col("vec_id") < N_QUERIES) & (F.col("rk") <= NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        vecs.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q_emb), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score"),
+        )
+        # a vector probed via two cells must score once
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("raw_score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_COSINE_SQL = """
+           CASE
+             WHEN sqrt(list_dot_product({a}, {a}))
+                  * sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0
+             ELSE list_dot_product({a}, {b})
+                  / (sqrt(list_dot_product({a}, {a}))
+                     * sqrt(list_dot_product({b}, {b})))
+           END
+"""
+
+ANN_TOPK_IVF_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id < {N_CELLS}
+),
+cell_scores AS (
+    SELECT e.vec_id, c.cent_id,
+           {_COSINE_SQL.format(a="e.emb", b="c.c_emb")} AS sim,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COSINE_SQL.format(a="e.emb", b="c.c_emb")} DESC,
+                        c.cent_id ASC) AS rk
+    FROM e, cents c
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM cell_scores WHERE rk = 1),
+probes AS (
+    SELECT vec_id AS query_id, cent_id AS cell
+    FROM cell_scores WHERE vec_id < {N_QUERIES} AND rk <= {NPROBE}
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT DISTINCT p.query_id, v.vec_id,
+           {_COSINE_SQL.format(a="q.q_emb", b="v.emb")} AS raw_score
+    FROM e v
+    JOIN assign a ON a.vec_id = v.vec_id
+    JOIN probes p ON p.cell = a.cell
+    JOIN q ON q.query_id = p.query_id
+    WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, raw_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, ROUND(raw_score, 6) AS score, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_norms": Query(embedding_norms, EMBEDDING_NORMS_SQL, "L2 norms"),
     "ann_topk_bruteforce": Query(
@@ -287,5 +417,11 @@ QUERIES: dict[str, Query] = {
         ann_topk_lsh,
         ANN_TOPK_LSH_SQL,
         "cosine top-k within LSH bucket (sub-quadratic ANN)",
+    ),
+    "ann_topk_ivf": Query(
+        ann_topk_ivf,
+        ANN_TOPK_IVF_SQL,
+        "IVF coarse-quantized ANN: probe NPROBE nearest cells",
+        new_in_round=1,
     ),
 }

@@ -1,0 +1,66 @@
+"""Watermarked stream-stream join: the streaming twin of the batch range
+join (``relational2.clicks_before_errors``).
+
+Spark's stream-stream inner join buffers both sides in the state store;
+the watermark plus the time-range join condition lets it PRUNE state: a
+click older than (error watermark - 10 min) can never match a future
+error, so its state is dropped. That bound is what makes the join runnable
+forever at 100 TB/day — without the range condition + watermarks the state
+grows without limit (Spark refuses to plan append-mode stream-stream joins
+that lack them).
+
+The test (``tests/test_streaming.py``) runs this with availableNow against
+a snapshot and asserts equality with the batch inner-join counts — the
+stream/batch equivalence contract, same pattern as the window twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.streaming.windows import EVENTS_DDL
+
+
+def stream_clicks_before_errors(
+    spark: SparkSession, input_dir: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """(user_id, error_id, click_ts) pairs: each error joined to the
+    same user's clicks in the preceding 10 minutes, as a watermarked
+    stream-stream INNER join emitted in append mode.
+
+    The join itself is the stateful operator under test; the count-per-
+    error aggregation stays batch-side (a non-windowed aggregation after
+    a stream-stream join has no event-time column to finalize on in
+    append mode). Inner, not left as in the batch anchor: append-mode
+    outer joins emit their null-padded rows only after the watermark
+    passes, unobservable under a single availableNow batch — the test
+    compares against the batch join restricted to matched rows.
+    """
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    events = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    return joined.select(
+        F.col("e_user").alias("user_id"),
+        "error_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )

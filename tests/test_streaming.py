@@ -76,6 +76,53 @@ def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
     shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream range join under availableNow must emit
+    exactly the batch inner join's (error, click) pairs."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.streaming.joins import (
+        stream_clicks_before_errors,
+    )
+
+    src_dir = _stage_events(spark, sf_dir, tmp_path)
+    got = {
+        (r.user_id, r.error_id, r.click_ts)
+        for r in _run_stream(
+            spark,
+            stream_clicks_before_errors(spark, src_dir),
+            "ssjoin_test",
+            str(tmp_path / "ckpt_ssj"),
+            mode="append",
+        ).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    expected = {
+        (r.e_user, r.error_id, r.click_ts)
+        for r in errors.join(
+            clicks,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("error_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES")
+            ),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_session_window_exact_gap_merges(spark):
     """Boundary semantics the oracle must mirror: an event arriving
     EXACTLY gap seconds after its predecessor merges into the same Spark
