@@ -177,23 +177,35 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 
 
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): distinct 60-bit shingle hashes per document.
+
+    Shingles are hashed BEFORE the distinct: dedup shuffles 8-byte
+    hashes instead of shingle strings. The distinct hash multiset equals
+    the hash multiset of distinct shingles (up to 60-bit collisions,
+    which the oracle's md5 reproduces identically). Shared subtree of
+    MinHash signature building AND LSH-verify scoring — identical
+    subplans let Spark reuse the exchange instead of recomputing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("shingle"),
+        )
+        .select("doc_id", hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h15): one MIN aggregate per permutation, computed in a
     SINGLE pass — no row multiplication. The shuffle carries one
     16-column row per document; partial aggregation runs map-side. This
     is the plan that survives 100×: the explode formulation multiplies
     the shingle table by N_PERMS before shuffling.
-
-    Shingles are hashed BEFORE the distinct: dedup shuffles 8-byte
-    hashes instead of shingle strings. min over distinct hashes equals
-    min over hashes of distinct shingles (identical value multiset up to
-    60-bit collisions, which the oracle's md5 reproduces identically).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("shingle"),
-    ).select("doc_id", hash60(F.col("shingle")).alias("h")).distinct()
+    hashed = _doc_shingle_hashes(spark, sf_dir)
     h = F.col("h")
     return hashed.groupBy("doc_id").agg(
         *[F.min(minhash_perm(h, i)).alias(f"h{i}") for i in range(N_PERMS)]
@@ -297,20 +309,27 @@ def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup pipeline: sub-quadratic candidate generation (banded
     MinHash-LSH), then exact shingle-set scoring of candidates only.
 
-    The verify join is keyed (doc, shingle) against the candidate list,
-    so scoring cost is O(candidate pairs × shingles/doc), never the
-    inverted-index worst case of the ``neardup_jaccard`` anchor. Output
-    shape matches the anchor; at 100 TB only this path runs.
+    The verify join is keyed (doc, shingle-hash) against the candidate
+    list, so scoring cost is O(candidate pairs × shingles/doc), never the
+    inverted-index worst case of the ``neardup_jaccard`` anchor. Verify
+    consumes the SAME distinct (doc_id, hash) subtree the MinHash
+    signatures are built from: 8-byte join keys instead of shingle
+    strings, and the identical subplan lets Spark reuse the exchange
+    rather than re-shingling the corpus. Jaccard over hashed shingle
+    sets equals Jaccard over the shingle sets themselves up to 60-bit
+    collisions, which the oracle's identical md5 hashing reproduces
+    bit-for-bit. Output shape matches the anchor; at 100 TB only this
+    path runs.
     """
     cand = neardup_minhash_lsh(spark, sf_dir)
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingle_hashes(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -328,14 +347,15 @@ def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_LSH_VERIFIED_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, {hash60_sql("shingle")} AS h FROM sh0),
 cand AS ({NEARDUP_MINHASH_LSH_SQL.strip()}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS n_common
     FROM cand c
     JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
