@@ -68,3 +68,32 @@ def test_decode_media_stub_raises(spark, sf_dir):
     ]
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         plan.collect()
+
+
+def test_lang_id_discriminates_on_multilingual_data(spark, tmp_path):
+    """The driver fixtures share one vocabulary across lang labels, so
+    lang_id's accuracy is untestable there (documented). On data where
+    languages actually differ, the stopword-ratio heuristic must
+    discriminate: English-like docs (stopword-rich) → 'en', non-English
+    docs (no English stopwords) → 'other'."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.operators.textstats import lang_id
+
+    en = "the cat sat on the mat and looked for a mouse in the garden"
+    xx = "der hund lief schnell durch den garten und suchte seinen ball"
+    rows = [(i, en, "en", "s", len(en)) for i in range(20)] + [
+        (100 + i, xx, "de", "s", len(xx)) for i in range(20)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    pred = lang_id(spark, sf_dir).select("lang", "pred_lang").collect()
+    acc = sum(
+        1
+        for r in pred
+        if (r.lang == "en") == (r.pred_lang == "en")
+    ) / len(pred)
+    assert acc == 1.0

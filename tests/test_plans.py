@@ -122,6 +122,20 @@ def test_approx_sketch_aggs_run_partial_final(spark, sf_dir):
     assert "partial_percentile_approx" in gk
 
 
+def test_corpus_clean_single_plan_no_cartesian(spark, sf_dir):
+    """The composed curation pipeline must stay one declarative plan
+    with no cartesian products and partial/final aggregation — stage
+    composition must not defeat the per-operator scale contracts."""
+    from simple_map_reduce_ruuner_spark.operators import pipeline
+
+    plan = plan_of(pipeline.corpus_clean(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the cluster stage is pre-materialized (localCheckpoint inside the
+    # iterative loop); the final composed plan joins it against the
+    # quality/stats branches — those joins must be hash joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_whole_stage_codegen_present(spark, sf_dir):
     q = relational.pricing_summary(spark, sf_dir)
     q.collect()  # AQE finalizes the physical plan only on execution
