@@ -136,6 +136,17 @@ def test_corpus_clean_single_plan_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Deterministic sampling must stay a pure map-side filter: zero
+    exchanges, projection pruned to the three output source columns."""
+    from simple_map_reduce_ruuner_spark.operators import pipeline
+
+    plan = plan_of(pipeline.stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1]
+    assert "text" not in read_schema  # the wide column must not be read
+
+
 def test_whole_stage_codegen_present(spark, sf_dir):
     q = relational.pricing_summary(spark, sf_dir)
     q.collect()  # AQE finalizes the physical plan only on execution
