@@ -565,6 +565,10 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"Use neardup_embedding_lsh, which prefilters candidate pairs "
             f"by shared hyperplane-LSH band and never collects the table."
         )
+    if len(side) == 0:  # empty table: np.stack([]) raises
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cos_sim double"
+        )
     ids_b = side["vec_id"].to_numpy(dtype=np.int64)
     M_b = np.stack([np.asarray(e, dtype=np.float64) for e in side["embedding"]])
     n_b = np.sqrt((M_b * M_b).sum(axis=1))
@@ -574,6 +578,8 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches):
         ids2, M2, n2 = bc.value
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack([]) raises
+                continue
             ida = pdf["vec_id"].to_numpy(dtype=np.int64)
             Ma = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
             na = np.sqrt((Ma * Ma).sum(axis=1))

@@ -242,7 +242,10 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
 
     def gaps_per_partition(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:  # empty partition: pd.concat([]) raises
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         pdf = pdf.sort_values(["o_custkey", "o_orderdate"])
