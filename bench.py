@@ -85,6 +85,24 @@ def main() -> None:
         n: (round(median(samples[n]), 3) if samples[n] else -1.0) for n in names
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # per-query ratio vs the previous round's recorded bench (>1 slower,
+    # <1 faster); new queries have no entry
+    vs_prev: dict[str, float] = {}
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
+    )
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh)["parsed"]["queries"]
+        vs_prev = {
+            n: round(timings[n] / prev[n], 2)
+            for n in names
+            if n in prev and prev[n] > 0 and timings[n] > 0
+        }
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -95,6 +113,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "stat": "median_round_robin",
+                "vs_r01": vs_prev,
             }
         )
     )

@@ -123,6 +123,72 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def test_stream_stream_join_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """The stream-stream join's buffered state must survive a restart:
+    run 1 sees only clicks, run 2 (same checkpoint) adds the errors —
+    pairs only emerge if run 2 joins against state RESTORED from run 1."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.streaming.joins import (
+        stream_clicks_before_errors,
+    )
+
+    src_dir = tmp_path / "events_stream"
+    ckpt = str(tmp_path / "ckpt_ssj_rec")
+    ev = load_table(spark, sf_dir, "events")
+    clicks_only = ev.where(F.col("event_type") == "click")
+    errors_only = ev.where(F.col("event_type") == "error")
+    clicks_only.coalesce(1).write.parquet(str(src_dir))
+
+    def run_once():
+        captured: list = []
+
+        def sink(batch_df, batch_id):
+            captured.append(batch_df.toPandas())
+
+        q = (
+            stream_clicks_before_errors(spark, str(src_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            pd.concat(captured, ignore_index=True)
+            if captured
+            else pd.DataFrame(columns=["user_id", "error_id", "click_ts"])
+        )
+
+    out1 = run_once()
+    assert len(out1) == 0  # no errors yet → no pairs
+
+    errors_only.coalesce(1).write.mode("append").parquet(str(src_dir))
+    out2 = run_once()
+    got = {
+        (r.user_id, r.error_id, r.click_ts)
+        for r in out2.itertuples(index=False)
+    }
+    expected_df = errors_only.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    ).join(
+        clicks_only.select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")),
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    expected = {
+        (r.e_user, r.error_id, r.click_ts) for r in expected_df.collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_session_window_exact_gap_merges(spark):
     """Boundary semantics the oracle must mirror: an event arriving
     EXACTLY gap seconds after its predecessor merges into the same Spark
