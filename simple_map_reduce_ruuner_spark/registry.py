@@ -195,6 +195,12 @@ def _load_pipeline() -> dict[str, Query]:
     return pipeline.QUERIES
 
 
+def _load_timeseries() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import timeseries
+
+    return timeseries.QUERIES
+
+
 # Priority order: a driver-side query cap (suspected from r1, which
 # recorded exactly the first 50 entries) must trim the newest additions
 # first, never an already-verified anchor — so approx (whose exact
@@ -209,4 +215,5 @@ _EXTENSION_LOADERS = [
     _load_multimodal,
     _load_dedup,
     _load_pipeline,
+    _load_timeseries,
 ]
