@@ -202,3 +202,46 @@ def test_minhash_lsh_recall_meets_band_curve(spark, tmp_path):
     expect = sum(p_candidate(j) for j in exact.values())
     var = sum(p_candidate(j) * (1 - p_candidate(j)) for j in exact.values())
     assert caught >= expect - 3 * math.sqrt(var) - 1, (caught, expect, var)
+
+
+def test_lsh_pipeline_correct_under_hot_bucket_skew(spark, tmp_path):
+    """Skewed corpus: one LSH bucket holds 150 identical documents (the
+    classic boilerplate/hot-shingle case). The production pipeline must
+    stay correct: every identical pair found with jaccard 1.0, exact
+    dedup collapsing them to one canonical row, clusters mapping all
+    copies to the min doc_id."""
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        exact_dedup,
+        neardup_clusters,
+        neardup_lsh_verified,
+    )
+
+    boiler = "terms of service apply to all users of this web site today"
+    rows = [(i, boiler) for i in range(150)]
+    # distinct background docs (unique token streams, no shared shingles)
+    rows += [
+        (1000 + i, " ".join(f"tok{1000 + i}_{j}" for j in range(12)))
+        for i in range(100)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    pairs = neardup_lsh_verified(spark, sf_dir)
+    n_identical = 150 * 149 // 2
+    got = pairs.collect()
+    assert len(got) == n_identical
+    assert all(r.jaccard == 1.0 for r in got)
+
+    dedup_rows = exact_dedup(spark, sf_dir).collect()
+    boiler_groups = [r for r in dedup_rows if r.n_copies == 150]
+    assert len(boiler_groups) == 1
+    assert boiler_groups[0].keep_doc_id == 0
+
+    clusters = {
+        r.doc_id: r.cluster_id for r in neardup_clusters(spark, sf_dir).collect()
+    }
+    assert all(clusters[i] == 0 for i in range(150))
+    assert all(clusters[1000 + i] == 1000 + i for i in range(100))
