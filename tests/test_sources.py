@@ -79,3 +79,31 @@ def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
     assert "o_orderstatus" in plan and "PartitionFilters" in plan
     assert back.count() == orders.count()
     assert one.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """register_temp_views + spark.sql must plan the same query the
+    DataFrame API does — the SQL front-end is a first-class way in."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.sources.tables import (
+        load_table,
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    via_sql = {
+        (r.l_returnflag, r.n)
+        for r in spark.sql(
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    via_df = {
+        (r.l_returnflag, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert via_sql == via_df and via_sql
