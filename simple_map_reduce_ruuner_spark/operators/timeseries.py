@@ -80,11 +80,91 @@ LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered-sequence funnel: signup → click → purchase
+# --------------------------------------------------------------------------
+
+
+def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first signup, first click AT-OR-AFTER the
+    signup, first purchase at-or-after that click; ``stage`` = stages
+    completed (1-3). The behavioral-analytics sequence-match, expressed
+    as three bounded min-aggregations instead of per-user event-log
+    scans: each step joins one filtered event slice against the previous
+    step's frontier timestamp — shuffles are keyed by user_id and carry
+    one row per user, never the event log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, frontier: DataFrame, bound_col: str, out: str):
+        step = (
+            ev.where(F.col("event_type") == event_type)
+            .select("user_id", "ts")
+            .join(frontier, "user_id")
+            .where(F.col("ts") >= F.col(bound_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+        return frontier.join(step, "user_id", "left")
+
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    with_click = first_after("click", signup, "signup_ts", "click_ts")
+    with_purchase = first_after("purchase", with_click, "click_ts", "purchase_ts")
+    stage = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    )
+    return with_purchase.select(
+        "user_id",
+        "signup_ts",
+        "click_ts",
+        "purchase_ts",
+        stage.cast("long").alias("stage"),
+    )
+
+
+SIGNUP_FUNNEL_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS click_ts
+    FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.signup_ts
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS purchase_ts
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.click_ts
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+       CAST(1 + (c.click_ts IS NOT NULL)::INT
+              + (p.purchase_ts IS NOT NULL)::INT AS BIGINT) AS stage
+FROM s
+LEFT JOIN c ON c.user_id = s.user_id
+LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_daily_fill": Query(
         events_daily_fill,
         EVENTS_DAILY_FILL_SQL,
         "daily resample: dense per-user spine, zero-fill counts, forward-fill values",
+        new_in_round=1,
+    ),
+    "signup_funnel": Query(
+        signup_funnel,
+        SIGNUP_FUNNEL_SQL,
+        "ordered signup->click->purchase funnel, one row per signed-up user",
         new_in_round=1,
     ),
 }
