@@ -32,6 +32,25 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """PERMISSIVE CSV parse with malformed rows captured in
+    ``_corrupt_record`` instead of failing the job — the quarantine
+    pattern for dirty inputs: at 100 TB a handful of bad rows must not
+    kill a multi-hour job, but they must stay auditable (filter
+    ``_corrupt_record IS NOT NULL`` → quarantine sink). Use FAILFAST
+    (``spark.read.option("mode", "FAILFAST")``) only when corruption
+    should abort."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 

@@ -64,3 +64,31 @@ def stream_clicks_before_errors(
         "error_id",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact-dedup: ``dropDuplicatesWithinWatermark`` on the
+    event key — the streaming-ingest twin of ``exact_dedup``.
+
+    Plain streaming ``dropDuplicates`` keys state FOREVER (every key
+    ever seen); the within-watermark variant evicts a key's state once
+    the watermark passes its event time, so state is bounded by the
+    watermark horizon — the only formulation that survives an unbounded
+    100 TB/day stream. Duplicates arriving within the watermark window
+    are suppressed (exactly the at-least-once-delivery dedup contract).
+    """
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    events = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )

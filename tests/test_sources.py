@@ -107,3 +107,20 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         .collect()
     }
     assert via_sql == via_df and via_sql
+
+
+def test_csv_quarantine_captures_malformed_rows(spark, tmp_path):
+    """Dirty input: good rows parse, malformed rows land in
+    _corrupt_record (auditable quarantine) — the job never dies."""
+    from simple_map_reduce_ruuner_spark.sources.formats import read_csv_quarantine
+
+    path = str(tmp_path / "dirty.csv")
+    with open(path, "w") as fh:
+        fh.write("id,qty\n1,10\nnot_an_int,20\n3,30\n")
+    df = read_csv_quarantine(spark, path, "id int, qty int").cache()
+    good = df.where(df._corrupt_record.isNull())
+    bad = df.where(df._corrupt_record.isNotNull())
+    assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_an_int" in bad_rows[0]._corrupt_record
+    df.unpersist()

@@ -189,6 +189,34 @@ def test_stream_stream_join_checkpoint_recovery(spark, sf_dir, tmp_path):
     shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming ingest dedup: a source containing every event TWICE
+    (at-least-once delivery) must come out exactly once, matching the
+    batch distinct — state bounded by the watermark, not by keys-ever-
+    seen."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.streaming.joins import stream_dedup_events
+
+    src_dir = str(tmp_path / "events_stream")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.unionAll(ev).coalesce(2).write.parquet(src_dir)  # duplicate every row
+
+    out = _run_stream(
+        spark,
+        stream_dedup_events(spark, src_dir),
+        "dedup_stream_test",
+        str(tmp_path / "ckpt_dedup"),
+        mode="append",
+    )
+    got = {(r.event_id, r.ts, r.user_id) for r in out.collect()}
+    expected = {(r.event_id, r.ts, r.user_id) for r in ev.collect()}
+    assert got == expected
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_session_window_exact_gap_merges(spark):
     """Boundary semantics the oracle must mirror: an event arriving
     EXACTLY gap seconds after its predecessor merges into the same Spark
