@@ -243,6 +243,58 @@ FROM t
 """
 
 
+def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token, tf, df_t, tfidf): classic TF-IDF over the corpus,
+    entirely JVM-side.
+
+    Term frequency and document frequency are two partial/final
+    aggregations over the exploded token table; N (corpus size) joins in
+    as a broadcast single-row aggregate, so the plan has no driver-side
+    scalar collection. tfidf = tf * ln(N / df). Determinism note: the
+    tiebreak-free raw doubles are emitted ROUNDed only at output and
+    nothing ranks on them — rank-crossing float hazards (libm ulp
+    differences) can't affect the result set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_t, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_t",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_SCORES_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (
+    SELECT token, count(*) AS df_t
+    FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df_t,
+       ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df_t), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, Query] = {
     "token_stats": Query(token_stats, TOKEN_STATS_SQL, "token counting + length stats"),
     "regex_token_stats": Query(
@@ -254,5 +306,11 @@ QUERIES: dict[str, Query] = {
     "quality_score": Query(quality_score, QUALITY_SCORE_SQL, "document quality heuristic"),
     "doc_fingerprint": Query(
         doc_fingerprint, DOC_FINGERPRINT_SQL, "rolling-hash content fingerprint"
+    ),
+    "tfidf_scores": Query(
+        tfidf_scores,
+        TFIDF_SCORES_SQL,
+        "corpus TF-IDF: two partial/final aggs + broadcast corpus size",
+        new_in_round=1,
     ),
 }
