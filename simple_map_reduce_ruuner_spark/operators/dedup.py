@@ -29,8 +29,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import (
-    MINHASH_COEFFS,
-    MINHASH_PRIME,
     hash60,
     hash60_sql,
     minhash_perm,

@@ -17,7 +17,7 @@ cardinality of the vocabulary per partition, not the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.text import chars, tokens
