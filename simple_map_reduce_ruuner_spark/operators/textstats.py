@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_map_reduce_ruuner_spark.functions.hashing import hash60
 from simple_map_reduce_ruuner_spark.functions.text import tokens
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
@@ -295,6 +296,83 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 """
 
 
+HASH_DIM = 64  # feature-hashing dimensionality (Weinberger et al. 2009)
+
+
+def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing: fixed-width hashed term-frequency vector per doc
+    — the text→vector bridge (tokens bucketed by portable hash mod
+    HASH_DIM, counts summed per bucket), computed as one wide
+    conditional-sum aggregation like simhash (no per-bucket row
+    explosion, partial/final map-side combine).
+
+    Output serializes the vector to a comma-joined string plus nnz and
+    L2 norm: scalar columns hash across engines; raw array cells crash
+    the external comparator (round-1 suspects_orders lesson).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    bucketed = tok.select(
+        "doc_id", F.pmod(hash60(F.col("token")), F.lit(HASH_DIM)).alias("b")
+    ).groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    dims = [
+        F.coalesce(
+            F.sum(F.when(F.col("b") == i, F.col("cnt"))), F.lit(0)
+        ).cast("long").alias(f"d{i}")
+        for i in range(HASH_DIM)
+    ]
+    wide = bucketed.groupBy("doc_id").agg(*dims)
+    vec = F.array(*[F.col(f"d{i}") for i in range(HASH_DIM)])
+    l2 = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return wide.select(
+        "doc_id",
+        F.concat_ws(",", *[F.col(f"d{i}").cast("string") for i in range(HASH_DIM)]).alias(
+            "features"
+        ),
+        F.aggregate(
+            vec, F.lit(0).cast("long"), lambda acc, x: acc + (x > 0).cast("long")
+        ).alias("nnz"),
+        F.round(l2, 6).alias("l2"),
+    )
+
+
+def _hashed_tf_sql() -> str:
+    from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
+
+    dim_exprs = ", ".join(
+        f"coalesce(sum(CASE WHEN b = {i} THEN cnt END), 0)::BIGINT AS d{i}"
+        for i in range(HASH_DIM)
+    )
+    # flat concat_ws, not chained || : 64 nested binary concats exceed
+    # DuckDB's 128-deep binder recursion limit
+    feat_concat = (
+        "concat_ws(','," + ", ".join(f"CAST(d{i} AS VARCHAR)" for i in range(HASH_DIM)) + ")"
+    )
+    nnz = " + ".join(f"(d{i} > 0)::BIGINT" for i in range(HASH_DIM))
+    l2 = " + ".join(f"d{i} * d{i}" for i in range(HASH_DIM))
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, ({hash60_sql("token")}) % {HASH_DIM} AS b, count(*) AS cnt
+    FROM tok GROUP BY 1, 2
+),
+wide AS (SELECT doc_id, {dim_exprs} FROM bucketed GROUP BY doc_id)
+SELECT doc_id, {feat_concat} AS features,
+       CAST({nnz} AS BIGINT) AS nnz,
+       ROUND(sqrt({l2}), 6) AS l2
+FROM wide
+"""
+
+
+HASHED_TF_VECTORS_SQL = _hashed_tf_sql()
+
+
 QUERIES: dict[str, Query] = {
     "token_stats": Query(token_stats, TOKEN_STATS_SQL, "token counting + length stats"),
     "regex_token_stats": Query(
@@ -311,6 +389,12 @@ QUERIES: dict[str, Query] = {
         tfidf_scores,
         TFIDF_SCORES_SQL,
         "corpus TF-IDF: two partial/final aggs + broadcast corpus size",
+        new_in_round=1,
+    ),
+    "hashed_tf_vectors": Query(
+        hashed_tf_vectors,
+        HASHED_TF_VECTORS_SQL,
+        "feature hashing: 64-dim hashed TF vector per document",
         new_in_round=1,
     ),
 }
