@@ -1,0 +1,293 @@
+"""Training-data curation operators: CDC snapshot, document chunking,
+repetition-based quality stats, winsorized robust aggregates.
+
+These extend the LLM-pipeline suite (dedup/textstats/similarity) with
+the remaining staples a 100 TB curation pipeline runs between ingest
+and training:
+
+- ``latest_events_snapshot`` — CDC-style upsert compaction: keep the
+  latest record per key. Implemented as a single partial/final
+  ``max_by(struct(payload), struct(ts, id))`` aggregation — one shuffle
+  keyed by user, NO window sort (a row_number window must sort every
+  partition; max_by keeps one struct per key through the map-side
+  combine, which is the plan that survives 100 TB of events).
+- ``doc_chunks`` — overlapping fixed-width chunking (context-window
+  prep). Chunk starts come from ``sequence(1, len, stride)`` per doc —
+  O(doc_len / stride) rows, no self-join, no UDF; emits md5 + length
+  per chunk, never the chunk text itself (output stays narrow).
+- ``repetition_stats`` — Gopher-style repetition quality signals
+  (Rae et al. 2021, "Scaling Language Models"): top-token fraction,
+  distinct-token ratio, top-bigram fraction. Two exploded partial/final
+  aggregations (unigrams, bigrams) joined per doc; bigrams are built
+  JVM-side with ``transform`` over the token array.
+- ``winsorized_values`` — robust mean after clipping to [p05, p95].
+  Exact percentiles per group (5 groups), broadcast back to the fact
+  table, decimal-cast sum for order-independent rounding.
+
+The reference engine has no equivalent (it is a 4-workload MapReduce
+control plane, Master.java:24-88); these follow the same
+anchor-with-oracle discipline as the rest of the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.operators.relational import dsum
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+def latest_events_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — CDC upsert compaction.
+
+    ``max_by`` over an orderable struct gives a deterministic winner
+    (ts, then event_id as the unique tiebreaker) in ONE aggregation:
+    partial max per map task, final max after a single hash shuffle on
+    user_id. The window-function formulation (row_number = 1) needs a
+    full sort of every partition; this needs no sort at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    latest = ev.groupBy("user_id").agg(F.max_by(payload, ord_key).alias("r"))
+    return latest.select(
+        "user_id",
+        F.col("r.ts").alias("ts"),
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.round(F.col("r.value"), 6).alias("value"),
+    )
+
+
+LATEST_EVENTS_SNAPSHOT_SQL = """
+SELECT user_id, ts, event_id, event_type, ROUND(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunks per document.
+
+    Every document yields ceil(max(len,1) / stride) chunks starting at
+    1, 1+stride, 2*stride+1, ...; the final chunk is short. Output is
+    (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) — the text
+    itself never leaves the executor, so the shuffle carries ~40 bytes
+    per chunk regardless of chunk width.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), CHUNK_LEN)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text), 1) + 1, {CHUNK_STRIDE})) AS s
+    FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, s, {CHUNK_LEN})) AS BIGINT) AS chunk_len,
+       md5(substr(text, s, {CHUNK_LEN})) AS chunk_md5
+FROM starts
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher rules).
+
+    top_token_frac  = occurrences of the most frequent token / n_tokens
+    distinct_ratio  = distinct tokens / n_tokens
+    top_bigram_frac = occurrences of the most frequent bigram / n_bigrams
+                      (0.0 for documents with fewer than 2 tokens)
+
+    Both signals are exploded-count partial/final aggregations — the
+    shuffle carries (doc_id, token-or-bigram, count) partial rows, never
+    full documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_cnt"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bi_cnt"),
+        )
+    )
+    joined = uni.join(bi, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.coalesce(
+            F.round(F.col("top_bi_cnt") / F.col("n_bigrams"), 6), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+               AS toks
+    FROM documents
+),
+uni AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_cnt
+    FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+        GROUP BY doc_id, t
+    )
+    GROUP BY doc_id
+),
+bi AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS BIGINT) AS top_bi_cnt
+    FROM (
+        SELECT doc_id, b, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1]
+                   )) AS b
+            FROM toks
+            WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, b
+    )
+    GROUP BY doc_id
+)
+SELECT uni.doc_id,
+       n_tokens,
+       ROUND(top_cnt / n_tokens, 6) AS top_token_frac,
+       ROUND(n_distinct / n_tokens, 6) AS distinct_ratio,
+       COALESCE(ROUND(top_bi_cnt / n_bigrams, 6), 0.0) AS top_bigram_frac
+FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+"""
+
+
+def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust mean per event_type after clipping values to [p05, p95].
+
+    Two passes over events: (1) exact interpolated percentiles per group
+    (5 groups — tiny result, broadcast back), (2) clipped decimal-cast
+    sum/count. The percentile pass buffers per-group values (exact
+    anchor); at 100 TB swap pass 1 for the GK sketch twin
+    (``approx_percentiles``) — pass 2 is scale-clean as is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = ev.groupBy("event_type").agg(
+        pct.getItem(0).alias("lo"), pct.getItem(1).alias("hi")
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("v"),
+        F.col("value").between(F.col("lo"), F.col("hi")).alias("inside"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round((dsum(F.col("v")) / F.count(F.lit(1))).cast("double"), 6).alias(
+            "winsorized_mean"
+        ),
+        F.sum(F.when(~F.col("inside"), 1).otherwise(0)).cast("long").alias(
+            "n_clipped"
+        ),
+    )
+
+
+WINSORIZED_VALUES_SQL = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(least(greatest(value, lo), hi) AS DECIMAL(30,6)))
+                  / count(*) AS DOUBLE), 6) AS winsorized_mean,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "latest_events_snapshot": Query(
+        latest_events_snapshot,
+        LATEST_EVENTS_SNAPSHOT_SQL,
+        "CDC keep-latest-per-key via single max_by agg (no window sort)",
+        new_in_round=1,
+    ),
+    "doc_chunks": Query(
+        doc_chunks,
+        DOC_CHUNKS_SQL,
+        "overlapping fixed-width chunking for context-window prep",
+        new_in_round=1,
+    ),
+    "repetition_stats": Query(
+        repetition_stats,
+        REPETITION_STATS_SQL,
+        "Gopher-style repetition quality signals (top token/bigram frac)",
+        new_in_round=1,
+    ),
+    "winsorized_values": Query(
+        winsorized_values,
+        WINSORIZED_VALUES_SQL,
+        "robust clipped mean: exact percentile bounds broadcast back",
+        new_in_round=1,
+    ),
+}

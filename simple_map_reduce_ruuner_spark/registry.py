@@ -201,6 +201,12 @@ def _load_timeseries() -> dict[str, Query]:
     return timeseries.QUERIES
 
 
+def _load_curation() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import curation
+
+    return curation.QUERIES
+
+
 # Priority order: a driver-side query cap (suspected from r1, which
 # recorded exactly the first 50 entries) must trim the newest additions
 # first, never an already-verified anchor — so approx (whose exact
@@ -216,4 +222,5 @@ _EXTENSION_LOADERS = [
     _load_dedup,
     _load_pipeline,
     _load_timeseries,
+    _load_curation,
 ]

@@ -155,3 +155,26 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     assert "*(1)" in plan and "*(2)" in plan, plan
     # and AQE coalesced the post-shuffle partitions
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking must be scan -> generate -> project in one codegen
+    stage: zero exchanges, and only (doc_id, text) read from parquet."""
+    from simple_map_reduce_ruuner_spark.operators import curation
+
+    plan = plan_of(curation.doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_latest_snapshot_single_partial_final_agg(spark, sf_dir):
+    """CDC keep-latest must be ONE partial/final max_by aggregation —
+    a single exchange carrying one struct per (task, user), never a
+    window sort over all events."""
+    from simple_map_reduce_ruuner_spark.operators import curation
+
+    plan = plan_of(curation.latest_events_snapshot(spark, sf_dir))
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
