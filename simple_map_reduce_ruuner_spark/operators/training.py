@@ -1,0 +1,172 @@
+"""Training-set assembly operators: vocabulary build, deterministic
+train/val/test split, sequence packing.
+
+The last mile of an LLM data pipeline, after curation (dedup → quality
+→ sampling): build the token vocabulary, assign reproducible dataset
+splits, and pack documents into fixed token-budget streams.
+
+- ``vocab_build`` — top-V corpus tokens with dense rank ids. Exploded
+  partial/final count aggregation, then ``TakeOrderedAndProject`` for
+  the top V (the world is never globally sorted); ids are assigned by
+  a window over the V-row result only. Deterministic tie-break
+  (count desc, token asc) so the vocabulary is reproducible.
+- ``dataset_split`` — 98/1/1 train/val/test assignment from the
+  portable md5 hash of doc_id (same auditability argument as
+  ``stratified_sample``: reproducible across runs, engines and
+  partitionings — and therefore exactly oracle-checkable). Pure
+  map-side projection: zero shuffles at any scale.
+- ``sequence_pack_bins`` — streaming-concatenation packing: documents
+  are concatenated per language in doc_id order and cut into
+  fixed-capacity token bins; ``bin_id = tokens_before // capacity``
+  from a window cumulative sum. This is the standard pretraining
+  packing (concat-then-cut); a document may straddle a bin boundary.
+  Scale note: ``partitionBy(lang)`` makes one sort partition per
+  language — the correctness anchor. At 100 TB, salt the partition key
+  to (lang, doc_id div S): each shard packs independently with its own
+  bin namespace, which is still a valid packing and keeps every sort
+  partition bounded.
+
+No reference-engine equivalent (the reference is a 4-workload
+MapReduce control plane); these follow the suite's anchor-with-oracle
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
+from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+VOCAB_SIZE = 1000
+SPLIT_BUCKETS = 1000  # md5 bucket space
+TRAIN_LT = 980  # [0, 980) train
+VAL_LT = 990  # [980, 990) val; [990, 1000) test
+PACK_CAPACITY = 2048  # tokens per packed bin
+
+
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+VOCAB_BUILD_SQL = rf"""
+WITH counts AS (
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+    )
+    GROUP BY t
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+           AS token_id,
+       token, cnt
+FROM counts
+ORDER BY cnt DESC, token
+LIMIT {VOCAB_SIZE}
+"""
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.cast("long").alias("split_bucket"),
+        split.alias("split"),
+    )
+
+
+_BUCKET_SQL = hash60_sql("'split:' || CAST(doc_id AS VARCHAR)") + f" % {SPLIT_BUCKETS}"
+DATASET_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CAST({_BUCKET_SQL} AS BIGINT) AS split_bucket,
+       CASE WHEN {_BUCKET_SQL} < {TRAIN_LT} THEN 'train'
+            WHEN {_BUCKET_SQL} < {VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)  # inclusive running total
+    before = cum - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(before / F.lit(PACK_CAPACITY)).cast("long").alias("bin_id"),
+        F.pmod(before, F.lit(PACK_CAPACITY)).cast("long").alias("bin_offset"),
+    )
+
+
+SEQUENCE_PACK_BINS_SQL = rf"""
+WITH sized AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+               - n_tokens AS before
+    FROM sized
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(before // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST(before % {PACK_CAPACITY} AS BIGINT) AS bin_offset
+FROM cum
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "vocab_build": Query(
+        vocab_build,
+        VOCAB_BUILD_SQL,
+        "top-V vocabulary with deterministic dense ids (top-k, no global sort)",
+        new_in_round=1,
+    ),
+    "dataset_split": Query(
+        dataset_split,
+        DATASET_SPLIT_SQL,
+        "reproducible md5-hash train/val/test split (map-side, shuffle-free)",
+        new_in_round=1,
+    ),
+    "sequence_pack_bins": Query(
+        sequence_pack_bins,
+        SEQUENCE_PACK_BINS_SQL,
+        "concat-then-cut sequence packing via window cumsum",
+        new_in_round=1,
+    ),
+}

@@ -207,6 +207,12 @@ def _load_curation() -> dict[str, Query]:
     return curation.QUERIES
 
 
+def _load_training() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import training
+
+    return training.QUERIES
+
+
 # Priority order: a driver-side query cap (suspected from r1, which
 # recorded exactly the first 50 entries) must trim the newest additions
 # first, never an already-verified anchor — so approx (whose exact
@@ -223,4 +229,5 @@ _EXTENSION_LOADERS = [
     _load_pipeline,
     _load_timeseries,
     _load_curation,
+    _load_training,
 ]

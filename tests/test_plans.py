@@ -178,3 +178,34 @@ def test_latest_snapshot_single_partial_final_agg(spark, sf_dir):
     assert "partial_max_by" in plan
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_vocab_build_topk_bounded(spark, sf_dir):
+    """Vocabulary build must TakeOrdered the top V, never globally sort
+    the token-count table; counts run partial/final."""
+    from simple_map_reduce_ruuner_spark.operators import training
+
+    plan = plan_of(training.vocab_build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_dataset_split_is_shuffle_free(spark, sf_dir):
+    """Split assignment is a pure map-side projection: zero exchanges,
+    text column never read."""
+    from simple_map_reduce_ruuner_spark.operators import training
+
+    plan = plan_of(training.dataset_split(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[1]
+
+
+def test_sequence_pack_single_window_shuffle(spark, sf_dir):
+    """Packing is one hash exchange on the partition key plus the window
+    sort — the token sizing must happen map-side (no exploded shuffle of
+    tokens)."""
+    from simple_map_reduce_ruuner_spark.operators import training
+
+    plan = plan_of(training.sequence_pack_bins(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
