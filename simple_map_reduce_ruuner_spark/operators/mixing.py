@@ -1,0 +1,246 @@
+"""Data-mixture and decontamination operators.
+
+The reporting/safety layer of an LLM training-data pipeline, alongside
+dedup (operators/dedup.py) and curation (operators/curation.py):
+
+- ``contamination_check`` — benchmark decontamination: flag corpus
+  documents sharing a k-word n-gram with a held-out eval slice (the
+  standard n-gram-overlap decontamination used for pretraining sets).
+  The eval side is broadcast: real benchmark suites are tiny relative
+  to the corpus (millions of n-grams vs trillions of tokens), so the
+  contamination scan is one broadcast-hash semi-pass over the corpus
+  shingles — no shuffle of the corpus. Here the "eval set" is a
+  deterministic corpus slice (doc_id % 20 == 0) so the check is
+  self-contained and exactly oracle-checkable.
+- ``domain_mix_report`` — per (source, lang) document/token totals and
+  share of corpus tokens: the mixture report a sampling weight schedule
+  is built from. The percent-of-total window runs over the tiny
+  (source × lang) aggregate, never the corpus.
+- ``heavy_hitter_tokens`` — exact frequency heavy hitters: tokens with
+  count > total/K. The corpus total comes from a 1-row scalar aggregate
+  cross-joined (broadcast) onto the token counts — no window over the
+  full vocabulary, which at corpus scale is itself a billion-row table.
+- ``char_entropy`` — per-document Shannon entropy of the character
+  distribution (a gibberish/boilerplate quality signal). Two partial→
+  final aggregations; entropy = log2(n) - Σ c·log2(c) / n computed from
+  exact BIGINT counts, rounded to 4 decimals (double log/summation
+  noise is ~1e-13 — far below the rounding quantum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
+from simple_map_reduce_ruuner_spark.functions.text import chars, tokens, word_shingles
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 → held-out "benchmark" slice
+CONTAM_K = 5  # n-gram width for contamination (8-13 typical; 5 fits fixtures)
+HH_K = 50  # heavy hitter threshold: count > total / HH_K
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing ≥1 k-gram with the eval slice: doc_id,
+    distinct shared shingles, distinct eval docs hit.
+
+    Join key is the 60-bit shingle hash, so the broadcast build side
+    carries 8-byte keys, not text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), CONTAM_K)).alias("shingle"),
+    ).select("doc_id", hash60(F.col("shingle")).alias("sh")).distinct()
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("sh").alias("ev_sh"), F.col("doc_id").alias("eval_doc")
+    )
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), tr.sh == ev.ev_sh)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("sh").alias("n_shared_shingles"),
+            F.count_distinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+_CONTAM_SHINGLES_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               unnest([
+                   array_to_string(t[i : i + {CONTAM_K - 1}], ' ')
+                   for i in range(1, greatest(len(t) - {CONTAM_K - 1}, 1) + 1)
+               ]) AS shingle
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {hash60_sql("shingle")} AS sh FROM shingled
+    )
+"""
+
+CONTAMINATION_CHECK_SQL = f"""
+{_CONTAM_SHINGLES_SQL}
+SELECT doc_id,
+       count(DISTINCT sh) AS n_shared_shingles,
+       count(DISTINCT eval_doc) AS n_eval_docs
+FROM (SELECT sh, doc_id FROM sh WHERE doc_id % {EVAL_MOD} <> 0) tr
+JOIN (SELECT sh, doc_id AS eval_doc FROM sh WHERE doc_id % {EVAL_MOD} = 0) ev
+    USING (sh)
+GROUP BY doc_id
+"""
+
+
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang): docs, tokens, and token share of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", "lang", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tokens") / total * 100, 6).alias("token_share_pct"),
+    )
+
+
+DOMAIN_MIX_REPORT_SQL = f"""
+WITH per AS (
+    SELECT source, lang, count(*) AS n_docs,
+           SUM(len({_TOKS_SQL})) AS n_tokens
+    FROM documents
+    GROUP BY source, lang
+)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+                 * 100, 6) AS token_share_pct
+FROM per
+"""
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens appearing more often than total/K, with exact ppm.
+
+    ppm uses BIGINT floor division, so the output is integer-exact;
+    the 1-row corpus total is broadcast onto the counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("total")
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("total"))
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * 1000000 div total").cast("long").alias("ppm"),
+        )
+    )
+
+
+HEAVY_HITTER_TOKENS_SQL = f"""
+WITH counts AS (
+    SELECT t AS token, count(*) AS cnt
+    FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+    GROUP BY t
+),
+total AS (
+    SELECT SUM(len({_TOKS_SQL})) AS total FROM documents
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS ppm
+FROM counts, total
+WHERE cnt * {HH_K} > total
+"""
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's character distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_char = (
+        docs.select("doc_id", F.explode(chars(F.col("text"))).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars_counted"),
+            F.round(F.log2("n") - F.col("clog") / F.col("n"), 4).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH per_char AS (
+    SELECT doc_id, ch, count(*) AS c
+    FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    )
+    WHERE ch <> '' AND ch <> chr(10)
+    GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars_counted,
+       ROUND(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4)
+           AS entropy_bits
+FROM per_char
+GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "contamination_check": Query(
+        contamination_check,
+        CONTAMINATION_CHECK_SQL,
+        "n-gram benchmark decontamination via broadcast shingle-hash join",
+        new_in_round=1,
+    ),
+    "domain_mix_report": Query(
+        domain_mix_report,
+        DOMAIN_MIX_REPORT_SQL,
+        "per (source, lang) doc/token totals + corpus token share",
+        new_in_round=1,
+    ),
+    "heavy_hitter_tokens": Query(
+        heavy_hitter_tokens,
+        HEAVY_HITTER_TOKENS_SQL,
+        "exact heavy hitters (count > total/K) with broadcast scalar total",
+        new_in_round=1,
+    ),
+    "char_entropy": Query(
+        char_entropy,
+        CHAR_ENTROPY_SQL,
+        "per-doc character Shannon entropy (quality signal)",
+        new_in_round=1,
+    ),
+}

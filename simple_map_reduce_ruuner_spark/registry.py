@@ -213,6 +213,18 @@ def _load_training() -> dict[str, Query]:
     return training.QUERIES
 
 
+def _load_relational3() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational3
+
+    return relational3.QUERIES
+
+
+def _load_mixing() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import mixing
+
+    return mixing.QUERIES
+
+
 # Priority order: a driver-side query cap (suspected from r1, which
 # recorded exactly the first 50 entries) must trim the newest additions
 # first, never an already-verified anchor — so approx (whose exact
@@ -230,4 +242,6 @@ _EXTENSION_LOADERS = [
     _load_timeseries,
     _load_curation,
     _load_training,
+    _load_relational3,
+    _load_mixing,
 ]

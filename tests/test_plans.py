@@ -209,3 +209,46 @@ def test_sequence_pack_single_window_shuffle(spark, sf_dir):
     plan = plan_of(training.sequence_pack_bins(spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_shipping_priority_topk_pushdown_broadcast(spark, sf_dir):
+    """Q3 shape: date/segment filters reach the scans, the filtered
+    customer dim is broadcast, and the top-10 is a heap, not a sort."""
+    from simple_map_reduce_ruuner_spark.operators import relational3
+
+    plan = plan_of(relational3.shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_orders_above_customer_avg_no_window(spark, sf_dir):
+    """Decorrelation is aggregate-then-join: no Window operator, and the
+    aggregate runs partial/final."""
+    from simple_map_reduce_ruuner_spark.operators import relational3
+
+    plan = plan_of(relational3.orders_above_customer_avg(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_contamination_check_broadcasts_eval_side(spark, sf_dir):
+    """The eval n-gram set is the broadcast build side — the corpus
+    shingles are never shuffled for the join."""
+    from simple_map_reduce_ruuner_spark.operators import mixing
+
+    plan = plan_of(mixing.contamination_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_total_is_broadcast_scalar(spark, sf_dir):
+    """The corpus-total side is a 1-row broadcast, and no window ever
+    runs over the vocabulary table."""
+    from simple_map_reduce_ruuner_spark.operators import mixing
+
+    plan = plan_of(mixing.heavy_hitter_tokens(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
