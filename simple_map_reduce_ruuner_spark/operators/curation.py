@@ -31,7 +31,7 @@ anchor-with-oracle discipline as the rest of the suite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.text import tokens
@@ -265,6 +265,38 @@ GROUP BY e.event_type
 """
 
 
+def user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from an event log: each event's value is
+    valid from its own timestamp until the user's next event.
+
+    The complement of ``latest_events_snapshot``: instead of compacting
+    to the newest row, reconstruct the full slowly-changing-dimension
+    history (the shape warehouse dimension loads and point-in-time joins
+    consume). One hash exchange on user_id + an in-partition sort; the
+    lead() frame is a single row, so state is O(1) per partition stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+USER_VALUE_HISTORY_SQL = """
+SELECT user_id, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "latest_events_snapshot": Query(
         latest_events_snapshot,
@@ -288,6 +320,12 @@ QUERIES: dict[str, Query] = {
         winsorized_values,
         WINSORIZED_VALUES_SQL,
         "robust clipped mean: exact percentile bounds broadcast back",
+        new_in_round=1,
+    ),
+    "user_value_history": Query(
+        user_value_history,
+        USER_VALUE_HISTORY_SQL,
+        "SCD2 validity intervals (valid_from/valid_to) from the event log",
         new_in_round=1,
     ),
 }

@@ -401,6 +401,46 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    The class-prototype operator (nearest-centroid classifiers, k-means
+    init, per-domain embedding drift monitoring). posexplode keeps the
+    whole computation relational: the shuffle carries (label, pos)
+    partial sums — 10 labels × 64 dims regardless of corpus size — and
+    the aggregate runs partial→final. Float components are summed as
+    exact decimals so the mean is order-independent and oracle-exact;
+    no vector is ever materialized on the driver.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(25,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_val"),
+            F.col("n").cast("long").alias("n_vectors"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i - 1 AS BIGINT) AS pos,
+       ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_val,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings,
+     (SELECT unnest(generate_series(1, {DIM})) AS i) s
+GROUP BY label, i
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_norms": Query(embedding_norms, EMBEDDING_NORMS_SQL, "L2 norms"),
     "ann_topk_bruteforce": Query(
@@ -422,6 +462,12 @@ QUERIES: dict[str, Query] = {
         ann_topk_ivf,
         ANN_TOPK_IVF_SQL,
         "IVF coarse-quantized ANN: probe NPROBE nearest cells",
+        new_in_round=1,
+    ),
+    "label_centroids": Query(
+        label_centroids,
+        LABEL_CENTROIDS_SQL,
+        "per-label embedding centroid via posexplode partial/final agg",
         new_in_round=1,
     ),
 }

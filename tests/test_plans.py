@@ -252,3 +252,24 @@ def test_heavy_hitters_total_is_broadcast_scalar(spark, sf_dir):
     assert "Broadcast" in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_label_centroids_partial_final_no_window(spark, sf_dir):
+    """Centroids are one partial/final aggregation over the exploded
+    (label, pos) key — no window, a single exchange."""
+    from simple_map_reduce_ruuner_spark.operators import similarity
+
+    plan = plan_of(similarity.label_centroids(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_user_value_history_single_exchange(spark, sf_dir):
+    """SCD2 reconstruction is one hash exchange on user_id plus the
+    in-partition window sort."""
+    from simple_map_reduce_ruuner_spark.operators import curation
+
+    plan = plan_of(curation.user_value_history(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
