@@ -202,6 +202,62 @@ def stream_session_windows(
     )
 
 
+def segment_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment pattern: events joined
+    to the customer dimension (broadcast — the dim is the small side by
+    construction), tumbling counts per market segment. The streaming twin
+    is :func:`stream_segment_counts`."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+        )
+    )
+
+
+SEGMENT_EVENT_COUNTS_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+       c_mktsegment AS segment,
+       count(*) AS n
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def stream_segment_counts(
+    spark: SparkSession, input_dir: str, sf_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a STATIC dim
+    table (re-read per micro-batch, broadcast) before the windowed agg —
+    the standard pattern for enriching a fact stream with slowly-changing
+    reference data without a stream-stream join's state."""
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+        )
+    )
+
+
 QUERIES: dict[str, Query] = {
     "tumbling_counts": Query(
         tumbling_counts, TUMBLING_COUNTS_SQL, "tumbling time windows"
@@ -209,5 +265,11 @@ QUERIES: dict[str, Query] = {
     "sliding_counts": Query(sliding_counts, SLIDING_COUNTS_SQL, "sliding windows"),
     "session_windows": Query(
         session_windows, SESSION_WINDOWS_SQL, "gap-based session windows"
+    ),
+    "segment_event_counts": Query(
+        segment_event_counts,
+        SEGMENT_EVENT_COUNTS_SQL,
+        "stream-static enrichment (batch form): dim join + tumbling agg",
+        new_in_round=1,
     ),
 }

@@ -267,3 +267,28 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static dim join + windowed agg under availableNow must
+    equal the batch formulation on the same snapshot."""
+    from simple_map_reduce_ruuner_spark.streaming.windows import (
+        segment_event_counts,
+        stream_segment_counts,
+    )
+
+    src_dir = _stage_events(spark, sf_dir, tmp_path)
+    got = {
+        (r.wstart, r.segment, r.n)
+        for r in _run_stream(
+            spark,
+            stream_segment_counts(spark, src_dir, sf_dir),
+            "seg_counts",
+            str(tmp_path / "ckpt_seg"),
+        ).collect()
+    }
+    want = {
+        (r.wstart, r.segment, r.n)
+        for r in segment_event_counts(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
