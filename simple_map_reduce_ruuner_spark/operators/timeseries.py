@@ -154,6 +154,47 @@ LEFT JOIN p ON p.user_id = s.user_id
 """
 
 
+def rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: sum and count of the same user's values in the
+    trailing hour — a RANGE window frame over event time.
+
+    The time-decayed-feature staple (rate limiting, behavioral features,
+    anomaly baselines). Spark range frames need a numeric ordering key,
+    so the frame runs over epoch seconds; rows sharing a timestamp are
+    RANGE peers in both engines, making the result order-independent.
+    One exchange on user_id + one in-partition sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select("event_id", "user_id", "ts", "value", sec).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double"), 2
+        ).alias("value_last_hour"),
+    )
+
+
+ROLLING_HOUR_VALUE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE), 2)
+           AS value_last_hour
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_daily_fill": Query(
         events_daily_fill,
@@ -165,6 +206,12 @@ QUERIES: dict[str, Query] = {
         signup_funnel,
         SIGNUP_FUNNEL_SQL,
         "ordered signup->click->purchase funnel, one row per signed-up user",
+        new_in_round=1,
+    ),
+    "rolling_hour_value": Query(
+        rolling_hour_value,
+        ROLLING_HOUR_VALUE_SQL,
+        "trailing-hour RANGE-frame window per user (time-decayed features)",
         new_in_round=1,
     ),
 }

@@ -72,3 +72,17 @@ FROM (
 WHERE ch <> '' AND ch <> chr(10)
 GROUP BY ch
 """
+
+
+def salted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word_count through the two-phase salted aggregation (plans/skew.py):
+    phase 1 groups by (word, salt) so a hot token spreads across reducers,
+    phase 2 re-merges per word. Result is exactly word_count's (same
+    oracle) — registered so the skew path is driver-verified, not only
+    pytest-verified."""
+    from simple_map_reduce_ruuner_spark.plans.skew import salted_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    out = salted_aggregate(exploded, ["word"], {"cnt": "count(1)"})
+    return out.select("word", F.col("cnt").cast("long").alias("cnt"))

@@ -225,6 +225,19 @@ def _load_mixing() -> dict[str, Query]:
     return mixing.QUERIES
 
 
+def _load_skew_demo() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import wordcount
+
+    return {
+        "salted_word_count": Query(
+            wordcount.salted_word_count,
+            wordcount.WORD_COUNT_SQL,
+            "word_count via two-phase salted aggregation (skew mitigation)",
+            new_in_round=1,
+        )
+    }
+
+
 # Priority order: a driver-side query cap (suspected from r1, which
 # recorded exactly the first 50 entries) must trim the newest additions
 # first, never an already-verified anchor — so approx (whose exact
@@ -244,4 +257,5 @@ _EXTENSION_LOADERS = [
     _load_training,
     _load_relational3,
     _load_mixing,
+    _load_skew_demo,
 ]

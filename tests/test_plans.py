@@ -273,3 +273,22 @@ def test_user_value_history_single_exchange(spark, sf_dir):
     plan = plan_of(curation.user_value_history(spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_rolling_hour_range_frame_single_exchange(spark, sf_dir):
+    """Trailing-hour range frame: one hash exchange on user_id, window
+    sort in-partition."""
+    from simple_map_reduce_ruuner_spark.operators import timeseries
+
+    plan = plan_of(timeseries.rolling_hour_value(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_salted_word_count_two_phase(spark, sf_dir):
+    """The salted aggregate is two-phase by construction: (word, salt)
+    exchange then word exchange."""
+    from simple_map_reduce_ruuner_spark.operators import wordcount
+
+    plan = plan_of(wordcount.salted_word_count(spark, sf_dir))
+    assert plan.count("Exchange") == 2
