@@ -160,12 +160,19 @@ def rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The time-decayed-feature staple (rate limiting, behavioral features,
     anomaly baselines). Spark range frames need a numeric ordering key,
-    so the frame runs over epoch seconds; rows sharing a timestamp are
-    RANGE peers in both engines, making the result order-independent.
-    One exchange on user_id + one in-partition sort.
+    so the frame runs over whole seconds since a fixed NTZ epoch —
+    computed with ``timestampdiff`` on the naive timestamp, NOT
+    ``unix_timestamp``, which would interpret wall time in the session
+    timezone and shift gaps across DST boundaries. Rows sharing a
+    timestamp are RANGE peers in both engines, making the result
+    order-independent. One exchange on user_id + one in-partition sort.
     """
     ev = load_table(spark, sf_dir, "events")
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec")
+    sec = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    ).alias("sec")
     w = (
         Window.partitionBy("user_id")
         .orderBy("sec")
@@ -189,7 +196,8 @@ SELECT event_id, user_id, ts,
            AS value_last_hour
 FROM events
 WINDOW w AS (
-    PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+    PARTITION BY user_id
+    ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
 )
 """
