@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.operators.textstats import (
+    QUALITY_SCORE_SQL as _QSQL,
+)
 from simple_map_reduce_ruuner_spark.operators.relational import dsum
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
@@ -297,6 +300,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document its corpus-relative quality decile (1-10).
+
+    The tiering step quality-based filtering schedules consume ("train
+    on the top 3 deciles, sample the middle"). The nine decile bounds
+    are ONE exact-percentile aggregate row broadcast back onto the
+    corpus — no global sort, no window over the full table; the decile
+    is computed by counting bounds strictly below the score (ties land
+    in the lower decile in both engines).
+    """
+    from simple_map_reduce_ruuner_spark.operators.textstats import quality_score
+
+    q = quality_score(spark, sf_dir)
+    bounds = q.agg(
+        F.percentile(
+            "quality", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("b")
+    )
+    decile = F.lit(1) + F.aggregate(
+        F.col("b"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("quality") > x, 1).otherwise(0),
+    )
+    return q.join(F.broadcast(bounds)).select(
+        "doc_id", "quality", decile.cast("long").alias("decile")
+    )
+
+
+QUALITY_DECILES_SQL = """
+WITH q AS ({QUALITY_SCORE_SQL}),
+bounds AS (
+    SELECT quantile_cont(quality, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS b
+    FROM q
+)
+SELECT doc_id, quality,
+       CAST(1 + len(list_filter(b, x -> quality > x)) AS BIGINT) AS decile
+FROM q, bounds
+"""
+
+
 QUERIES: dict[str, Query] = {
     "latest_events_snapshot": Query(
         latest_events_snapshot,
@@ -326,6 +370,12 @@ QUERIES: dict[str, Query] = {
         user_value_history,
         USER_VALUE_HISTORY_SQL,
         "SCD2 validity intervals (valid_from/valid_to) from the event log",
+        new_in_round=1,
+    ),
+    "quality_deciles": Query(
+        quality_deciles,
+        QUALITY_DECILES_SQL.replace("{QUALITY_SCORE_SQL}", _QSQL.strip()),
+        "corpus-relative quality decile per doc (broadcast exact bounds)",
         new_in_round=1,
     ),
 }

@@ -203,6 +203,58 @@ WINDOW w AS (
 """
 
 
+SESSION_GAP_SECONDS = 4 * 3600  # same gap as streaming/windows.py sessions
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign a per-user session sequence number to every event: a new
+    session starts when the gap since the previous event exceeds the
+    session gap (strictly — an event exactly gap seconds later still
+    merges, matching Spark ``session_window`` semantics pinned in
+    tests/test_streaming.py).
+
+    The per-event complement of the session_windows aggregate: the
+    running SUM over is-new-session flags is the standard sessionization
+    idiom. One exchange on user_id; both window passes share the same
+    sort order, so Catalyst plans a single sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.timestamp_diff("SECOND", prev_ts, F.col("ts"))
+    is_new = F.when(
+        prev_ts.isNull() | (gap_sec > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_seq"),
+    )
+
+
+SESSIONIZE_EVENTS_SQL = f"""
+WITH flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts)
+                        > {SESSION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS session_seq
+FROM flagged
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_daily_fill": Query(
         events_daily_fill,
@@ -220,6 +272,12 @@ QUERIES: dict[str, Query] = {
         rolling_hour_value,
         ROLLING_HOUR_VALUE_SQL,
         "trailing-hour RANGE-frame window per user (time-decayed features)",
+        new_in_round=1,
+    ),
+    "sessionize_events": Query(
+        sessionize_events,
+        SESSIONIZE_EVENTS_SQL,
+        "per-event session-id assignment (lag gap flag + running sum)",
         new_in_round=1,
     ),
 }

@@ -225,6 +225,12 @@ def _load_mixing() -> dict[str, Query]:
     return mixing.QUERIES
 
 
+def _load_graph() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import graph
+
+    return graph.QUERIES
+
+
 def _load_skew_demo() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import wordcount
 
@@ -257,5 +263,6 @@ _EXTENSION_LOADERS = [
     _load_training,
     _load_relational3,
     _load_mixing,
+    _load_graph,
     _load_skew_demo,
 ]

@@ -292,3 +292,35 @@ def test_salted_word_count_two_phase(spark, sf_dir):
 
     plan = plan_of(wordcount.salted_word_count(spark, sf_dir))
     assert plan.count("Exchange") == 2
+
+
+def test_sessionize_single_exchange_shared_sort(spark, sf_dir):
+    """Both window passes (lag flag, running sum) share one user_id
+    exchange and sort order."""
+    from simple_map_reduce_ruuner_spark.operators import timeseries
+
+    plan = plan_of(timeseries.sessionize_events(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_pagerank_partial_final_no_cartesian(spark, sf_dir):
+    """Each PageRank iteration's contribution sum is a partial/final
+    aggregation; the only nested-loop joins are the broadcast 1-row
+    node-count attach."""
+    from simple_map_reduce_ruuner_spark.operators import graph
+
+    plan = plan_of(graph.pagerank_trading(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_deciles_broadcast_bounds_no_global_sort(spark, sf_dir):
+    """Decile bounds are a 1-row broadcast; the corpus is never globally
+    sorted or windowed."""
+    from simple_map_reduce_ruuner_spark.operators import curation
+
+    plan = plan_of(curation.quality_deciles(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "Window" not in plan
+    assert "Sort " not in plan
