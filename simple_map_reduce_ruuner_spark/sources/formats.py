@@ -70,3 +70,33 @@ def write_parquet(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb`` each and return the output file count.
+
+    The operational staple for streaming/incremental sinks — micro-batch
+    and per-task writers leave thousands of tiny files, and at 100 TB an
+    uncompacted table bottlenecks every subsequent scan on file-open
+    overhead and driver-side listing. Sizing comes from the actual input
+    bytes (file-system metadata, no Spark job), and the rewrite is one
+    round-robin repartition — no shuffle key needed, every output file
+    lands within a task.
+    """
+    import glob as _glob
+    import os as _os
+
+    total_bytes = sum(
+        _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    ) or 1
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(dst_path)
+    return int(n_files)

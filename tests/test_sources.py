@@ -124,3 +124,53 @@ def test_csv_quarantine_captures_malformed_rows(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "not_an_int" in bad_rows[0]._corrupt_record
     df.unpersist()
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """200 tiny files compact into the byte-sized file count; data
+    survives bit-exact."""
+    from simple_map_reduce_ruuner_spark.sources.formats import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(200).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 200
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    got_files = glob.glob(f"{dst}/*.parquet")
+    assert len(got_files) == n  # tiny table → 1 file
+    want = {tuple(r) for r in orders.collect()}
+    got = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert got == want
+
+
+def test_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
+    """mergeSchema unions column sets across file generations (the
+    additive-evolution contract an append-only corpus needs)."""
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "lang").write.parquet(out + "/gen=1")
+    docs.select("doc_id", "lang", "source").write.parquet(out + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert {"doc_id", "lang", "source", "gen"} <= set(merged.columns)
+    # old-generation rows surface the new column as NULL
+    assert merged.where("gen = 1 AND source IS NULL").count() == docs.count()
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim plants a dynamic
+    pruning subquery on the fact scan — at 100 TB this is what keeps a
+    dim-filtered join from scanning every partition."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("error", 2.5)], "event_type string, weight double"
+    ).where(F.col("weight") > 2)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
