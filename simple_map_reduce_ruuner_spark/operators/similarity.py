@@ -441,6 +441,73 @@ GROUP BY label, i
 """
 
 
+OUTLIER_DIST2 = 1.05  # squared-L2 threshold vs label centroid
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared L2 distance to its label centroid, with an
+    outlier flag — the embedding-space quality gate (mislabeled or
+    corrupted vectors sit far from their class prototype).
+
+    Composes :func:`label_centroids` (the verified per-(label, dim)
+    aggregate), re-assembled into centroid ARRAYS (sort_array over
+    collected (pos, mean) structs — deterministic), broadcast, and folded
+    against each embedding with ``zip_with`` + ``aggregate``. Both folds
+    are sequential left-to-right over the array — the one float-summation
+    order that is deterministic and engine-portable (a groupBy SUM of
+    doubles is not), matching DuckDB's list_sum over the same list.
+    """
+    cent = (
+        label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("cm")
+        )
+        .select(
+            "label",
+            F.transform(F.col("cm"), lambda s: s.mean_val).alias("centroid"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(dist2, 6).alias("dist2"),
+        (dist2 > OUTLIER_DIST2).alias("is_outlier"),
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH cent_rows AS ({{LABEL_CENTROIDS_SQL}}),
+cent AS (
+    SELECT label, list(mean_val ORDER BY pos) AS centroid
+    FROM cent_rows GROUP BY label
+),
+scored AS (
+    SELECT vec_id, e.label,
+           list_sum([
+               (embedding[i]::DOUBLE - centroid[i])
+                   * (embedding[i]::DOUBLE - centroid[i])
+               for i in range(1, {DIM} + 1)
+           ]) AS d
+    FROM embeddings e JOIN cent USING (label)
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       ROUND(d, 6) AS dist2,
+       d > {OUTLIER_DIST2} AS is_outlier
+FROM scored
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_norms": Query(embedding_norms, EMBEDDING_NORMS_SQL, "L2 norms"),
     "ann_topk_bruteforce": Query(
@@ -468,6 +535,12 @@ QUERIES: dict[str, Query] = {
         label_centroids,
         LABEL_CENTROIDS_SQL,
         "per-label embedding centroid via posexplode partial/final agg",
+        new_in_round=1,
+    ),
+    "embedding_outliers": Query(
+        embedding_outliers,
+        EMBEDDING_OUTLIERS_SQL.replace("{LABEL_CENTROIDS_SQL}", LABEL_CENTROIDS_SQL.strip()),
+        "squared-L2 distance to label centroid + outlier flag (zip_with fold)",
         new_in_round=1,
     ),
 }

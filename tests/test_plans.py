@@ -324,3 +324,13 @@ def test_quality_deciles_broadcast_bounds_no_global_sort(spark, sf_dir):
     assert "Broadcast" in plan
     assert "Window" not in plan
     assert "Sort " not in plan
+
+
+def test_embedding_outliers_broadcast_centroids(spark, sf_dir):
+    """Centroid arrays are a label-count-sized broadcast; the embedding
+    table is never shuffled for the scoring join."""
+    from simple_map_reduce_ruuner_spark.operators import similarity
+
+    plan = plan_of(similarity.embedding_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
