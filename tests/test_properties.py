@@ -245,3 +245,45 @@ def test_lsh_pipeline_correct_under_hot_bucket_skew(spark, tmp_path):
     }
     assert all(clusters[i] == 0 for i in range(150))
     assert all(clusters[1000 + i] == 1000 + i for i in range(100))
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    """Within a user: consecutive events share a session iff the gap is
+    <= the session gap; session_seq is non-decreasing and starts at 1."""
+    from simple_map_reduce_ruuner_spark.operators.timeseries import (
+        SESSION_GAP_SECONDS,
+        sessionize_events,
+    )
+
+    rows = sessionize_events(spark, sf_dir).toPandas()
+    rows = rows.sort_values(["user_id", "ts", "event_id"])
+    for _, g in rows.groupby("user_id"):
+        seqs = g["session_seq"].tolist()
+        assert seqs[0] == 1
+        gaps = g["ts"].diff().dt.total_seconds().tolist()[1:]
+        for (prev, cur), gap in zip(zip(seqs, seqs[1:]), gaps):
+            if gap > SESSION_GAP_SECONDS:
+                assert cur == prev + 1, (prev, cur, gap)
+            else:
+                assert cur == prev, (prev, cur, gap)
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Fixed-point PageRank: every rank positive and at least the
+    teleport floor; total mass <= 1 and within truncation loss of 1
+    (each div truncates < 1 femto per node/edge)."""
+    from simple_map_reduce_ruuner_spark.operators.graph import (
+        SCALE_FEMTO,
+        pagerank_trading,
+    )
+
+    rows = pagerank_trading(spark, sf_dir).toPandas()
+    n = len(rows)
+    n_edges = int(rows["degree"].sum())
+    floor = (15 * SCALE_FEMTO) // (100 * n)
+    assert (rows["rank_femto"] >= floor).all()
+    total = int(rows["rank_femto"].sum())
+    # truncation: <=1 femto per edge contribution + per-node damping div,
+    # compounded over 5 iterations
+    max_loss = 5 * (n_edges + 2 * n)
+    assert SCALE_FEMTO - max_loss <= total <= SCALE_FEMTO

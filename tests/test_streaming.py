@@ -292,3 +292,51 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
         for r in segment_event_counts(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreachbatch_idempotent_incremental_sink(spark, sf_dir, tmp_path):
+    """foreachBatch + checkpoint = incremental exactly-once delivery to a
+    partitioned parquet sink: a restart with no new input reprocesses
+    nothing, and new input produces only the new rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt_feb")
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        def sink(batch_df, batch_id):
+            # idempotent layout: one partition dir per micro-batch id, so a
+            # replayed batch overwrites its own output instead of duplicating
+            batch_df.withColumn("batch", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch={batch_id}")
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == first.count()
+    batches1 = set(glob.glob(f"{out_dir}/batch=*"))
+
+    run_once()  # restart, no new input: nothing reprocessed
+    assert spark.read.parquet(out_dir).count() == n1
+    assert set(glob.glob(f"{out_dir}/batch=*")) == batches1
+
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()  # only the new files processed
+    assert spark.read.parquet(out_dir).count() == ev.count()
