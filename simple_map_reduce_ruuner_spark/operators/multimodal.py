@@ -150,6 +150,77 @@ FROM s
 """
 
 
+IMG_SIDE = 8  # fake decoder: first 64 payload bytes as an 8x8 gray image
+IMG_PIXELS = IMG_SIDE * IMG_SIDE
+EDGE_THRESHOLD = 16
+
+
+def decode_image_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable deterministic stand-in for the media decoder: the first
+    64 payload bytes (zero-padded) ARE an 8x8 grayscale image; decode
+    and feature-extract run exactly the way a real decoder would —
+    Arrow batch in, numpy tensor ops, typed feature frame out — but on
+    synthetic pixels, so the whole path is runnable and oracle-checked
+    in this container. Swap the body for PIL/ffmpeg and the plumbing
+    (schema, batching, partitioning) is unchanged; `decode_media_stub`
+    below still marks that real-codec seam.
+
+    Features are integer-exact: mean in millipixel units, total
+    adjacent-pixel contrast, and an edge count at a fixed threshold.
+    """
+    df = _with_payload(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            img = np.zeros((n, IMG_PIXELS), dtype=np.int64)
+            for i, b in enumerate(pdf["payload"]):
+                v = np.frombuffer(b[:IMG_PIXELS], dtype=np.uint8)
+                img[i, : v.size] = v
+            diffs = np.abs(np.diff(img, axis=1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_milli": img.sum(axis=1) * 1000 // IMG_PIXELS,
+                    "contrast": diffs.sum(axis=1),
+                    "n_edges": (diffs > EDGE_THRESHOLD).sum(axis=1),
+                }
+            )
+
+    return df.mapInPandas(
+        decode, "doc_id long, mean_milli long, contrast long, n_edges long"
+    )
+
+
+DECODE_IMAGE_FAKE_SQL = f"""
+WITH codes AS (
+    SELECT doc_id,
+           list_transform(string_split(substr(text, 1, {IMG_PIXELS}), ''),
+                          c -> ascii(c)::BIGINT) AS cs
+    FROM documents
+),
+px AS (
+    SELECT doc_id,
+           [coalesce(cs[i], 0) for i in range(1, {IMG_PIXELS} + 1)] AS p
+    FROM codes
+),
+d AS (
+    SELECT doc_id, p,
+           [abs(p[i + 1] - p[i]) for i in range(1, {IMG_PIXELS})] AS diffs
+    FROM px
+)
+SELECT doc_id,
+       CAST(list_sum(p) * 1000 // {IMG_PIXELS} AS BIGINT) AS mean_milli,
+       CAST(list_sum(diffs) AS BIGINT) AS contrast,
+       CAST(len(list_filter(diffs, x -> x > {EDGE_THRESHOLD})) AS BIGINT)
+           AS n_edges
+FROM d
+"""
+
+
+
 def decode_media_stub(df: DataFrame, media_col: str = "payload") -> DataFrame:
     """Where a real decoder plugs in (PIL / torchaudio / ffmpeg).
 
@@ -250,5 +321,11 @@ QUERIES: dict[str, Query] = {
         payload_byte_stats,
         PAYLOAD_BYTE_STATS_SQL,
         "Arrow-batched mapInPandas byte stats over binary payloads",
+    ),
+    "decode_image_fake": Query(
+        decode_image_fake,
+        DECODE_IMAGE_FAKE_SQL,
+        "executable deterministic decode: 8x8 gray image features via mapInPandas",
+        new_in_round=1,
     ),
 }
