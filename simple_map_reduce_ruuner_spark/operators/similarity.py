@@ -508,6 +508,73 @@ FROM scored
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the LSH ANN path against brute-force ground
+    truth, per query — "measure, don't guess" as a first-class query.
+
+    Composes the three verified ANN formulations and counts each
+    approximate path's overlap with the exact top-k; recall is reported
+    in exact milli-units (integer arithmetic). At scale this is the
+    evaluation job an ANN rollout runs on a sampled query set before
+    switching retrieval paths. (On this synthetic near-uniform embedding
+    table the measured recalls are honest and low — hyperplane LSH has
+    little to bucket on when vectors are unclustered; that finding is
+    exactly what this report exists to surface.)
+    """
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+
+    def hits(approx: DataFrame, out: str) -> DataFrame:
+        return (
+            bf.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
+                    "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return (
+        base.join(hits(ann_topk_lsh(spark, sf_dir), "lsh_hits"), "query_id", "left")
+        .join(hits(ann_topk_ivf(spark, sf_dir), "ivf_hits"), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.expr("coalesce(lsh_hits, 0) * 1000 div k").cast("long").alias(
+                "lsh_recall_milli"
+            ),
+            F.expr("coalesce(ivf_hits, 0) * 1000 div k").cast("long").alias(
+                "ivf_recall_milli"
+            ),
+        )
+    )
+
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH bf AS ({{BF}}),
+lsh AS ({{LSH}}),
+ivf AS ({{IVF}}),
+base AS (SELECT query_id, count(*) AS k FROM bf GROUP BY query_id),
+lh AS (
+    SELECT bf.query_id, count(*) AS n
+    FROM bf SEMI JOIN lsh ON bf.query_id = lsh.query_id
+                         AND bf.vec_id = lsh.vec_id
+    GROUP BY bf.query_id
+),
+ih AS (
+    SELECT bf.query_id, count(*) AS n
+    FROM bf SEMI JOIN ivf ON bf.query_id = ivf.query_id
+                         AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.query_id
+)
+SELECT base.query_id,
+       CAST(k AS BIGINT) AS k,
+       CAST(coalesce(lh.n, 0) * 1000 // k AS BIGINT) AS lsh_recall_milli,
+       CAST(coalesce(ih.n, 0) * 1000 // k AS BIGINT) AS ivf_recall_milli
+FROM base
+LEFT JOIN lh ON base.query_id = lh.query_id
+LEFT JOIN ih ON base.query_id = ih.query_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_norms": Query(embedding_norms, EMBEDDING_NORMS_SQL, "L2 norms"),
     "ann_topk_bruteforce": Query(
@@ -535,6 +602,14 @@ QUERIES: dict[str, Query] = {
         label_centroids,
         LABEL_CENTROIDS_SQL,
         "per-label embedding centroid via posexplode partial/final agg",
+        new_in_round=1,
+    ),
+    "ann_recall_report": Query(
+        ann_recall_report,
+        ANN_RECALL_REPORT_SQL.replace("{BF}", ANN_TOPK_BRUTEFORCE_SQL.strip())
+        .replace("{LSH}", ANN_TOPK_LSH_SQL.strip())
+        .replace("{IVF}", ANN_TOPK_IVF_SQL.strip()),
+        "measured recall@k of LSH ANN vs brute-force ground truth",
         new_in_round=1,
     ),
     "embedding_outliers": Query(
