@@ -334,3 +334,37 @@ def test_embedding_outliers_broadcast_centroids(spark, sf_dir):
     plan = plan_of(similarity.embedding_outliers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """With broadcast off (both sides 'big'), Spark injects a runtime
+    bloom filter from the selective build side into the probe-side scan
+    (might_contain in the optimized plan). Defaults only trigger at
+    cluster scale (10 GB application side), so the thresholds are scaled
+    down to the fixtures — the mechanism, not the threshold, is what
+    this pins for the 100 TB case."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
