@@ -341,6 +341,73 @@ FROM q, bounds
 """
 
 
+ANOMALY_SIGMAS = 3
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flags per event_type — with NO floating-point
+    aggregation anywhere, so the flag is bit-portable.
+
+    The z-score test |v - mean| > K*sigma is cross-multiplied into pure
+    integer algebra on micro-scaled values: with s = SUM(v_micro),
+    q = SUM(v_micro^2) and n = COUNT (exact DECIMAL(38,0) sums),
+
+        (v - s/n)^2 > K^2 * (q/n - (s/n)^2)      | * n^2
+        <=>  (n*v - s)^2 > K^2 * (n*q - s*s)
+
+    Every quantity is an exact integer (max ~1e33 << 1e38), so Spark's
+    partial/final aggregation order and DuckDB agree on every boundary
+    row — the same trick as orders_above_customer_avg, extended to
+    second moments. The stats side is one row per event_type, broadcast.
+
+    Headroom: with |v| < 1e3 (micro ~1e9), s*s stays inside DECIMAL(38)
+    up to ~1e9 rows per group; past that, drop the unit scale (milli)
+    or pre-aggregate per shard — the algebra is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+    stats = (
+        ev.select("event_type", micro.alias("vm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("vm").alias("s"),
+            F.sum(F.col("vm") * F.col("vm")).alias("q"),
+        )
+    )
+    dev = F.col("n") * micro - F.col("s")
+    lhs = dev * dev
+    rhs = F.lit(ANOMALY_SIGMAS * ANOMALY_SIGMAS) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (lhs > rhs).alias("is_anomaly"),
+    )
+
+
+VALUE_ANOMALIES_SQL = f"""
+WITH m AS (
+    SELECT event_id, event_type, value,
+           CAST(round(value * 1000000) AS DECIMAL(38,0)) AS vm
+    FROM events
+),
+stats AS (
+    SELECT event_type,
+           CAST(count(*) AS DECIMAL(38,0)) AS n,
+           SUM(vm) AS s,
+           SUM(vm * vm) AS q
+    FROM m GROUP BY event_type
+)
+SELECT event_id, m.event_type, value,
+       (n * vm - s) * (n * vm - s)
+           > {ANOMALY_SIGMAS * ANOMALY_SIGMAS} * (n * q - s * s) AS is_anomaly
+FROM m JOIN stats USING (event_type)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "latest_events_snapshot": Query(
         latest_events_snapshot,
@@ -370,6 +437,12 @@ QUERIES: dict[str, Query] = {
         user_value_history,
         USER_VALUE_HISTORY_SQL,
         "SCD2 validity intervals (valid_from/valid_to) from the event log",
+        new_in_round=1,
+    ),
+    "value_anomalies": Query(
+        value_anomalies,
+        VALUE_ANOMALIES_SQL,
+        "3-sigma anomaly flags via exact integer moment algebra (no float agg)",
         new_in_round=1,
     ),
     "quality_deciles": Query(
