@@ -1,0 +1,402 @@
+"""Language-model-oriented corpus statistics (north-star extension;
+absent in the reference, which has no text analytics beyond word/char
+counts — exampleCodes/word_count/mapper.cpp, char_count/mapper.py).
+
+- doc_lm_familiarity — per-document unigram-LM familiarity: how common a
+  document's tokens are in the corpus, in exact integer ppm/basis-point
+  arithmetic (the quality signal a data pipeline uses to rank docs by
+  "typicality" before training).
+- bigram_counts      — corpus bigram table with document frequencies
+  (the n-gram statistics layer under contamination / LM scoring).
+- token_pmi          — pointwise mutual information over token
+  co-occurrence within documents (collocation mining).
+- simhash_band_pairs — banded-SimHash near-dup candidates verified by
+  exact Hamming distance: the hash-sketch twin of the MinHash-LSH path.
+- neardup_editdist   — MinHash-LSH candidates verified by Levenshtein
+  edit distance on normalized prefixes (character-level verification
+  complementing shingle-Jaccard).
+- doc_length_histogram — corpus length profile in fixed-width buckets.
+
+Scale notes (100 TB): every operator is one or two key-bounded shuffles.
+``doc_lm_familiarity``/``token_pmi`` shuffle on token (vocabulary-bounded,
+far smaller than the corpus) then on doc_id; ``simhash_band_pairs`` joins
+only within 15-bit band buckets (the sub-quadratic LSH shape, never
+all-pairs); ``neardup_editdist`` scores only LSH candidates. Integer
+arithmetic everywhere except one log/division per output row, mirroring
+the repo-wide determinism rules (see tfidf_scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
+from simple_map_reduce_ruuner_spark.functions.text import norm_text, tokens, word_shingles
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_TOK_ROWS_SQL = f"SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents"
+_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+MIN_BIGRAM_COUNT = 5
+MIN_PAIR_COUNT = 20  # token_pmi: min docs containing both tokens
+SIMHASH_BITS = 60
+BAND_BITS = 15  # 60-bit simhash → 4 bands of 15 bits
+HAMMING_MAX = 8
+EDIT_PREFIX = 150  # chars of normalized text scored by levenshtein
+EDIT_MAX = 20
+LEN_BUCKET = 100  # doc_length_histogram bucket width (chars)
+
+
+def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, sum_cnt, n_rare, familiarity_ppm, rare_bp):
+    average corpus frequency of the document's tokens.
+
+    familiarity_ppm = (Σ corpus-count of each token occurrence) * 1e6
+    div (n_tokens * corpus_total) — i.e. the mean unigram probability of
+    the document in parts-per-million, floored to an integer so the
+    result is engine-exact. rare_bp = fraction of tokens whose corpus
+    count is 1, in basis points.
+
+    Plan: one shuffle keyed by token to build the unigram table (bounded
+    by vocabulary size, not corpus size), a second keyed by doc_id to
+    fold counts back per document; the 1-row corpus total broadcasts.
+    At extreme scale the ppm product needs a decimal widening (int64
+    holds up to ~9e18; sum_cnt * 1e6 stays below that through ~1e12
+    total tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_cnt").cast("long").alias("sum_cnt"),
+        F.col("n_rare").cast("long").alias("n_rare"),
+        F.expr("sum_cnt * 1000000 div (n_tokens * total)")
+        .cast("long")
+        .alias("familiarity_ppm"),
+        F.expr("n_rare * 10000 div n_tokens").cast("long").alias("rare_bp"),
+    )
+
+
+DOC_LM_FAMILIARITY_SQL = f"""
+WITH tok AS ({_TOK_ROWS_SQL}),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT SUM(cnt) AS total FROM counts),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tokens, SUM(cnt) AS sum_cnt,
+           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_rare
+    FROM tok JOIN counts USING (token)
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_cnt AS BIGINT) AS sum_cnt,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       CAST(sum_cnt * 1000000 // (n_tokens * total) AS BIGINT) AS familiarity_ppm,
+       CAST(n_rare * 10000 // n_tokens AS BIGINT) AS rare_bp
+FROM per_doc, total
+"""
+
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bigram, cnt, n_docs): corpus bigram frequencies with document
+    frequencies, thresholded at MIN_BIGRAM_COUNT.
+
+    Bigrams assemble JVM-side from the token array (word_shingles k=2,
+    no self-join on position); one partial/final agg keyed by bigram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("cnt") >= MIN_BIGRAM_COUNT)
+        .select("bigram", F.col("cnt").cast("long"), F.col("n_docs").cast("long"))
+    )
+
+
+BIGRAM_COUNTS_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+big AS (
+    SELECT doc_id,
+           unnest([
+               array_to_string(t[i : i + 1], ' ')
+               for i in range(1, greatest(len(t) - 1, 1) + 1)
+           ]) AS bigram
+    FROM toks
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM big GROUP BY bigram
+HAVING count(*) >= {MIN_BIGRAM_COUNT}
+"""
+
+
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token_a, token_b, n_ab, pmi): pointwise mutual information of
+    token pairs co-occurring in the same document.
+
+    PMI = ln(n_ab * N / (n_a * n_b)) over document frequencies. The
+    pair join shuffles distinct (doc, token) rows on doc_id, so the
+    blowup is C(distinct tokens per doc, 2) — bounded by per-document
+    vocabulary, not corpus size; the unigram table broadcasts. One ln
+    per output row on an exact integer ratio (the tfidf determinism
+    pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    df_t = d.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = d.select("doc_id", F.col("token").alias("token_a"))
+    b = d.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_PAIR_COUNT)
+    )
+    da = df_t.select(F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    db = df_t.select(F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "token_a")
+        .join(F.broadcast(db), "token_b")
+        .join(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+TOKEN_PMI_SQL = f"""
+WITH d AS (SELECT DISTINCT doc_id, token FROM ({_TOK_ROWS_SQL})),
+df AS (SELECT token, count(*) AS df FROM d GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+    SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab
+    FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    HAVING count(*) >= {MIN_PAIR_COUNT}
+)
+SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(ln(n_ab * n.n_docs * 1.0 / (da.df * db.df)), 6) AS pmi
+FROM pairs
+JOIN df da ON da.token = token_a
+JOIN df db ON db.token = token_b
+CROSS JOIN n
+"""
+
+
+def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs whose 60-bit SimHash
+    fingerprints agree on ≥1 of 4 15-bit bands AND lie within
+    HAMMING_MAX bit flips — banded candidate generation (sub-quadratic,
+    join only within band buckets) then exact Hamming verification via
+    bit_count(xor), the SimHash twin of ``neardup_lsh_verified``.
+    """
+    from simple_map_reduce_ruuner_spark.operators.dedup import simhash
+
+    sig = simhash(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * BAND_BITS).bitwiseAND(
+                F.lit((1 << BAND_BITS) - 1)
+            )
+            for b in range(SIMHASH_BITS // BAND_BITS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band", "band_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(hamming <= HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
+def _simhash_band_pairs_sql() -> str:
+    from simple_map_reduce_ruuner_spark.operators.dedup import SIMHASH_SQL
+
+    n_bands = SIMHASH_BITS // BAND_BITS
+    mask = (1 << BAND_BITS) - 1
+    return f"""
+WITH s AS ({SIMHASH_SQL.strip()}),
+bands AS (
+    SELECT doc_id, simhash, b,
+           (simhash >> (b * {BAND_BITS})) & {mask} AS band_val
+    FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                    a.simhash AS ha, c.simhash AS hb
+    FROM bands a
+    JOIN bands c ON a.b = c.b AND a.band_val = c.band_val
+                AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+"""
+
+
+def neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, editdist): MinHash-LSH candidate pairs verified by
+    Levenshtein distance ≤ EDIT_MAX on the first EDIT_PREFIX chars of
+    normalized text — character-level near-dup verification.
+
+    Edit distance is O(prefix²) per pair, so it only ever runs on the
+    sub-quadratic LSH candidate set, never all pairs; the prefix cap
+    bounds the per-pair cost regardless of document length.
+    """
+    from simple_map_reduce_ruuner_spark.operators.dedup import neardup_minhash_lsh
+
+    cand = neardup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id", F.substring(norm_text(F.col("text")), 1, EDIT_PREFIX).alias("txt")
+    )
+    pa = pref.select(F.col("doc_id").alias("doc_a"), F.col("txt").alias("txt_a"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"), F.col("txt").alias("txt_b"))
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .where(dist <= EDIT_MAX)
+        .select("doc_a", "doc_b", dist.cast("long").alias("editdist"))
+    )
+
+
+def _neardup_editdist_sql() -> str:
+    from simple_map_reduce_ruuner_spark.operators.dedup import NEARDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH cand AS ({NEARDUP_MINHASH_LSH_SQL.strip()}),
+pref AS (SELECT doc_id, substr({_NORM_TEXT_SQL}, 1, {EDIT_PREFIX}) AS txt FROM documents)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS editdist
+FROM cand
+JOIN pref a ON a.doc_id = doc_a
+JOIN pref b ON b.doc_id = doc_b
+WHERE levenshtein(a.txt, b.txt) <= {EDIT_MAX}
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_docs, min_chars, max_chars, sum_chars, avg_chars,
+    share_bp): corpus length profile in LEN_BUCKET-char buckets.
+
+    Single partial/final agg keyed by bucket; the 1-row total broadcasts
+    for the integer basis-point share.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    by_bucket = (
+        docs.select(F.expr(f"n_chars div {LEN_BUCKET}").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    return by_bucket.join(F.broadcast(total)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_chars"
+        ),
+        F.expr("n_docs * 10000 div total").cast("long").alias("share_bp"),
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = f"""
+WITH total AS (SELECT count(*) AS total FROM documents),
+by_bucket AS (
+    SELECT n_chars // {LEN_BUCKET} AS bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_chars AS BIGINT) AS min_chars,
+       CAST(max_chars AS BIGINT) AS max_chars,
+       CAST(sum_chars AS BIGINT) AS sum_chars,
+       ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+       CAST(n_docs * 10000 // total AS BIGINT) AS share_bp
+FROM by_bucket, total
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "doc_lm_familiarity": Query(
+        doc_lm_familiarity,
+        DOC_LM_FAMILIARITY_SQL,
+        "per-doc unigram-LM familiarity in exact integer ppm",
+    ),
+    "bigram_counts": Query(
+        bigram_counts, BIGRAM_COUNTS_SQL, "corpus bigram table with doc frequencies"
+    ),
+    "token_pmi": Query(
+        token_pmi, TOKEN_PMI_SQL, "PMI collocations over per-doc co-occurrence"
+    ),
+    "simhash_band_pairs": Query(
+        simhash_band_pairs,
+        _simhash_band_pairs_sql(),
+        "banded-SimHash candidates verified by exact Hamming distance",
+    ),
+    "neardup_editdist": Query(
+        neardup_editdist,
+        _neardup_editdist_sql(),
+        "LSH candidates verified by Levenshtein on normalized prefixes",
+    ),
+    "doc_length_histogram": Query(
+        doc_length_histogram,
+        DOC_LENGTH_HISTOGRAM_SQL,
+        "corpus length profile in fixed-width buckets",
+    ),
+}

@@ -258,6 +258,18 @@ def _load_graph() -> dict[str, Query]:
     return graph.QUERIES
 
 
+def _load_textlm() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import textlm
+
+    return textlm.QUERIES
+
+
+def _load_relational4() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational4
+
+    return relational4.QUERIES
+
+
 def _load_skew_demo() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import wordcount
 
@@ -292,4 +304,6 @@ _EXTENSION_LOADERS = [
     _load_mixing,
     _load_graph,
     _load_skew_demo,
+    _load_textlm,
+    _load_relational4,
 ]
