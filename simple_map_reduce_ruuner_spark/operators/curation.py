@@ -413,42 +413,35 @@ QUERIES: dict[str, Query] = {
         latest_events_snapshot,
         LATEST_EVENTS_SNAPSHOT_SQL,
         "CDC keep-latest-per-key via single max_by agg (no window sort)",
-        new_in_round=1,
     ),
     "doc_chunks": Query(
         doc_chunks,
         DOC_CHUNKS_SQL,
         "overlapping fixed-width chunking for context-window prep",
-        new_in_round=1,
     ),
     "repetition_stats": Query(
         repetition_stats,
         REPETITION_STATS_SQL,
         "Gopher-style repetition quality signals (top token/bigram frac)",
-        new_in_round=1,
     ),
     "winsorized_values": Query(
         winsorized_values,
         WINSORIZED_VALUES_SQL,
         "robust clipped mean: exact percentile bounds broadcast back",
-        new_in_round=1,
     ),
     "user_value_history": Query(
         user_value_history,
         USER_VALUE_HISTORY_SQL,
         "SCD2 validity intervals (valid_from/valid_to) from the event log",
-        new_in_round=1,
     ),
     "value_anomalies": Query(
         value_anomalies,
         VALUE_ANOMALIES_SQL,
         "3-sigma anomaly flags via exact integer moment algebra (no float agg)",
-        new_in_round=1,
     ),
     "quality_deciles": Query(
         quality_deciles,
         QUALITY_DECILES_SQL.replace("{QUALITY_SCORE_SQL}", _QSQL.strip()),
         "corpus-relative quality decile per doc (broadcast exact bounds)",
-        new_in_round=1,
     ),
 }

@@ -779,12 +779,10 @@ QUERIES: dict[str, Query] = {
         neardup_lsh_verified,
         NEARDUP_LSH_VERIFIED_SQL,
         "LSH candidates + exact Jaccard verify (production near-dedup)",
-        new_in_round=1,
     ),
     "neardup_embedding_lsh": Query(
         neardup_embedding_lsh,
         NEARDUP_EMBEDDING_LSH_SQL,
         "banded hyperplane-LSH embedding near-dup (scale path)",
-        new_in_round=1,
     ),
 }

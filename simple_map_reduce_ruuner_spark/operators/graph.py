@@ -157,6 +157,5 @@ QUERIES: dict[str, Query] = {
         pagerank_trading,
         PAGERANK_TRADING_SQL,
         "5-iteration fixed-point PageRank on the customer-supplier graph",
-        new_in_round=1,
     ),
 }

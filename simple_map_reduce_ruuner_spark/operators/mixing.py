@@ -223,24 +223,20 @@ QUERIES: dict[str, Query] = {
         contamination_check,
         CONTAMINATION_CHECK_SQL,
         "n-gram benchmark decontamination via broadcast shingle-hash join",
-        new_in_round=1,
     ),
     "domain_mix_report": Query(
         domain_mix_report,
         DOMAIN_MIX_REPORT_SQL,
         "per (source, lang) doc/token totals + corpus token share",
-        new_in_round=1,
     ),
     "heavy_hitter_tokens": Query(
         heavy_hitter_tokens,
         HEAVY_HITTER_TOKENS_SQL,
         "exact heavy hitters (count > total/K) with broadcast scalar total",
-        new_in_round=1,
     ),
     "char_entropy": Query(
         char_entropy,
         CHAR_ENTROPY_SQL,
         "per-doc character Shannon entropy (quality signal)",
-        new_in_round=1,
     ),
 }

@@ -326,6 +326,5 @@ QUERIES: dict[str, Query] = {
         decode_image_fake,
         DECODE_IMAGE_FAKE_SQL,
         "executable deterministic decode: 8x8 gray image features via mapInPandas",
-        new_in_round=1,
     ),
 }

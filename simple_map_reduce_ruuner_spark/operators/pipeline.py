@@ -178,18 +178,15 @@ QUERIES: dict[str, Query] = {
         corpus_clean,
         CORPUS_CLEAN_SQL,
         "full curation pipeline: quality filter + exact & near dedup + stats",
-        new_in_round=1,
     ),
     "stratified_sample": Query(
         stratified_sample,
         STRATIFIED_SAMPLE_SQL,
         "deterministic per-language downsampling (reproducible, no shuffle)",
-        new_in_round=1,
     ),
     "source_quality_cap": Query(
         source_quality_cap,
         SOURCE_QUALITY_CAP_SQL,
         "top-K docs per source by quality (per-provider budget cap)",
-        new_in_round=1,
     ),
 }

@@ -173,18 +173,15 @@ QUERIES: dict[str, Query] = {
         shipping_priority,
         SHIPPING_PRIORITY_SQL,
         "TPC-H Q3 shape: filtered 3-way join, revenue agg, top-10 heap",
-        new_in_round=1,
     ),
     "orders_above_customer_avg": Query(
         orders_above_customer_avg,
         ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "correlated scalar subquery decorrelated to aggregate-then-join",
-        new_in_round=1,
     ),
     "nation_revenue_share": Query(
         nation_revenue_share,
         NATION_REVENUE_SHARE_SQL,
         "percent-of-total report; window runs over the 25-row aggregate",
-        new_in_round=1,
     ),
 }

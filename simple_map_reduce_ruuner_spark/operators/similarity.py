@@ -596,13 +596,11 @@ QUERIES: dict[str, Query] = {
         ann_topk_ivf,
         ANN_TOPK_IVF_SQL,
         "IVF coarse-quantized ANN: probe NPROBE nearest cells",
-        new_in_round=1,
     ),
     "label_centroids": Query(
         label_centroids,
         LABEL_CENTROIDS_SQL,
         "per-label embedding centroid via posexplode partial/final agg",
-        new_in_round=1,
     ),
     "ann_recall_report": Query(
         ann_recall_report,
@@ -610,12 +608,10 @@ QUERIES: dict[str, Query] = {
         .replace("{LSH}", ANN_TOPK_LSH_SQL.strip())
         .replace("{IVF}", ANN_TOPK_IVF_SQL.strip()),
         "measured recall@k of LSH ANN vs brute-force ground truth",
-        new_in_round=1,
     ),
     "embedding_outliers": Query(
         embedding_outliers,
         EMBEDDING_OUTLIERS_SQL.replace("{LABEL_CENTROIDS_SQL}", LABEL_CENTROIDS_SQL.strip()),
         "squared-L2 distance to label centroid + outlier flag (zip_with fold)",
-        new_in_round=1,
     ),
 }

@@ -49,6 +49,16 @@ EDIT_PREFIX = 150  # chars of normalized text scored by levenshtein
 EDIT_MAX = 20
 LEN_BUCKET = 100  # doc_length_histogram bucket width (chars)
 
+# Overflow-safe mean-unigram-probability in ppm: int64 wraps on
+# sum_cnt * 1e6 past ~9.2e12 total token occurrences, so widen both the
+# numerator and the n_tokens*total denominator to DECIMAL(38,0) before the
+# integral divide (Spark's DIV on decimals returns BIGINT directly).
+PPM_EXPR = (
+    "CAST(CAST(sum_cnt AS DECIMAL(38,0)) * 1000000"
+    " DIV (CAST(n_tokens AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))"
+    " AS BIGINT)"
+)
+
 
 def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, sum_cnt, n_rare, familiarity_ppm, rare_bp):
@@ -63,9 +73,11 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle keyed by token to build the unigram table (bounded
     by vocabulary size, not corpus size), a second keyed by doc_id to
     fold counts back per document; the 1-row corpus total broadcasts.
-    At extreme scale the ppm product needs a decimal widening (int64
-    holds up to ~9e18; sum_cnt * 1e6 stays below that through ~1e12
-    total tokens).
+    The ppm products are computed in DECIMAL(38,0) (int128-class) so the
+    math survives 100 TB corpora: sum_cnt * 1e6 wraps int64 past ~9.2e12
+    total token occurrences, well under web scale. The DuckDB oracle
+    mirrors this with HUGEINT. Both operands are exact integers and
+    non-negative, so DIV (truncating) == floor division on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
@@ -85,9 +97,7 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("sum_cnt").cast("long").alias("sum_cnt"),
         F.col("n_rare").cast("long").alias("n_rare"),
-        F.expr("sum_cnt * 1000000 div (n_tokens * total)")
-        .cast("long")
-        .alias("familiarity_ppm"),
+        F.expr(PPM_EXPR).alias("familiarity_ppm"),
         F.expr("n_rare * 10000 div n_tokens").cast("long").alias("rare_bp"),
     )
 
@@ -106,7 +116,9 @@ SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(sum_cnt AS BIGINT) AS sum_cnt,
        CAST(n_rare AS BIGINT) AS n_rare,
-       CAST(sum_cnt * 1000000 // (n_tokens * total) AS BIGINT) AS familiarity_ppm,
+       CAST(CAST(sum_cnt AS HUGEINT) * 1000000
+            // (CAST(n_tokens AS HUGEINT) * CAST(total AS HUGEINT))
+            AS BIGINT) AS familiarity_ppm,
        CAST(n_rare * 10000 // n_tokens AS BIGINT) AS rare_bp
 FROM per_doc, total
 """

@@ -389,12 +389,10 @@ QUERIES: dict[str, Query] = {
         tfidf_scores,
         TFIDF_SCORES_SQL,
         "corpus TF-IDF: two partial/final aggs + broadcast corpus size",
-        new_in_round=1,
     ),
     "hashed_tf_vectors": Query(
         hashed_tf_vectors,
         HASHED_TF_VECTORS_SQL,
         "feature hashing: 64-dim hashed TF vector per document",
-        new_in_round=1,
     ),
 }

@@ -260,24 +260,20 @@ QUERIES: dict[str, Query] = {
         events_daily_fill,
         EVENTS_DAILY_FILL_SQL,
         "daily resample: dense per-user spine, zero-fill counts, forward-fill values",
-        new_in_round=1,
     ),
     "signup_funnel": Query(
         signup_funnel,
         SIGNUP_FUNNEL_SQL,
         "ordered signup->click->purchase funnel, one row per signed-up user",
-        new_in_round=1,
     ),
     "rolling_hour_value": Query(
         rolling_hour_value,
         ROLLING_HOUR_VALUE_SQL,
         "trailing-hour RANGE-frame window per user (time-decayed features)",
-        new_in_round=1,
     ),
     "sessionize_events": Query(
         sessionize_events,
         SESSIONIZE_EVENTS_SQL,
         "per-event session-id assignment (lag gap flag + running sum)",
-        new_in_round=1,
     ),
 }

@@ -155,18 +155,15 @@ QUERIES: dict[str, Query] = {
         vocab_build,
         VOCAB_BUILD_SQL,
         "top-V vocabulary with deterministic dense ids (top-k, no global sort)",
-        new_in_round=1,
     ),
     "dataset_split": Query(
         dataset_split,
         DATASET_SPLIT_SQL,
         "reproducible md5-hash train/val/test split (map-side, shuffle-free)",
-        new_in_round=1,
     ),
     "sequence_pack_bins": Query(
         sequence_pack_bins,
         SEQUENCE_PACK_BINS_SQL,
         "concat-then-cut sequence packing via window cumsum",
-        new_in_round=1,
     ),
 }

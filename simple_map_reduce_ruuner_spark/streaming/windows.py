@@ -270,6 +270,5 @@ QUERIES: dict[str, Query] = {
         segment_event_counts,
         SEGMENT_EVENT_COUNTS_SQL,
         "stream-static enrichment (batch form): dim join + tumbling agg",
-        new_in_round=1,
     ),
 }
