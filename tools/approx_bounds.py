@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Measure the two oracle-less approximate queries against their exact
+anchors and write APPROX_BOUNDS.json at the repo root.
+
+approx_distinct_users (HLL++, rsd=0.02) and approx_percentiles (GK
+sketch, accuracy=10000) are the only registry entries without a DuckDB
+oracle — sketch internals are engine-specific by design, so the driver
+records a rows-only check. This artifact makes the local bounded-error
+evidence (the same invariants tests/test_approx_and_stubs.py asserts)
+auditable per round: observed vs exact error at sf0.01 and sf0.1.
+
+Usage: python tools/approx_bounds.py  (writes /root/repo/APPROX_BOUNDS.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+GK_ACCURACY = 10000
+HLL_REL_BOUND = 0.05
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from simple_map_reduce_ruuner_spark.operators.approx import (
+        approx_distinct_users,
+        approx_percentiles,
+        exact_distinct_users,
+    )
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    exact = {
+        r.event_type: r.n_users for r in exact_distinct_users(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    rel_errs = {
+        k: abs(approx[k] - n) / n for k, n in exact.items() if n > 0
+    }
+
+    vals = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    pct = {r.event_type: r for r in approx_percentiles(spark, sf_dir).collect()}
+    rank_errs: dict[str, float] = {}
+    n_min = None
+    for k, a in pct.items():
+        group = np.sort(vals.loc[vals.event_type == k, "value"].to_numpy())
+        n = len(group)
+        n_min = n if n_min is None else min(n_min, n)
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            cdf = np.searchsorted(group, getattr(a, col), side="right") / n
+            rank_errs[f"{k}.{col}"] = abs(cdf - q)
+
+    return {
+        "approx_distinct_users": {
+            "groups": len(exact),
+            "max_rel_err": round(max(rel_errs.values()), 6),
+            "bound": HLL_REL_BOUND,
+            "within_bound": bool(max(rel_errs.values()) <= HLL_REL_BOUND),
+        },
+        "approx_percentiles": {
+            "quantile_points": len(rank_errs),
+            "max_rank_err": round(max(rank_errs.values()), 6),
+            "bound_rank_err": round(1.0 / GK_ACCURACY + 2.0 / n_min, 6),
+            "within_bound": bool(
+                max(rank_errs.values()) <= 1.0 / GK_ACCURACY + 2.0 / n_min
+            ),
+        },
+    }
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    out = {
+        "note": (
+            "Error of the two oracle-less sketch queries vs their exact "
+            "anchors; invariants mirrored from tests/test_approx_and_stubs.py. "
+            "HLL bound is relative error on distinct counts; GK bound is in "
+            "RANK space (|empirical_cdf(answer) - q| <= 1/accuracy + 2/n)."
+        ),
+        "hll_rsd": 0.02,
+        "gk_accuracy": GK_ACCURACY,
+    }
+    ok = True
+    for sf_dir in SF_DIRS:
+        key = os.path.basename(sf_dir.rstrip("/"))
+        out[key] = measure(spark, sf_dir)
+        ok = ok and all(v["within_bound"] for v in out[key].values())
+    path = os.path.join(REPO, "APPROX_BOUNDS.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(out))
+    print(f"wrote {path}; all within bound: {ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
