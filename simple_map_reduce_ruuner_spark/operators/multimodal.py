@@ -228,7 +228,9 @@ def decode_media_stub(df: DataFrame, media_col: str = "payload") -> DataFrame:
     frame (e.g. width/height/channels or sample-rate/duration). The
     container ships no media libraries, so executing the returned plan
     raises ``NotImplementedError`` from inside the UDF — the Spark-side
-    schema and batching are real and type-checked.
+    schema and batching are real and type-checked. ``decode_image_pil``
+    below is the plugged-in version: identical plumbing, real decode
+    wherever Pillow is installed on the executors.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -237,6 +239,50 @@ def decode_media_stub(df: DataFrame, media_col: str = "payload") -> DataFrame:
             "this environment; plug a real decoder into decode_media_stub"
         )
         yield  # pragma: no cover — marks this as a generator
+
+    return df.mapInPandas(
+        decode, "doc_id long, width int, height int, channels int"
+    )
+
+
+def decode_image_pil(df: DataFrame, media_col: str = "payload") -> DataFrame:
+    """Real-codec image decode, enabled wherever Pillow is installed.
+
+    Same shape contract as ``decode_media_stub`` — mapInPandas over
+    (doc_id, binary) batches → (doc_id, width, height, channels) — but
+    with an actual decoder. PIL imports inside the UDF on the executor:
+    plan construction always succeeds, and on a cluster without Pillow
+    execution raises ``NotImplementedError`` (the documented seam), so
+    this degrades to exactly the stub's behavior in this container.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image
+        except ImportError as exc:  # container ships no codecs
+            raise NotImplementedError(
+                "decode_image_pil requires Pillow on the executors; "
+                "pip install pillow or use decode_image_fake for the "
+                "codec-free deterministic path"
+            ) from exc
+        import io
+
+        for pdf in batches:
+            doc_ids, widths, heights, channels = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[media_col]):
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    doc_ids.append(doc_id)
+                    widths.append(im.width)
+                    heights.append(im.height)
+                    channels.append(len(im.getbands()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "channels": pd.Series(channels, dtype="int32"),
+                }
+            )
 
     return df.mapInPandas(
         decode, "doc_id long, width int, height int, channels int"

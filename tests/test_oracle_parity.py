@@ -1,19 +1,26 @@
-"""Every registry query must match its DuckDB oracle at sf0.001 — the
-local mirror of the driver's t2 correctness gate."""
+"""Every registry query must match its DuckDB oracle — the local mirror
+of the driver's t2 correctness gate. Runs at sf0.001 (fast smoke) AND at
+sf0.01, the driver's actual gate scale; set SMRR_FAST=1 to skip the
+sf0.01 pass while iterating."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 from simple_map_reduce_ruuner_spark.registry import all_queries
 from tests._oracle import check_query
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 QUERY_NAMES = sorted(all_queries().keys())
+SF_DIRS = [SF_SMOKE] + ([] if os.environ.get("SMRR_FAST") else [SF_CORRECT])
 
 
+@pytest.mark.parametrize("sf", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
 @pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, sf_dir, name):
-    result = check_query(spark, sf_dir, name)
+def test_query_matches_oracle(spark, sf, name):
+    result = check_query(spark, sf, name)
     assert result["ok"], f"{name}: {result}"
 
 
