@@ -272,6 +272,12 @@ def _load_relational4() -> dict[str, Query]:
     return relational4.QUERIES
 
 
+def _load_relational5() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational5
+
+    return relational5.QUERIES
+
+
 def _load_skew_demo() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import wordcount
 
@@ -307,4 +313,5 @@ _EXTENSION_LOADERS = [
     _load_skew_demo,
     _load_textlm,
     _load_relational4,
+    _load_relational5,
 ]
