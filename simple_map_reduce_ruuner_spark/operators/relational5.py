@@ -124,22 +124,35 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unigrams in this corpus are all near-stopwords (31 tokens, median df
     ~390/500 docs), so the index terms are bigram phrases, whose df
-    distribution is index-shaped. Distinct (doc, term) pairs shuffle once
-    keyed by term; collect_set is bounded because rows with df outside
-    [POSTING_DF_MIN, POSTING_DF_MAX] are dropped — every output row stays
-    O(df_max) at any corpus size, with the heavy tail served by
-    heavy_hitter_tokens/bigram_counts instead. Postings serialize as a
-    comma-joined numerically-sorted id string (array outputs don't
+    distribution is index-shaped. Built in two phases so NO aggregation
+    buffer ever exceeds df_max ids: phase 1 computes df per term (plain
+    partial→final count — constant state) and keeps only terms with df in
+    [POSTING_DF_MIN, POSTING_DF_MAX]; phase 2 joins the pairs back to the
+    surviving terms and only then collect_sets the postings. Filtering
+    AFTER a single collect_set pass would bound the output but still
+    build corpus-sized transient sets for stopword phrases — the buffer,
+    not the row, is what OOMs at 100 TB. The tokenize+distinct runs once
+    per phase (column pruning specializes the two subtrees, so Catalyst
+    does not share the exchange): two corpus passes for bounded memory is
+    the standard index-build trade; ``.persist()`` the pairs if the
+    cluster has cache to spare. The df table broadcasts while it fits
+    and degrades to a shuffled term join beyond that. Postings serialize
+    as a comma-joined numerically-sorted id string (array outputs don't
     survive the driver's hash compare).
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("term")
     ).distinct()
-    return (
+    eligible = (
         pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df").between(POSTING_DF_MIN, POSTING_DF_MAX))
+    )
+    return (
+        pairs.join(eligible, "term")
+        .groupBy("term", "df")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
             F.concat_ws(
                 ",",
                 F.transform(
@@ -148,7 +161,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("postings"),
         )
-        .where(F.col("df").between(POSTING_DF_MIN, POSTING_DF_MAX))
+        .select("term", "df", "postings")
     )
 
 
