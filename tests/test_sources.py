@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 from simple_map_reduce_ruuner_spark.sources.formats import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
@@ -63,6 +65,23 @@ def test_csv_json_parquet_roundtrip(spark, sf_dir, tmp_path):
     pq_dir = str(tmp_path / "nation_pq")
     write_parquet(nation, pq_dir)
     assert _rows(read_parquet(spark, pq_dir), cols) == expected
+
+    orc_dir = str(tmp_path / "nation_orc")
+    write_orc(nation, orc_dir)
+    assert _rows(read_orc(spark, orc_dir), cols) == expected
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """ORC gets the same partition-pruning behavior as parquet: a filter
+    on the partition column reads only that directory."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    df = read_orc(spark, out).where("o_orderstatus = 'F'")
+    expected = orders.where("o_orderstatus = 'F'").count()
+    assert df.count() == expected
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus=F" in scan or "PartitionFilters" in scan
 
 
 def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
