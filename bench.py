@@ -86,6 +86,24 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # Noise calibration: per-query max/min rep ratio. This VM shows 2-10x
+    # CPU-steal bursts (r03 vs r04 ran identical code ±20%); publishing
+    # the observed spread lets a reader separate real regressions from
+    # machine noise when comparing rounds.
+    spreads = sorted(
+        max(xs) / min(xs)
+        for xs in samples.values()
+        if len(xs) >= 2 and min(xs) > 0
+    )
+    noise = (
+        {
+            "median_rep_spread": round(median(spreads), 3),
+            "p90_rep_spread": round(spreads[int(0.9 * (len(spreads) - 1))], 3),
+        }
+        if spreads
+        else {}
+    )
+
     # per-query ratio vs the previous round's recorded bench (>1 slower,
     # <1 faster); new queries have no entry
     vs_prev: dict[str, float] = {}
@@ -113,6 +131,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "stat": "median_round_robin",
+                "noise": noise,
                 "vs_r01": vs_prev,
             }
         )

@@ -287,3 +287,96 @@ def test_pagerank_invariants(spark, sf_dir):
     # compounded over 5 iterations
     max_loss = 5 * (n_edges + 2 * n)
     assert SCALE_FEMTO - max_loss <= total <= SCALE_FEMTO
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # custkey (small pool → overlap)
+            st.integers(min_value=0, max_value=30),  # day offset
+            st.integers(min_value=0, max_value=86399),  # seconds within day
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_bucketed_interval_join_equals_naive(spark, orders):
+    """order_followups_week's day-bucket rewrite must be EXACTLY the
+    naive non-equi join on arbitrary timestamps — including intervals
+    straddling day boundaries and same-timestamp orders (the bucket
+    trick changes the plan, never the result set)."""
+    from simple_map_reduce_ruuner_spark.operators.relational5 import WINDOW_DAYS
+
+    rows = [
+        (
+            i,
+            cust,
+            f"timestamp'2020-01-01 00:00:00' + INTERVAL {day} DAYS"
+            f" + INTERVAL {sec} SECONDS",
+        )
+        for i, (cust, day, sec) in enumerate(orders)
+    ]
+    if not rows:
+        return
+    sel = ", ".join(
+        f"({k}L, {c}L, CAST({ts_expr} AS TIMESTAMP_NTZ))" for k, c, ts_expr in rows
+    )
+    df = spark.sql(
+        f"SELECT * FROM VALUES {sel} AS t(o_orderkey, o_custkey, o_orderdate)"
+    ).withColumn("o_totalprice", F.col("o_orderkey").cast("double"))
+
+    windows = df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('DAY', o_orderdate),"
+                f" date_trunc('DAY', o_orderdate + INTERVAL {WINDOW_DAYS} DAYS),"
+                " INTERVAL 1 DAY)"
+            )
+        ).alias("day"),
+    )
+    points = df.select(
+        F.col("o_orderkey").alias("f_orderkey"),
+        F.col("o_custkey").alias("f_custkey"),
+        F.col("o_orderdate").alias("f_orderdate"),
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+    )
+    bucketed = (
+        windows.join(
+            points,
+            on=[windows.o_custkey == points.f_custkey, windows.day == points.day],
+        )
+        .where(
+            (F.col("f_orderdate") >= F.col("o_orderdate"))
+            & (
+                F.col("f_orderdate")
+                < F.col("o_orderdate") + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS")
+            )
+            & (F.col("f_orderkey") != F.col("o_orderkey"))
+        )
+        .select("o_orderkey", "f_orderkey")
+    )
+    a = df.select("o_orderkey", "o_custkey", "o_orderdate")
+    b = df.select(
+        F.col("o_orderkey").alias("f_orderkey"),
+        F.col("o_custkey").alias("f_custkey"),
+        F.col("o_orderdate").alias("f_orderdate"),
+    )
+    naive = a.join(
+        b,
+        (a.o_custkey == b.f_custkey)
+        & (b.f_orderdate >= a.o_orderdate)
+        & (b.f_orderdate < a.o_orderdate + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS"))
+        & (b.f_orderkey != a.o_orderkey),
+    ).select("o_orderkey", "f_orderkey")
+    got = sorted(map(tuple, bucketed.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
