@@ -1,0 +1,130 @@
+"""Spark 4 SQL-surface operators: the VARIANT semi-structured type and
+recursive CTEs.
+
+Neither exists in the reference (its only "semi-structured" handling is
+user-code string splitting — exampleCodes/*/mapper.*), and both are
+recent additions to the public Spark SQL surface that a 100 TB pipeline
+wants:
+
+- ``props_variant_bins`` — parses the ``events.props`` JSON column into
+  a VARIANT once and histograms ``$.k``. VARIANT is the right
+  semi-structured representation at scale: parse once at ingest, then
+  typed ``variant_get`` access without re-parsing strings per
+  expression (the ``get_json_object`` twin ``props_json_stats`` in
+  relational4.py re-parses per call site).
+- ``part_hierarchy_rollup`` — ``WITH RECURSIVE`` hierarchy traversal:
+  every part walks its ancestor chain in the decimal-digit tree
+  (parent = key div 10, a 5-7 level hierarchy over real keys) to its
+  single-digit root. Spark 4.1 recursion supports UNION ALL only
+  (UNION-distinct fixpoints — e.g. transitive closure over the CYCLIC
+  near-dup graph — raise UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, which
+  is why ``dedup.neardup_clusters`` keeps its iterative
+  min-label-propagation loop as the closure path). Tree walks are the
+  recursion shape UNION ALL handles exactly: unique paths, no
+  re-visits, depth bounded by the hierarchy. The SQL string is
+  dialect-shared — the SAME text runs on Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+K_BIN_WIDTH = 10
+
+
+def props_variant_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, k_bin, n_events, min_k, max_k): histogram of the
+    variant-extracted ``$.k`` field in K_BIN_WIDTH-wide bins.
+
+    ``parse_json`` produces a VARIANT value; ``variant_get`` reads a
+    typed path out of the binary-encoded variant without string
+    re-parsing. Missing/unparseable keys land in a NULL bin, preserved
+    (count them rather than silently dropping — curation needs the
+    missing-rate). One partial→final hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.when(
+                F.col("k").isNotNull(), F.col("k") - (F.col("k") % K_BIN_WIDTH)
+            ).alias("k_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+PROPS_VARIANT_BINS_SQL = f"""
+WITH ex AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CASE WHEN k IS NOT NULL THEN k - (k % {K_BIN_WIDTH}) END AS k_bin,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ex
+GROUP BY 1, 2
+"""
+
+
+# Shared dialect-portable recursion: anchor every part at itself, follow
+# parent = floor(node/10) until the single-digit root; one row per
+# (part, ancestor). Depth ≤ digits(key) — terminates without UNION
+# distinct; floor()/CAST behave identically on Spark and DuckDB.
+PART_HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE walk(p_partkey, node, depth) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    UNION ALL
+    SELECT w.p_partkey, CAST(floor(w.node / 10) AS BIGINT), w.depth + 1
+    FROM walk w
+    WHERE w.node >= 10
+)
+SELECT p_partkey,
+       CAST(min(node) AS BIGINT) AS root,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM walk
+GROUP BY p_partkey
+"""
+
+
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, root, depth): each part's single-digit root ancestor
+    and chain length in the decimal-digit hierarchy (parent = key div
+    10) — the BOM/org-chart traversal shape as one recursive query.
+
+    min(node) over the walk is the last (smallest, single-digit) node on
+    the strictly-decreasing ancestor chain; max(depth) is its length.
+    Runs the SAME SQL text on Spark (view registered here) and DuckDB
+    (driver-registered ``part`` view). UNION ALL recursion is exact on
+    trees: every (part, ancestor) path is unique, so no fixpoint dedup
+    is needed and the recursion depth is digits(maxkey) ≈ 6 at any SF.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(PART_HIERARCHY_ROLLUP_SQL)
+
+
+QUERIES: dict[str, Query] = {
+    "props_variant_bins": Query(
+        props_variant_bins,
+        PROPS_VARIANT_BINS_SQL,
+        "VARIANT semi-structured access: parse once, typed variant_get",
+    ),
+    "part_hierarchy_rollup": Query(
+        part_hierarchy_rollup,
+        PART_HIERARCHY_ROLLUP_SQL,
+        "WITH RECURSIVE hierarchy walk (dialect-shared SQL text)",
+    ),
+}

@@ -278,6 +278,12 @@ def _load_relational5() -> dict[str, Query]:
     return relational5.QUERIES
 
 
+def _load_sql4() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import sql4
+
+    return sql4.QUERIES
+
+
 def _load_skew_demo() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import wordcount
 
@@ -314,4 +320,5 @@ _EXTENSION_LOADERS = [
     _load_textlm,
     _load_relational4,
     _load_relational5,
+    _load_sql4,
 ]
