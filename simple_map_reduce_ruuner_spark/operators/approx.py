@@ -84,10 +84,12 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only sketch queries are registered with oracle=None; the registry
-# orders those last so a driver-side query cap trims the weakest checks
-# first (r1 evidence: the driver recorded exactly the first 50 dict
-# entries, dropping value_percentiles which then sat in slot 51).
+# Rows-only sketch queries are registered with oracle=None (the driver
+# records a weaker rows-only check for them); their bounded-error
+# evidence vs the exact anchors is measured per round into
+# APPROX_BOUNDS.json (tools/approx_bounds.py) and asserted by
+# tests/test_approx_and_stubs.py. Gate ordering is the registry-wide
+# least-recently-verified sweep (registry.all_queries).
 QUERIES: dict[str, Query] = {
     "exact_distinct_users": Query(
         exact_distinct_users, EXACT_DISTINCT_USERS_SQL, "exact distinct counts"
