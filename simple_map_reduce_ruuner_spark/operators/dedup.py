@@ -36,7 +36,7 @@ from simple_map_reduce_ruuner_spark.functions.hashing import (
 )
 from simple_map_reduce_ruuner_spark.functions.text import norm_text, word_shingles
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.20
@@ -81,8 +81,10 @@ GROUP BY 1
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) — distinct k-word shingles per document.
+    spread_scan: the shingle transform is interpreted (HOF), so the
+    under-split local scan would serialize it on one core."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",
@@ -187,7 +189,7 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash signature building AND LSH-verify scoring — identical
     subplans let Spark reuse the exchange instead of recomputing.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",

@@ -31,14 +31,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 DAY_SECONDS = 86_400  # domain bound, finding_peek_numbers/mapper.cpp:16
 
 
 def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → (op, number, start_sec, end_sec), inclusive bounds."""
-    ev = load_table(spark, sf_dir, "events")
+    """events → (op, number, start_sec, end_sec), inclusive bounds.
+    spread_scan: the second-granular interval explode downstream is the
+    CPU hot spot; a one-split local scan would serialize it."""
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
     start = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
     ).alias("start_sec")

@@ -41,7 +41,7 @@ from simple_map_reduce_ruuner_spark.operators.relational import (
 )
 from simple_map_reduce_ruuner_spark.functions.text import word_shingles
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 WINDOW_DAYS = 7
 POSTING_DF_MIN = 2
@@ -140,7 +140,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a comma-joined numerically-sorted id string (array outputs don't
     survive the driver's hash compare).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pairs = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("term")
     ).distinct()

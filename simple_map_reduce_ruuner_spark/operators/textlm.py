@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
 from simple_map_reduce_ruuner_spark.functions.text import norm_text, tokens, word_shingles
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 _TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
 _TOK_ROWS_SQL = f"SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents"
@@ -79,7 +79,7 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors this with HUGEINT. Both operands are exact integers and
     non-negative, so DIV (truncating) == floor division on both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
@@ -131,7 +131,7 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams assemble JVM-side from the token array (word_shingles k=2,
     no self-join on position); one partial/final agg keyed by bigram.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     big = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
     )
@@ -174,7 +174,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per output row on an exact integer ratio (the tfidf determinism
     pattern).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     d = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .distinct()

@@ -36,6 +36,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition an under-split scan so CPU-heavy per-row work uses
+    every core — a NO-OP whenever the scan already has enough splits.
+
+    Why it exists: the tokenize/shingle/interval-explode stages are
+    interpreted higher-order functions (transform/filter don't enter
+    whole-stage codegen), so they cost multi-second CPU even on small
+    inputs — and a parquet file below maxPartitionBytes with one row
+    group is ONE input split, serializing that stage on a single core
+    while the other 31 idle. Measured at sf0.1: bigram explode 5 s on
+    one task. At production scale inputs have thousands of row
+    groups/files, the partition count exceeds defaultParallelism, and
+    this returns the scan unchanged — the repartition only fires in the
+    small-file regime, where the exchange it adds moves megabytes.
+    Filters/pruning still reach the scan (Catalyst pushes them through
+    Repartition).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
     Read the raw INT64 nanos via the legacy conf, then convert to a
