@@ -40,7 +40,7 @@ from simple_map_reduce_ruuner_spark.operators.textstats import (
 )
 from simple_map_reduce_ruuner_spark.operators.relational import dsum
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 CHUNK_LEN = 200
 CHUNK_STRIDE = 150
@@ -84,7 +84,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     1, 1+stride, 2*stride+1, ...; the final chunk is short. Output is
     (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) — the text
     itself never leaves the executor, so the shuffle carries ~40 bytes
-    per chunk regardless of chunk width.
+    per chunk regardless of chunk width. No spread_scan here: the
+    operator's contract is shuffle-FREE (plan-pinned), and its per-row
+    work is md5/substring (codegen), not an interpreted HOF.
     """
     docs = load_table(spark, sf_dir, "documents")
     starts = F.sequence(
@@ -130,7 +132,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (doc_id, token-or-bigram, count) partial rows, never
     full documents.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
 
     uni = (

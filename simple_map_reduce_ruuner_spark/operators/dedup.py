@@ -384,7 +384,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two. Token multiplicity counts (standard SimHash weighting by
     term frequency).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     from simple_map_reduce_ruuner_spark.functions.text import tokens
 
     tok = docs.select(

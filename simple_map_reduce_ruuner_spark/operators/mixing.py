@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
 from simple_map_reduce_ruuner_spark.functions.text import chars, tokens, word_shingles
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 → held-out "benchmark" slice
 CONTAM_K = 5  # n-gram width for contamination (8-13 typical; 5 fits fixtures)
@@ -51,7 +51,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join key is the 60-bit shingle hash, so the broadcast build side
     carries 8-byte keys, not text.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), CONTAM_K)).alias("shingle"),
@@ -101,7 +101,7 @@ GROUP BY doc_id
 
 def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, lang): docs, tokens, and token share of the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     per = (
         docs.select("source", "lang", F.size(tokens(F.col("text"))).alias("nt"))
         .groupBy("source", "lang")
@@ -139,7 +139,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm uses BIGINT floor division, so the output is integer-exact;
     the 1-row corpus total is broadcast onto the counts.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -177,7 +177,7 @@ WHERE cnt * {HH_K} > total
 
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of each document's character distribution."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     per_char = (
         docs.select("doc_id", F.explode(chars(F.col("text"))).alias("ch"))
         .groupBy("doc_id", "ch")

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
 from simple_map_reduce_ruuner_spark.functions.text import tokens
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 VOCAB_SIZE = 1000
 SPLIT_BUCKETS = 1000  # md5 bucket space
@@ -49,7 +49,7 @@ PACK_CAPACITY = 2048  # tokens per packed bin
 
 
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
