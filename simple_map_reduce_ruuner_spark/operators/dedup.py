@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import (
@@ -789,6 +789,102 @@ WHERE CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
 NEARDUP_EMBEDDING_LSH_SQL = _neardup_embedding_lsh_sql()
 
 
+
+
+def neardup_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, max_run, lcs_tokens): longest shared token span per
+    LSH candidate pair — substring-level duplication, the signal behind
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": verbatim spans matter, not just
+    whole-document similarity).
+
+    A run of R consecutive positions where both documents' k-shingles
+    agree certifies a common token substring of R + k - 1 tokens.
+    Distributed shape: positional shingle hashes join only the LSH
+    candidate pairs (never all pairs), then the classic gaps-and-islands
+    trick finds maximal runs — matches on one alignment share
+    pa - pb (the diagonal), and within a diagonal consecutive pa values
+    share pa - row_number(); window partitions are per (pair, diagonal),
+    bounded by document length. Everything is candidate-bounded: the
+    corpus-wide positional table shuffles once per side, keyed by doc.
+    """
+    pos_sh = (
+        spread_scan(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("text"), SHINGLE_K)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .select("doc_id", "pos", hash60(F.col("shingle")).alias("h"))
+    )
+    cand = neardup_minhash_lsh(spark, sf_dir)
+    a = pos_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = pos_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    m = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run").cast("long").alias("max_run"),
+        (F.max("run") + SHINGLE_K - 1).cast("long").alias("lcs_tokens"),
+    )
+
+
+def _shared_span_sql() -> str:
+    return f"""
+WITH cand AS ({NEARDUP_MINHASH_LSH_SQL.strip()}),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+pos_sh AS (
+    SELECT doc_id,
+           unnest([
+               {{'pos': i, 'sh': array_to_string(t[i : i + {SHINGLE_K - 1}], ' ')}}
+               for i in range(1, greatest(len(t) - {SHINGLE_K - 1}, 1) + 1)
+           ], recursive := true)
+    FROM toks
+),
+hashed AS (SELECT doc_id, pos, {hash60_sql('sh')} AS h FROM pos_sh),
+m AS (
+    SELECT c.doc_a, c.doc_b, a.pos AS pa, a.pos - b.pos AS diag
+    FROM cand c
+    JOIN hashed a ON a.doc_id = c.doc_a
+    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+),
+isl AS (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS island
+    FROM m
+),
+runs AS (
+    SELECT doc_a, doc_b, count(*) AS run
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       CAST(max(run) AS BIGINT) AS max_run,
+       CAST(max(run) + {SHINGLE_K} - 1 AS BIGINT) AS lcs_tokens
+FROM runs GROUP BY 1, 2
+"""
+
+
+NEARDUP_SHARED_SPAN_SQL = _shared_span_sql()
+
+
 QUERIES: dict[str, Query] = {
     "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, "hash-groupBy exact dedup"),
     "neardup_embedding": Query(
@@ -821,6 +917,11 @@ QUERIES: dict[str, Query] = {
         neardup_lsh_verified,
         NEARDUP_LSH_VERIFIED_SQL,
         "LSH candidates + exact Jaccard verify (production near-dedup)",
+    ),
+    "neardup_shared_span": Query(
+        neardup_shared_span,
+        NEARDUP_SHARED_SPAN_SQL,
+        "longest shared token span per LSH candidate (substring dedup signal)",
     ),
     "neardup_embedding_lsh": Query(
         neardup_embedding_lsh,

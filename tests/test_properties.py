@@ -380,3 +380,32 @@ def test_bucketed_interval_join_equals_naive(spark, orders):
     got = sorted(map(tuple, bucketed.collect()))
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+def test_shared_span_finds_known_substring(spark, tmp_path):
+    """Two documents sharing exactly one verbatim 8-token run (and
+    enough other overlap to be LSH candidates) must report
+    lcs_tokens == 8; an unrelated doc must not pair with them."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    d1 = shared + " xray yankee zulu one two three"
+    d2 = "nine eight " + shared + " seven six five four"
+    d3 = "completely different words entirely unrelated content here okay"
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2)),
+         (3, d3, "en", "s", len(d3))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        SHINGLE_K,
+        neardup_shared_span,
+    )
+
+    rows = {(r.doc_a, r.doc_b): r for r in neardup_shared_span(spark, sf_dir).collect()}
+    assert all(k == (1, 2) for k in rows), rows
+    if (1, 2) in rows:  # pair is an LSH candidate with these planted dups
+        r = rows[(1, 2)]
+        # 8 shared tokens -> 8 - K + 1 aligned shingles -> lcs = 8
+        assert r.max_run == 8 - SHINGLE_K + 1
+        assert r.lcs_tokens == 8
