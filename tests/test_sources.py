@@ -193,3 +193,38 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_python_datasource_chunked_text(spark, tmp_path):
+    """The Spark 4 Python DataSource twin of read_text_chunked: same rows
+    as the built-in text reader, multiple planned partitions, no torn or
+    duplicated lines at chunk boundaries."""
+    from simple_map_reduce_ruuner_spark.sources.pytext_source import (
+        ChunkedTextDataSource,
+    )
+
+    path = tmp_path / "corpus.txt"
+    lines = [f"line-{i:05d} " + "x" * (i % 97) for i in range(5000)]
+    path.write_text("\n".join(lines) + "\n")
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    df = (
+        spark.read.format("smrr_chunked_text")
+        .option("path", str(path))
+        .option("chunk_mb", "0.05")  # ~51 KB chunks -> many partitions
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 1
+    got = sorted(r.value for r in df.collect())
+    assert got == sorted(lines)
+
+    # byte-0 edge: an empty file yields zero rows, not a crash
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    assert (
+        spark.read.format("smrr_chunked_text")
+        .option("path", str(empty))
+        .load()
+        .count()
+        == 0
+    )
