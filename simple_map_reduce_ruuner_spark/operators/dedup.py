@@ -379,10 +379,16 @@ SIMHASH_BITS = 60  # our portable hash has 60 usable bits
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over token hashes.
 
-    explode(tokens) × explode(bits) stays JVM-side; the per-bit vote is a
-    sum aggregate, then bits reassemble with a dot-product against powers
-    of two. Token multiplicity counts (standard SimHash weighting by
-    term frequency).
+    Order of operations is the scale design: FIRST collapse occurrences
+    to per-(doc, token-hash) counts (vocabulary-bounded), THEN explode
+    the 60 bit positions of those collapsed rows for the vote sums — the
+    bit explosion multiplies vocab-sized rows, never the corpus token
+    table. This formulation also keeps the plan at a handful of
+    expressions; the previous 60-wide-column aggregate computed the same
+    votes but its 120-expression plan cost ~1 s of driver-side analysis
+    per call (measured — execution was fine, planning wasn't). The
+    reassembly is total: a doc whose votes are all negative emits
+    simhash 0 rather than vanishing.
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     from simple_map_reduce_ruuner_spark.functions.text import tokens
@@ -390,31 +396,35 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
-    # Single pass, no bit-explosion: first collapse to per-(doc, token-hash)
-    # counts (vocabulary-bounded), then 60 SUM aggregates — one per bit —
-    # computed in one wide aggregation. The alternative (explode 60 bit
-    # rows per token) multiplies the token table by 60 before shuffling.
     tok_counts = (
         tok.select("doc_id", hash60(F.col("token")).alias("h"))
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    bit_votes = [
-        F.sum(
-            F.col("cnt")
-            * F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    wide = tok_counts.groupBy("doc_id").agg(*bit_votes)
-    simhash_expr = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    votes = (
+        tok_counts.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
         )
-        simhash_expr = term if simhash_expr is None else simhash_expr + term
-    return wide.select("doc_id", simhash_expr.alias("simhash"))
+        .select(
+            "doc_id",
+            "bit",
+            F.expr(
+                "cnt * (CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END)"
+            ).alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN vote > 0"
+            " THEN shiftleft(CAST(1 AS BIGINT), bit)"
+            " ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+        ).alias("simhash")
+    )
 
 
 SIMHASH_SQL = f"""
@@ -430,9 +440,10 @@ votes AS (
     FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
     GROUP BY doc_id, bit
 )
-SELECT doc_id, CAST(SUM(1::BIGINT << bit) AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote_sum > 0 THEN 1::BIGINT << bit ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes
-WHERE vote_sum > 0
 GROUP BY doc_id
 """
 
