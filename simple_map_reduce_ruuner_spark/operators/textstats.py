@@ -315,25 +315,34 @@ def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = tok.select(
         "doc_id", F.pmod(hash60(F.col("token")), F.lit(HASH_DIM)).alias("b")
     ).groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    dims = [
-        F.coalesce(
-            F.sum(F.when(F.col("b") == i, F.col("cnt"))), F.lit(0)
-        ).cast("long").alias(f"d{i}")
-        for i in range(HASH_DIM)
-    ]
-    wide = bucketed.groupBy("doc_id").agg(*dims)
-    vec = F.array(*[F.col(f"d{i}") for i in range(HASH_DIM)])
-    l2 = F.sqrt(
-        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    # Densify via a bucket->count map + one transform over [0, HASH_DIM):
+    # identical output to the previous 64-wide-column aggregate, but the
+    # plan stays at a handful of expressions — the wide form cost ~1 s of
+    # driver-side analysis per call (same finding as dedup.simhash).
+    sparse = bucketed.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("b"), F.collect_list("cnt")
+        ).alias("m")
     )
-    return wide.select(
-        "doc_id",
-        F.concat_ws(",", *[F.col(f"d{i}").cast("string") for i in range(HASH_DIM)]).alias(
-            "features"
-        ),
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_DIM - 1)),
+        # try_element_at: NULL (not ANSI error) on absent buckets
+        lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0)).cast("long"),
+    )
+    withv = sparse.select("doc_id", dense.alias("vec"))
+    l2 = F.sqrt(
         F.aggregate(
-            vec, F.lit(0).cast("long"), lambda acc, x: acc + (x > 0).cast("long")
-        ).alias("nnz"),
+            F.col("vec"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return withv.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("vec"), lambda x: x.cast("string"))
+        ).alias("features"),
+        F.size(F.filter(F.col("vec"), lambda x: x > 0)).cast("long").alias("nnz"),
         F.round(l2, 6).alias("l2"),
     )
 
