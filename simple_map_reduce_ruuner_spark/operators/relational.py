@@ -36,8 +36,15 @@ def dsum_sql(expr: str) -> str:
 
 
 def as_money(col: Column) -> Column:
-    """Decimal aggregate → rounded double output column."""
-    return F.round(col.cast("double"), 2)
+    """Decimal aggregate → rounded double output column.
+
+    Rounds the DECIMAL first (exact, HALF_UP — DuckDB's decimal round
+    is identical, negative ties included) and only then casts to double.
+    Rounding after the cast is engine-divergent at exact half-cent sums:
+    Spark rounds the double's shortest decimal repr ("…485" → .49) while
+    DuckDB rounds the binary value ("…48499999…" → .48).
+    """
+    return F.round(col, 2).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -66,10 +73,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(CAST({dsum_sql('l_quantity')} AS DOUBLE), 2) AS sum_qty,
-       ROUND(CAST({dsum_sql('l_extendedprice')} AS DOUBLE), 2) AS sum_base_price,
-       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2) AS sum_disc_price,
-       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS DOUBLE), 2) AS sum_charge,
+       CAST(ROUND({dsum_sql('l_quantity')}, 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND({dsum_sql('l_extendedprice')}, 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND({dsum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND({dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -101,7 +108,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_BY_NATION_SQL = f"""
 SELECT n_name,
-       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2) AS revenue
+       CAST(ROUND({dsum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -131,7 +138,7 @@ def top_suppliers_revenue(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
 
 TOP_SUPPLIERS_REVENUE_SQL = f"""
 SELECT s_suppkey, s_name,
-       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2) AS revenue
+       CAST(ROUND({dsum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name
 ORDER BY revenue DESC, s_suppkey ASC
@@ -235,11 +242,11 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSTOMER_RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
            PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE), 2) AS running_total
+       ), 2) AS DOUBLE) AS running_total
 FROM orders
 """
 
@@ -264,7 +271,7 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_STATUS_ROLLUP_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       ROUND(CAST({dsum_sql('o_totalprice')} AS DOUBLE), 2) AS total
+       CAST(ROUND({dsum_sql('o_totalprice')}, 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """

@@ -82,7 +82,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_ORDER_STATS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       ROUND(CAST({dsum_sql('o_totalprice')} AS DOUBLE), 2) AS total
+       CAST(ROUND({dsum_sql('o_totalprice')}, 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -150,7 +150,7 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUPPLIER_PART_VOLUME_SQL = f"""
 WITH agg AS (
     SELECT l_suppkey, l_partkey,
-           ROUND(CAST({dsum_sql('l_quantity')} AS DOUBLE), 2) AS total_qty,
+           CAST(ROUND({dsum_sql('l_quantity')}, 2) AS DOUBLE) AS total_qty,
            count(*) AS n_lines
     FROM lineitem GROUP BY 1, 2
 ),
@@ -369,7 +369,7 @@ def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_STATS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       ROUND(CAST({dsum_sql('o_totalprice')} AS DOUBLE), 2) AS total
+       CAST(ROUND({dsum_sql('o_totalprice')}, 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """

@@ -63,7 +63,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPPING_PRIORITY_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(CAST({dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 2)
+       CAST(ROUND({dsum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS DOUBLE)
            AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -161,7 +161,7 @@ WITH per_nation AS (
     GROUP BY n_name
 )
 SELECT n_name,
-       ROUND(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+       CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
        ROUND(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE) * 100,
              6) AS share_pct
 FROM per_nation

@@ -107,7 +107,7 @@ def order_followups_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_FOLLOWUPS_WEEK_SQL = f"""
 SELECT o.o_orderkey, o.o_custkey,
        CAST(count(*) AS BIGINT) AS n_followups,
-       ROUND(CAST({dsum_sql('f.o_totalprice')} AS DOUBLE), 2) AS followup_value
+       CAST(ROUND({dsum_sql('f.o_totalprice')}, 2) AS DOUBLE) AS followup_value
 FROM orders o
 JOIN orders f
   ON f.o_custkey = o.o_custkey

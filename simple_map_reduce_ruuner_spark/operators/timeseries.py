@@ -30,7 +30,7 @@ def events_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(dsum(F.col("value")).cast("double"), 2).alias("day_value"),
+        F.round(dsum(F.col("value")), 2).cast("double").alias("day_value"),
     )
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -60,7 +60,7 @@ EVENTS_DAILY_FILL_SQL = f"""
 WITH daily AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
            count(*) AS n,
-           ROUND(CAST({dsum_sql("value")} AS DOUBLE), 2) AS day_value
+           CAST(ROUND({dsum_sql("value")}, 2) AS DOUBLE) AS day_value
     FROM events GROUP BY 1, 2
 ),
 spans AS (
@@ -183,16 +183,16 @@ def rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double"), 2
-        ).alias("value_last_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")).over(w), 2)
+        .cast("double")
+        .alias("value_last_hour"),
     )
 
 
 ROLLING_HOUR_VALUE_SQL = """
 SELECT event_id, user_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE)
            AS value_last_hour
 FROM events
 WINDOW w AS (

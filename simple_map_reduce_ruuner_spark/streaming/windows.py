@@ -36,7 +36,7 @@ SESSION_GAP_SECONDS = 4 * 3600
 
 
 def _dsum(col: Column) -> Column:
-    return F.round(F.sum(col.cast("decimal(30,6)")).cast("double"), 2)
+    return F.round(F.sum(col.cast("decimal(30,6)")), 2).cast("double")
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +52,7 @@ TUMBLING_COUNTS_SQL = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
        event_type,
        count(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
