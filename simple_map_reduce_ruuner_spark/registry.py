@@ -284,6 +284,12 @@ def _load_sql4() -> dict[str, Query]:
     return sql4.QUERIES
 
 
+def _load_relational6() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational6
+
+    return relational6.QUERIES
+
+
 def _load_skew_demo() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import wordcount
 
@@ -321,4 +327,5 @@ _EXTENSION_LOADERS = [
     _load_relational4,
     _load_relational5,
     _load_sql4,
+    _load_relational6,
 ]
