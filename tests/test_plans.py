@@ -368,3 +368,64 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_volume_shipping_one_fact_shuffle_join(spark, sf_dir):
+    """Q7 shape: lineitem ⋈ orders is the only non-broadcast join; both
+    nation lookups ride along as broadcasts, and there is no cartesian."""
+    from simple_map_reduce_ruuner_spark.operators import relational6
+
+    plan = plan_of(relational6.volume_shipping(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    n_smj = plan.count("SortMergeJoin")
+    n_shj = plan.count("ShuffledHashJoin")
+    assert n_smj + n_shj <= 1, plan[:2000]
+
+
+def test_large_quantity_orders_aggregates_before_joining(spark, sf_dir):
+    """Q18 shape: the HAVING aggregate runs on lineitem FIRST (partial→
+    final), and the survivor set joins orders/customer via broadcast —
+    the fact table is never shuffled against a dimension."""
+    from simple_map_reduce_ruuner_spark.operators import relational6
+
+    plan = plan_of(relational6.large_quantity_orders(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_part_supplier_counts_anti_join_is_broadcast(spark, sf_dir):
+    """Q16 shape: the NOT-IN exclusion runs as a broadcast LEFT ANTI
+    join; the distinct-count aggregate still combines map-side."""
+    from simple_map_reduce_ruuner_spark.operators import relational6
+
+    plan = plan_of(relational6.part_supplier_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_rich_customers_scalar_threshold_broadcast(spark, sf_dir):
+    """Q22 shape: the 1-row average-balance aggregate broadcasts (a
+    nested-loop join over one row is free); the urgent-orders anti join
+    is also broadcast, with the priority filter pushed to the scan."""
+    from simple_map_reduce_ruuner_spark.operators import relational6
+
+    plan = plan_of(relational6.idle_rich_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_regional_market_share_single_fact_pass(spark, sf_dir):
+    """Q8 shape: the share ratio comes from conditional aggregates over
+    ONE pass — exactly one lineitem scan in the plan."""
+    from simple_map_reduce_ruuner_spark.operators import relational6
+
+    plan = plan_of(relational6.regional_market_share(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert sum("l_extendedprice" in ln for ln in scans) == 1, scans
+    assert len(scans) == 5  # lineitem, orders, supplier, nation, region — once each
+    assert "CartesianProduct" not in plan
