@@ -55,21 +55,29 @@ SHARE_REGION = "ASIA"
 EXCLUDE_REGION = "AFRICA"
 
 
-def _supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(s_suppkey, supp_nation, supp_region): supplier → nation/region
-    names, a ≤10k-row broadcast side at any SF."""
+def _supplier_nation(
+    spark: SparkSession, sf_dir: str, with_region: bool = False
+) -> DataFrame:
+    """(s_suppkey, supp_nation[, supp_region]): supplier → nation (and
+    optionally region) names, a ≤10k-row broadcast side at any SF.
+
+    region is opt-in: it's an inner join Catalyst cannot eliminate
+    (join-elimination needs declared FKs), so queries that only group by
+    nation would otherwise drag a dead broadcast join through the plan.
+    """
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select(
-            "s_suppkey",
-            F.col("n_name").alias("supp_nation"),
-            F.col("r_name").alias("supp_region"),
-        )
+    joined = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     )
+    cols = ["s_suppkey", F.col("n_name").alias("supp_nation")]
+    if with_region:
+        region = load_table(spark, sf_dir, "region")
+        joined = joined.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        cols.append(F.col("r_name").alias("supp_region"))
+    return joined.select(*cols)
 
 
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +142,7 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    supp = _supplier_nation(spark, sf_dir)
+    supp = _supplier_nation(spark, sf_dir, with_region=True)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     in_region = F.when(F.col("supp_region") == SHARE_REGION, revenue).otherwise(
         F.lit(0.0)
@@ -318,7 +326,7 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    excluded = _supplier_nation(spark, sf_dir).where(
+    excluded = _supplier_nation(spark, sf_dir, with_region=True).where(
         F.col("supp_region") == EXCLUDE_REGION
     ).select("s_suppkey")
     return (
