@@ -173,6 +173,101 @@ FROM ranked WHERE rank <= {SOURCE_CAP_K}
 """
 
 
+FUNNEL_MIN_CHARS = 100
+FUNNEL_LANGS = ("en", "de", "es", "fr")
+
+
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, stage_name, n_docs): survivor counts after each curation
+    stage — the funnel report every production pipeline publishes next
+    to its output corpus.
+
+    Stages are CUMULATIVE (each includes all prior predicates): total →
+    length floor → target languages → quality floor → exact-dedup
+    canonical. Near-dedup is deliberately not a stage: the funnel is a
+    monitoring query and should stay cheap next to ``corpus_clean``,
+    which already runs the full chain.
+
+    Plan: one conditional aggregate over documents ⋈ quality ⋈ dedup
+    keepers — the five counts come from a SINGLE pass (sum-of-CASE, the
+    same single-pass trick as ``regional_market_share``), then a 1-row
+    ``stack`` unpivots to the report shape. No per-stage rescans.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    keepers = exact_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("is_canonical")
+    )
+    j = docs.join(quality, "doc_id").join(keepers, "doc_id", "left")
+    c1 = F.col("n_chars") >= FUNNEL_MIN_CHARS
+    c2 = c1 & F.col("lang").isin(*FUNNEL_LANGS)
+    c3 = c2 & (F.col("quality") >= QUALITY_FLOOR)
+    c4 = c3 & F.col("is_canonical").isNotNull()
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum(c1.cast("long")).alias("c1"),
+        F.sum(c2.cast("long")).alias("c2"),
+        F.sum(c3.cast("long")).alias("c3"),
+        F.sum(c4.cast("long")).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 0, 'total', c0,"
+            " 1, 'min_length', c1,"
+            " 2, 'target_lang', c2,"
+            " 3, 'quality', c3,"
+            " 4, 'exact_unique', c4) AS (stage, stage_name, n_docs)"
+        )
+    ).select(
+        F.col("stage").cast("long").alias("stage"),
+        "stage_name",
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def _funnel_langs_sql() -> str:
+    return ", ".join(f"'{lang}'" for lang in FUNNEL_LANGS)
+
+
+FILTER_FUNNEL_SQL = f"""
+WITH quality AS ({QUALITY_SCORE_SQL.strip()}),
+exact AS ({EXACT_DEDUP_SQL.strip()}),
+j AS (
+    SELECT d.doc_id, d.lang, d.n_chars, q.quality,
+           (e.keep_doc_id IS NOT NULL) AS is_canonical
+    FROM documents d
+    JOIN quality q USING (doc_id)
+    LEFT JOIN exact e ON e.keep_doc_id = d.doc_id
+),
+agg AS (
+    SELECT
+        count(*) AS c0,
+        sum(CASE WHEN n_chars >= {FUNNEL_MIN_CHARS} THEN 1 ELSE 0 END) AS c1,
+        sum(CASE WHEN n_chars >= {FUNNEL_MIN_CHARS}
+                  AND lang IN ({_funnel_langs_sql()}) THEN 1 ELSE 0 END) AS c2,
+        sum(CASE WHEN n_chars >= {FUNNEL_MIN_CHARS}
+                  AND lang IN ({_funnel_langs_sql()})
+                  AND quality >= {QUALITY_FLOOR} THEN 1 ELSE 0 END) AS c3,
+        sum(CASE WHEN n_chars >= {FUNNEL_MIN_CHARS}
+                  AND lang IN ({_funnel_langs_sql()})
+                  AND quality >= {QUALITY_FLOOR}
+                  AND is_canonical THEN 1 ELSE 0 END) AS c4
+    FROM j
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name, CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+    SELECT 0 AS stage, 'total' AS stage_name, c0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'min_length', c1 FROM agg
+    UNION ALL SELECT 2, 'target_lang', c2 FROM agg
+    UNION ALL SELECT 3, 'quality', c3 FROM agg
+    UNION ALL SELECT 4, 'exact_unique', c4 FROM agg
+)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "corpus_clean": Query(
         corpus_clean,
@@ -188,5 +283,10 @@ QUERIES: dict[str, Query] = {
         source_quality_cap,
         SOURCE_QUALITY_CAP_SQL,
         "top-K docs per source by quality (per-provider budget cap)",
+    ),
+    "filter_funnel": Query(
+        filter_funnel,
+        FILTER_FUNNEL_SQL,
+        "per-stage survivor counts of the curation funnel, single pass",
     ),
 }

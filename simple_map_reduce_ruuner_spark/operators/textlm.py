@@ -384,6 +384,71 @@ FROM by_bucket, total
 """
 
 
+def token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, n_novel, novelty): per document, the fraction
+    of its distinct bigrams whose corpus-wide FIRST occurrence (minimum
+    doc_id, the ingestion-order proxy) is this document.
+
+    The first-occurrence-attribution signal behind dedup-aware sampling:
+    near-zero novelty marks a document that only repeats earlier
+    material even when no single earlier document is a near-duplicate —
+    the case pairwise near-dup detection structurally misses.
+
+    Plan: distinct (doc, bigram) pairs → min-doc per bigram (partial→
+    final agg on the bigram key) → join back on the same key (sort-merge
+    on co-partitioned exchanges) → per-doc conditional aggregate. Every
+    stage is keyed by bigram or doc_id; nothing is quadratic and nothing
+    broadcasts corpus-sized state.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    pairs = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
+    ).distinct()
+    first = pairs.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pairs.join(first, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_bigrams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+TOKEN_NOVELTY_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+big AS (
+    SELECT DISTINCT doc_id,
+           unnest([
+               array_to_string(t[i : i + 1], ' ')
+               for i in range(1, greatest(len(t) - 1, 1) + 1)
+           ]) AS bigram
+    FROM toks
+),
+first AS (SELECT bigram, min(doc_id) AS first_doc FROM big GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       ROUND(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+FROM big JOIN first USING (bigram)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_lm_familiarity": Query(
         doc_lm_familiarity,
@@ -410,5 +475,10 @@ QUERIES: dict[str, Query] = {
         doc_length_histogram,
         DOC_LENGTH_HISTOGRAM_SQL,
         "corpus length profile in fixed-width buckets",
+    ),
+    "token_novelty": Query(
+        token_novelty,
+        TOKEN_NOVELTY_SQL,
+        "per-doc fraction of bigrams first seen in that doc",
     ),
 }
