@@ -1,0 +1,89 @@
+"""Range-clustered file layout: the write-side half of data skipping.
+
+Parquet scans skip whole files and row groups using footer min/max
+statistics — but only if the writer clustered the data so those ranges
+are NARROW and DISJOINT. A table written in arrival order has every
+file spanning the whole key domain (min/max ≈ global min/max), so a
+selective filter still opens every file. At 100 TB that difference is
+"scan 1 file" vs "scan 10,000 files" for the same query.
+
+``write_range_clustered`` produces that layout with exactly one
+exchange and NO global sort:
+
+- ``repartitionByRange(n, key)`` samples the key distribution
+  (RangePartitioning) and routes each row to the partition owning its
+  key range — this is the only shuffle, and it is also the skew-safe
+  way to get equal-sized output files from a non-uniform key;
+- ``sortWithinPartitions(key)`` orders rows inside each partition with
+  a per-task local sort (no merge step, no single-reducer bottleneck),
+  which tightens ROW-GROUP-level statistics inside each file.
+
+The result: file-level ranges are pairwise disjoint (proved from the
+parquet footers by ``key_ranges``/``ranges_disjoint``, asserted in
+``tests/test_layout.py``) and any equality/range predicate on the
+cluster key prunes to the few files whose range intersects it.
+
+This composes with, not replaces, bucketing (bucketing.py): bucket by
+the JOIN key to pre-pay join shuffles, range-cluster by the FILTER key
+(usually time) to pre-pay scan pruning. For multi-key skipping, the
+same write pattern applies to an interleaved key (Z-order); single-key
+range clustering is the common case and needs no custom expression.
+
+The reference has no write-side layout control at all — its sink is a
+single concatenated text file (Master.java:172-178).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, key: str, n_files: int
+) -> None:
+    """Write ``df`` as ~``n_files`` parquet files range-clustered on
+    ``key``: one RangePartitioning exchange, per-task local sorts, no
+    global sort."""
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def range_clustered_plan(df: DataFrame, key: str, n_files: int):
+    """The read-side plan of the write above (for plan-shape tests):
+    exactly one rangepartitioning exchange and a non-global sort."""
+    return df.repartitionByRange(n_files, key).sortWithinPartitions(key)
+
+
+def key_ranges(path: str, key: str) -> list[tuple]:
+    """(min, max) of ``key`` per parquet file under ``path``, straight
+    from the footer statistics — the exact metadata a scan planner uses
+    to skip files. Driver-side O(file count) footer reads: a diagnostic
+    for tests/audits, not a query-path operation."""
+    import pyarrow.parquet as pq
+    import pathlib
+
+    out = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.names.index(key)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
+
+
+def ranges_disjoint(ranges: list[tuple]) -> bool:
+    """True iff the per-file key ranges never overlap — the property
+    that makes a point/range predicate prune to ≤1 + boundary files."""
+    ordered = sorted(ranges)
+    return all(prev[1] <= nxt[0] for prev, nxt in zip(ordered, ordered[1:]))
