@@ -255,7 +255,126 @@ FROM flagged
 """
 
 
+def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start, session_end, n_overlapping): for every
+    user session, how many OTHER sessions (any user) overlap it in time
+    — cross-user concurrency attribution, the interval×interval join
+    the pipeline otherwise lacks (order_followups_week is point×
+    interval; peaks is point-in-time concurrency).
+
+    A naive formulation self-joins sessions on the overlap predicate —
+    O(overlap pairs), which is quadratic-ish whenever concurrency is
+    high (the oracle below does exactly that; DuckDB's IEJoin absorbs
+    it at test scale). The distributed formulation uses the counting
+    identity instead:
+
+        overlaps(s) = #{starts < s.end} − #{ends ≤ s.start} − 1
+
+    Both counts are ranks along the ONE time axis, so a single merged
+    sweep computes them without any join: every session emits a start
+    row and an end row; ordering by (t, end-before-start) makes the
+    running count of start-rows AT an end-row equal #{starts < s.end}
+    (same-instant starts sort after, correctly excluded) and the
+    running count of end-rows AT a start-row equal #{ends ≤ s.start}
+    (same-instant ends sort before, correctly included). The global
+    running sums parallelize by hour bucket: per-bucket totals (a tiny
+    aggregate) broadcast back as prefix offsets — the standard
+    distributed prefix-sum — so no single-partition window ever sees
+    the full axis. Each row carries its session key, so one final
+    groupBy per session recovers both counts; no join back.
+
+    Exchanges: sessions window (user_id), bucket window (hour), final
+    groupBy (session key) — all O(n) in sessions, independent of how
+    many pairs overlap. At 4h-gap sessions an hour bucket holds ~1/744
+    of a month's axis rows; shrink the bucket for denser axes.
+    """
+    from simple_map_reduce_ruuner_spark.streaming.windows import session_windows
+
+    sessions = session_windows(spark, sf_dir)
+    ax_start = sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("is_start"),
+    )
+    ax_end = sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("session_end").alias("t"),
+        F.lit(0).alias("is_start"),
+    )
+    axis = ax_start.unionByName(ax_end).withColumn(
+        "bucket", F.date_trunc("HOUR", F.col("t"))
+    )
+
+    per_bucket = axis.groupBy("bucket").agg(
+        F.sum("is_start").alias("n_starts"),
+        F.sum(1 - F.col("is_start")).alias("n_ends"),
+    )
+    w_prefix = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("n_starts").over(w_prefix), F.lit(0)).alias("off_starts"),
+        F.coalesce(F.sum("n_ends").over(w_prefix), F.lit(0)).alias("off_ends"),
+    )
+
+    # end rows (is_start=0) sort before start rows at the same instant
+    w_bucket = Window.partitionBy("bucket").orderBy("t", "is_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = axis.join(F.broadcast(offsets), "bucket").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "is_start",
+        (F.col("off_starts") + F.sum("is_start").over(w_bucket)).alias("r_starts"),
+        (F.col("off_ends") + F.sum(1 - F.col("is_start")).over(w_bucket)).alias(
+            "r_ends"
+        ),
+    )
+    return (
+        ranked.groupBy("user_id", "session_start", "session_end")
+        .agg(
+            # at the end row, r_starts counts starts strictly before s.end
+            F.max(F.when(F.col("is_start") == 0, F.col("r_starts"))).alias("a"),
+            # at the start row, r_ends counts ends at-or-before s.start
+            F.max(F.when(F.col("is_start") == 1, F.col("r_ends"))).alias("b"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            (F.col("a") - F.col("b") - 1).cast("long").alias("n_overlapping"),
+        )
+    )
+
+
+def _session_overlap_counts_sql() -> str:
+    from simple_map_reduce_ruuner_spark.streaming.windows import SESSION_WINDOWS_SQL
+
+    return f"""
+WITH sessions AS ({SESSION_WINDOWS_SQL.strip()})
+SELECT s.user_id, s.session_start, s.session_end,
+       CAST(count(t.session_start) AS BIGINT) AS n_overlapping
+FROM sessions s
+LEFT JOIN sessions t
+  ON t.session_start < s.session_end
+ AND t.session_end > s.session_start
+ AND NOT (t.user_id = s.user_id AND t.session_start = s.session_start)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "session_overlap_counts": Query(
+        session_overlap_counts,
+        _session_overlap_counts_sql(),
+        "interval-overlap counts via merged sweep rank - no self-join",
+    ),
     "events_daily_fill": Query(
         events_daily_fill,
         EVENTS_DAILY_FILL_SQL,
