@@ -165,22 +165,27 @@ WHERE total_qty > supp_mean * 1.5
 
 def window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/offset window-function coverage beyond row_number:
-    dense_rank, percent_rank, ntile, lag, lead — one windowed projection,
-    single shuffle on the partition key."""
+    dense_rank, percent_rank, cume_dist, ntile, lag, lead, nth_value —
+    one windowed projection, single shuffle on the partition key."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    # nth_value needs an explicit full frame: the default frame stops at
+    # CURRENT ROW, which nulls the 2nd value for the first row per group
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.dense_rank().over(w).cast("long").alias("drank"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
         F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_orderkey"),
     )
 
 
@@ -188,9 +193,14 @@ WINDOW_SHOWCASE_SQL = """
 SELECT o_custkey, o_orderkey,
        dense_rank()   OVER w AS drank,
        ROUND(percent_rank() OVER w, 6) AS prank,
+       ROUND(cume_dist() OVER w, 6) AS cdist,
        ntile(4)       OVER w AS quartile,
        lag(o_orderkey, 1)  OVER w AS prev_orderkey,
-       lead(o_orderkey, 1) OVER w AS next_orderkey
+       lead(o_orderkey, 1) OVER w AS next_orderkey,
+       nth_value(o_orderkey, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_orderkey
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """
