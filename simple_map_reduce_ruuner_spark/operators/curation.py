@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simple_map_reduce_ruuner_spark.functions.hashing import hash60
 from simple_map_reduce_ruuner_spark.functions.text import tokens
 from simple_map_reduce_ruuner_spark.operators.textstats import (
     QUALITY_SCORE_SQL as _QSQL,
@@ -410,7 +411,128 @@ FROM m JOIN stats USING (event_type)
 """
 
 
+CDC_DIV = 16
+CDC_SHINGLE = 3
+_CDC_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chunk_hash, n_occurrences, n_docs, n_tokens): duplicated
+    content-defined chunks across the corpus.
+
+    ``doc_chunks`` cuts at fixed offsets, so inserting one token shifts
+    every later boundary and identical content stops hashing equal —
+    the classic weakness fixed by CONTENT-defined chunking (rsync/LBFS
+    lineage; used for chunk-level dedup of training corpora): a token
+    position ends a chunk when the rolling hash of the {CDC_SHINGLE}-gram
+    starting there ≡ 0 (mod {CDC_DIV}), so boundaries are a function of
+    local content and re-synchronize after any edit. Expected chunk
+    length = CDC_DIV tokens; production variants add min/max bounds,
+    omitted here to keep both engines' formulations identical.
+
+    Plan: boundary flags compute inside ONE JVM transform over the
+    token array (portable md5 hash, no UDF); posexplode → per-doc
+    window (prefix sum of flags = chunk id, the sessionize idiom) →
+    chunk assembly keyed (doc, chunk) → corpus-wide duplicate counts
+    keyed by chunk hash. Everything is O(tokens) with doc_id- or
+    hash-keyed shuffles; chunk text never leaves the executor (only
+    its md5 does).
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    structs = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i).alias("token"),
+            F.when(
+                (i <= n - CDC_SHINGLE + 1)
+                & (
+                    hash60(F.concat_ws(" ", F.slice(toks, i, CDC_SHINGLE)))
+                    % CDC_DIV
+                    == 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("bnd"),
+        ),
+    )).otherwise(F.array())
+    rows = docs.select("doc_id", F.explode(structs).alias("s")).select(
+        "doc_id", "s.pos", "s.token", "s.bnd"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = rows.withColumn(
+        "chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+
+
+def _cdc_chunk_dedup_sql() -> str:
+    from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
+
+    gram = "array_to_string(t[pos:pos+{last}], ' ')".format(last=CDC_SHINGLE - 1)
+    return f"""
+WITH toks AS (SELECT doc_id, {_CDC_TOKS_SQL} AS t FROM documents),
+pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+    FROM toks WHERE len(t) >= 1
+),
+flagged AS (
+    SELECT doc_id, pos, t[pos] AS token,
+           CASE WHEN pos <= len(t) - {CDC_SHINGLE} + 1
+                 AND ({hash60_sql(gram)}) % {CDC_DIV} = 0
+                THEN 1 ELSE 0 END AS bnd
+    FROM pos
+),
+chunked AS (
+    SELECT doc_id, pos, token,
+           COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+    FROM flagged
+),
+chunks AS (
+    SELECT doc_id, chunk_id, count(*) AS n_tokens,
+           md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+    FROM chunked GROUP BY 1, 2
+)
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens
+FROM chunks GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "cdc_chunk_dedup": Query(
+        cdc_chunk_dedup,
+        _cdc_chunk_dedup_sql(),
+        "content-defined chunking + corpus-wide duplicate-chunk counts",
+    ),
     "latest_events_snapshot": Query(
         latest_events_snapshot,
         LATEST_EVENTS_SNAPSHOT_SQL,
