@@ -87,3 +87,82 @@ def ranges_disjoint(ranges: list[tuple]) -> bool:
     that makes a point/range predicate prune to ≤1 + boundary files."""
     ordered = sorted(ranges)
     return all(prev[1] <= nxt[0] for prev, nxt in zip(ordered, ordered[1:]))
+
+
+# --------------------------------------------------------------------------
+# Z-order: multi-dimensional range clustering
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_key(a, b, a_min, a_max, b_min, b_max):
+    """Column: bit-interleaved (Morton) key of two numeric columns, each
+    first normalized to a 16-bit rank via exact integer scaling against
+    the given bounds.
+
+    Range-clustering by ONE key gives that key disjoint file ranges but
+    leaves every other column spanning the full domain per file.
+    Interleaving the bits of two normalized keys makes file locality
+    2-dimensional: each of N files covers ~1/sqrt(N) of EACH dimension,
+    so selective predicates on either column (or both) skip files.
+    The normalization divides integers then floors — exact for any
+    realistic domain (integer doubles are exact below 2^53, and the
+    quotient's distance to the floor boundary exceeds its ulp), and the
+    key never leaves Spark, so no cross-engine concern applies.
+
+    ``a``/``b`` must already be numeric (cast timestamps to epoch units
+    first); bounds usually come from a 1-row min/max aggregate the
+    caller broadcasts.
+    """
+    from pyspark.sql import functions as F
+
+    def norm(col, lo, hi):
+        span = (hi - lo) + F.lit(1)
+        scaled = ((col - lo) * F.lit(1 << ZORDER_BITS)) / span
+        return F.floor(scaled).cast("long")
+
+    an, bn = norm(a, a_min, a_max), norm(b, b_min, b_max)
+    from functools import reduce
+
+    terms = []
+    for i in range(ZORDER_BITS):
+        bit_a = F.shiftright(an, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(bn, i).bitwiseAND(F.lit(1))
+        terms.append(F.shiftleft(bit_a, 2 * i + 1))
+        terms.append(F.shiftleft(bit_b, 2 * i))
+    return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def write_zordered(df, path, col_a, col_b, n_files):
+    """Write ``df`` as ~``n_files`` parquet files clustered on the
+    Z-order key of two numeric columns: one min/max aggregate (1 row,
+    broadcast via cross join), one RangePartitioning exchange on the
+    Morton key, per-task local sorts. The key itself is not persisted —
+    it exists only to route and order rows."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        F.min(col_a).alias("_amin"),
+        F.max(col_a).alias("_amax"),
+        F.min(col_b).alias("_bmin"),
+        F.max(col_b).alias("_bmax"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_zkey",
+        zorder_key(
+            F.col(col_a),
+            F.col(col_b),
+            F.col("_amin"),
+            F.col("_amax"),
+            F.col("_bmin"),
+            F.col("_bmax"),
+        ),
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", "_amin", "_amax", "_bmin", "_bmax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -80,3 +80,42 @@ def test_point_filter_prunes_to_boundary_files(spark, sf_dir, tmp_path):
     )
     want = orders.where(F.col("o_orderdate") == F.lit(lo)).count()
     assert got == want and got > 0
+
+
+def test_zorder_gives_both_dimensions_locality(spark, sf_dir, tmp_path):
+    """Z-ordered files must each cover a small slice of BOTH columns;
+    the single-key control gives the second column no locality at all."""
+    from simple_map_reduce_ruuner_spark.plans.layout import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_day", F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+    )
+
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(orders, zpath, "o_custkey", "o_day", 16)
+
+    def span_fracs(path, col):
+        rs = key_ranges(path, col)
+        glo = min(r[0] for r in rs)
+        ghi = max(r[1] for r in rs)
+        width = (ghi - glo) or 1
+        return sorted((hi - lo) / width for lo, hi in rs)
+
+    z_cust = span_fracs(zpath, "o_custkey")
+    z_day = span_fracs(zpath, "o_day")
+
+    def median(xs):
+        return xs[len(xs) // 2]
+
+    # each file covers a narrow slice of BOTH dimensions
+    assert median(z_cust) <= 0.5, z_cust
+    assert median(z_day) <= 0.5, z_day
+
+    # row preservation
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+    # control: range-cluster by custkey only → o_day has no locality
+    cpath = str(tmp_path / "orders_cust_only")
+    write_range_clustered(orders, cpath, "o_custkey", 16)
+    c_day = span_fracs(cpath, "o_day")
+    assert median(c_day) >= 0.8, c_day
