@@ -575,6 +575,90 @@ LEFT JOIN ih ON base.query_id = ih.query_id
 """
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code_checksum, mae, vmin, vmax): int8 scalar
+    quantization of every embedding with a reconstruction-error report
+    — the storage/bandwidth compressor that runs in front of ANN at
+    scale (4× smaller vectors; recall impact is then measured by
+    ``ann_recall_report`` on the reconstructed side).
+
+    Per vector: min/max bounds, code_i = floor((x_i − mn)·255/(mx − mn))
+    (degenerate mn == mx vectors quantize to all-zeros), reconstruction
+    x̂_i = mn + code_i·(mx − mn)/255.0. ``code_checksum`` is the
+    position-weighted BIGINT sum of the codes — the oracle comparison
+    is therefore EXACT on the codes themselves, not just on a rounded
+    error metric. mae folds sequentially left-to-right (the
+    deterministic, engine-portable float order — see
+    ``embedding_outliers``). Pure map-side: no shuffle, no UDF; the
+    codes stay inside the executor and only per-vector scalars come out.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    mn = F.array_min(x).cast("double")
+    mx = F.array_max(x).cast("double")
+    span = mx - mn
+
+    def code(v):
+        return F.when(span == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((v.cast("double") - mn) * F.lit(255.0) / span).cast("long")
+        )
+
+    codes = F.transform(x, code)
+    checksum = F.aggregate(
+        F.zip_with(codes, F.sequence(F.lit(1), F.lit(DIM)), lambda q, i: q * i),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    recon_err = F.aggregate(
+        F.zip_with(
+            x,
+            codes,
+            lambda v, q: F.abs(
+                v.cast("double")
+                - (mn + q.cast("double") * span / F.lit(255.0))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id",
+        checksum.alias("code_checksum"),
+        F.round(recon_err / F.lit(float(DIM)), 6).alias("mae"),
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           CAST(list_max(embedding) AS DOUBLE) AS mx
+    FROM embeddings
+),
+coded AS (
+    SELECT vec_id, embedding, mn, mx,
+           [CASE WHEN mx - mn = 0 THEN 0
+                 ELSE CAST(floor((embedding[i]::DOUBLE - mn) * 255.0
+                                 / (mx - mn)) AS BIGINT) END
+            for i in range(1, {{DIM}} + 1)] AS codes
+    FROM b
+)
+SELECT vec_id,
+       CAST(list_sum([codes[i] * i for i in range(1, {{DIM}} + 1)]) AS BIGINT)
+           AS code_checksum,
+       ROUND(list_sum([
+           abs(embedding[i]::DOUBLE
+               - (mn + codes[i]::DOUBLE * (mx - mn) / 255.0))
+           for i in range(1, {{DIM}} + 1)
+       ]) / {{DIM}}.0, 6) AS mae,
+       ROUND(mn, 6) AS vmin,
+       ROUND(mx, 6) AS vmax
+FROM coded
+""".replace("{DIM}", str(DIM))
+
+
 QUERIES: dict[str, Query] = {
     "embedding_norms": Query(embedding_norms, EMBEDDING_NORMS_SQL, "L2 norms"),
     "ann_topk_bruteforce": Query(
@@ -608,6 +692,11 @@ QUERIES: dict[str, Query] = {
         .replace("{LSH}", ANN_TOPK_LSH_SQL.strip())
         .replace("{IVF}", ANN_TOPK_IVF_SQL.strip()),
         "measured recall@k of LSH ANN vs brute-force ground truth",
+    ),
+    "embedding_quantize": Query(
+        embedding_quantize,
+        EMBEDDING_QUANTIZE_SQL,
+        "int8 scalar quantization: exact code checksum + reconstruction MAE",
     ),
     "embedding_outliers": Query(
         embedding_outliers,
