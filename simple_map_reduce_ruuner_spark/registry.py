@@ -290,6 +290,12 @@ def _load_relational6() -> dict[str, Query]:
     return relational6.QUERIES
 
 
+def _load_cogroup() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import cogroup_ops
+
+    return cogroup_ops.QUERIES
+
+
 def _load_skew_demo() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import wordcount
 
@@ -328,4 +334,5 @@ _EXTENSION_LOADERS = [
     _load_relational5,
     _load_sql4,
     _load_relational6,
+    _load_cogroup,
 ]
