@@ -429,3 +429,16 @@ def test_regional_market_share_single_fact_pass(spark, sf_dir):
     assert sum("l_extendedprice" in ln for ln in scans) == 1, scans
     assert len(scans) == 5  # lineitem, orders, supplier, nation, region — once each
     assert "CartesianProduct" not in plan
+
+
+def test_no_row_at_a_time_python_udfs(spark, sf_dir):
+    """Registry-wide invariant: Python reaches plans only through Arrow
+    batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
+    time pickling, the 10-100× slow path) must never appear."""
+    from simple_map_reduce_ruuner_spark.registry import all_queries
+
+    offenders = []
+    for name, q in all_queries().items():
+        if "BatchEvalPython" in plan_of(q.fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, offenders
