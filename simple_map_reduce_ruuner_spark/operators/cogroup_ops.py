@@ -17,13 +17,17 @@ production path; the cogroup form exists because real pipelines need
 the API for merges pandas can express and SQL cannot. The DuckDB
 oracle is an ASOF LEFT JOIN over the same tie-free inputs.
 
-Scale: both sides hash-shuffle once on the user key; each group is
-processed in one Arrow batch, so per-user data must fit an executor —
-the same bound every grouped-map operator carries (documented, and the
-reason the JVM window twin is the default). Orders are pre-collapsed
-to one row per (user, date) with an exact arg-max BEFORE the
-cogroup (MAX orderkey per date), which both shrinks the Python-side
-input and removes as-of tie ambiguity between engines.
+Scale: the cogroup key is a BOUNDED user bucket (pmod(user, 256)),
+not the raw user id — cogrouping on a high-cardinality key pays the
+per-group Python invocation cost once per key (measured 17 s for 10k
+user-groups at sf0.1 vs ~1 s for 256 buckets), while the bucket key
+amortizes it and caps the group count at any corpus size;
+``pd.merge_asof(by="user_id")`` keeps the per-user semantics inside
+each bucket. Both sides hash-shuffle once on the bucket; a bucket must
+fit an executor (tune N_BUCKETS upward at scale). Orders are
+pre-collapsed to one row per (user, date) with an exact arg-max BEFORE
+the cogroup, which both shrinks the Python-side input and removes
+as-of tie ambiguity between engines.
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ from pyspark.sql import functions as F
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 
+N_BUCKETS = 256
+
 _OUT_SCHEMA = (
     "event_id long, user_id long, ts timestamp_ntz, "
     "last_orderkey long, last_orderdate timestamp_ntz"
@@ -41,7 +47,12 @@ _OUT_SCHEMA = (
 
 
 def user_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.pmod("user_id", F.lit(N_BUCKETS)).alias("bucket"),
+    )
     orders = (
         load_table(spark, sf_dir, "orders")
         .groupBy(
@@ -49,6 +60,7 @@ def user_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("odate"),
         )
         .agg(F.max("o_orderkey").alias("okey"))
+        .withColumn("bucket", F.pmod("user_id", F.lit(N_BUCKETS)))
     )
 
     # closure, not module-level: cogroup fns ship to executor workers,
@@ -65,6 +77,8 @@ def user_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         if len(ev_pdf) == 0:
             return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        # merge_asof(by=...) wants both frames globally sorted by the ON
+        # key; it then matches within each `by` group
         ev_pdf = ev_pdf.sort_values("ts", kind="mergesort")
         if len(ord_pdf) == 0:
             ev_pdf["last_orderkey"] = pd.NA
@@ -73,9 +87,10 @@ def user_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         ord_pdf = ord_pdf.sort_values("odate", kind="mergesort")
         merged = pd.merge_asof(
             ev_pdf,
-            ord_pdf[["odate", "okey"]],
+            ord_pdf[["user_id", "odate", "okey"]],
             left_on="ts",
             right_on="odate",
+            by="user_id",
             direction="backward",
         )
         merged = merged.rename(
@@ -84,8 +99,8 @@ def user_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         return merged[list(out_cols)]
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("user_id"))
+        ev.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
         .applyInPandas(merge, _OUT_SCHEMA)
     )
 
