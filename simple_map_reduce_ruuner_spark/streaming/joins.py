@@ -66,6 +66,49 @@ def stream_clicks_before_errors(
     )
 
 
+def stream_clicks_errors_left(
+    spark: SparkSession, input_dir: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`stream_clicks_before_errors`: errors
+    with no preceding click still emit, null-padded — but only after the
+    watermark passes the error's join window, because until then a
+    matching click could still arrive. Under availableNow the final
+    no-data batch advances the watermark past every error older than
+    (max event time − delay) and flushes their null rows; errors younger
+    than the delay stay buffered — the semantics
+    ``tests/test_streaming.py`` pins against the batch left join.
+    """
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    events = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("e_user").alias("user_id"),
+        "error_id",
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -340,3 +340,77 @@ def test_foreachbatch_idempotent_incremental_sink(spark, sf_dir, tmp_path):
     second.coalesce(1).write.mode("append").parquet(src_dir)
     run_once()  # only the new files processed
     assert spark.read.parquet(out_dir).count() == ev.count()
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(
+    spark, sf_dir, tmp_path
+):
+    """Append-mode outer-join null rows are a WATERMARK artifact: an
+    unmatched error emits its null-padded row only once no future click
+    could match it. Under availableNow the closing no-data batch flushes
+    every error older than (max event time − delay); younger unmatched
+    errors stay buffered. Matched rows must equal the batch join
+    exactly; null rows must be exactly the batch-unmatched errors old
+    enough to have been finalized (with a safety margin for the
+    watermark's min-across-inputs semantics)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.streaming.joins import (
+        stream_clicks_errors_left,
+    )
+
+    src_dir = _stage_events(spark, sf_dir, tmp_path)
+    rows = _run_stream(
+        spark,
+        stream_clicks_errors_left(spark, src_dir),
+        "ssjoin_left_test",
+        str(tmp_path / "ckpt_ssjl"),
+        mode="append",
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    batch = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).collect()
+
+    got_matched = {
+        (r.user_id, r.error_id, r.click_ts) for r in rows if r.click_ts is not None
+    }
+    want_matched = {
+        (r.e_user, r.error_id, r.click_ts)
+        for r in batch
+        if r.click_ts is not None
+    }
+    assert got_matched == want_matched
+
+    # the GLOBAL watermark is the min across the two inputs' own maxima
+    # minus the delay; an error is finalized only once the global
+    # watermark passes its error_ts (keep 5 min slack for rounding)
+    max_click = clicks.agg(F.max("click_ts")).collect()[0][0]
+    max_error = errors.agg(F.max("error_ts")).collect()[0][0]
+    finalized = min(max_click, max_error) - dt.timedelta(minutes=35)
+    got_null_ids = {r.error_id for r in rows if r.click_ts is None}
+    unmatched = {r.error_id: r.error_ts for r in batch if r.click_ts is None}
+    must_emit = {eid for eid, ets in unmatched.items() if ets < finalized}
+
+    # every old-enough unmatched error emitted its null row...
+    assert must_emit <= got_null_ids, sorted(must_emit - got_null_ids)[:5]
+    # ...and no null row was emitted for an error that HAS a match
+    assert got_null_ids <= set(unmatched), sorted(
+        got_null_ids - set(unmatched)
+    )[:5]
+    assert len(must_emit) > 0  # the assertion above is not vacuous
