@@ -290,6 +290,12 @@ def _load_relational6() -> dict[str, Query]:
     return relational6.QUERIES
 
 
+def _load_relational7() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational7
+
+    return relational7.QUERIES
+
+
 def _load_cogroup() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import cogroup_ops
 
@@ -335,4 +341,5 @@ _EXTENSION_LOADERS = [
     _load_sql4,
     _load_relational6,
     _load_cogroup,
+    _load_relational7,
 ]

@@ -431,6 +431,44 @@ def test_regional_market_share_single_fact_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_small_quantity_revenue_window_decorrelation(spark, sf_dir):
+    """Q17 shape: the per-part average is a window aggregate over ONE
+    lineitem exchange — no second fact scan, no self-join."""
+    from simple_map_reduce_ruuner_spark.operators import relational7
+
+    plan = plan_of(relational7.small_quantity_order_revenue(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 1, scans
+    assert "Window" in plan
+    assert plan.count("Exchange") == 2  # partkey window + 1-row final agg
+
+
+def test_monthly_top_supplier_two_level_agg_no_window(spark, sf_dir):
+    """Q15 shape: argmax via max(struct) — two hash aggregates, no rank
+    window, no join-back, single fact scan."""
+    from simple_map_reduce_ruuner_spark.operators import relational7
+
+    plan = plan_of(relational7.monthly_top_supplier(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_max" in plan and "partial_sum" in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_lone_late_suppliers_no_expand_no_self_join(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair runs as two stacked
+    aggregates — no Expand (the multi-countDistinct trap that triples
+    shuffle volume), exactly one lineitem scan, supplier broadcast."""
+    from simple_map_reduce_ruuner_spark.operators import relational7
+
+    plan = plan_of(relational7.lone_late_suppliers(spark, sf_dir))
+    assert "Expand" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert sum("l_suppkey" in ln for ln in scans) == 1, scans
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
