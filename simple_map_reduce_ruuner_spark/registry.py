@@ -296,6 +296,12 @@ def _load_relational7() -> dict[str, Query]:
     return relational7.QUERIES
 
 
+def _load_profiling() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import profiling
+
+    return profiling.QUERIES
+
+
 def _load_cogroup() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import cogroup_ops
 
@@ -342,4 +348,5 @@ _EXTENSION_LOADERS = [
     _load_relational6,
     _load_cogroup,
     _load_relational7,
+    _load_profiling,
 ]

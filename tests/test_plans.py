@@ -469,6 +469,30 @@ def test_lone_late_suppliers_no_expand_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_table_profile_one_scan_two_level_agg(spark, sf_dir):
+    """Profiling report: one scan of orders feeds every column's
+    metrics; the distinct count is the two-level rewrite, so no Expand
+    and exactly two exchanges (per-value, then per-column)."""
+    from simple_map_reduce_ruuner_spark.operators import profiling
+
+    plan = plan_of(profiling.table_profile(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_user_type_islands_single_shuffle_two_sorts(spark, sf_dir):
+    """Gaps-and-islands: hash(user_id) satisfies both windows'
+    clustering, so the two row_numbers share ONE exchange (two
+    in-partition sorts, no second shuffle of the events)."""
+    from simple_map_reduce_ruuner_spark.operators import profiling
+
+    plan = plan_of(profiling.user_type_islands(spark, sf_dir))
+    assert plan.count("Window") == 2
+    # one shuffle for the windows + the run-aggregate's final exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
