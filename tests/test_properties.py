@@ -409,3 +409,61 @@ def test_shared_span_finds_known_substring(spark, tmp_path):
         # 8 shared tokens -> 8 - K + 1 aligned shingles -> lcs = 8
         assert r.max_run == 8 - SHINGLE_K + 1
         assert r.lcs_tokens == 8
+
+
+event_row = st.tuples(
+    st.integers(min_value=0, max_value=2),   # user pool (small → long streams)
+    st.sampled_from(["click", "view", "err"]),
+    st.integers(min_value=0, max_value=5),   # ts seconds pool (small → ties)
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(event_row, min_size=1, max_size=30))
+def test_user_type_islands_equals_bruteforce(spark, tmp_path_factory, evs):
+    """Gaps-and-islands run collapse ≡ a per-user linear walk, including
+    equal-timestamp ties (broken by event_id, mirrored in both)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), u, typ, 0.0, "{}")
+        for i, (u, typ, sec) in enumerate(evs)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("islands_sf"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    from simple_map_reduce_ruuner_spark.operators.profiling import (
+        user_type_islands,
+    )
+
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.n_events)
+        for r in user_type_islands(spark, sf_dir).collect()
+    }
+
+    want = set()
+    by_user: dict[int, list] = {}
+    for eid, ts, u, typ, _, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, typ))
+    for u, stream in by_user.items():
+        stream.sort()  # (ts, event_id) — the operator's sort key
+        run_type, run_from, run_to, n = None, None, None, 0
+        for ts, _, typ in stream:
+            if typ == run_type:
+                run_to, n = ts, n + 1
+            else:
+                if run_type is not None:
+                    want.add((u, run_type, run_from, run_to, n))
+                run_type, run_from, run_to, n = typ, ts, ts, 1
+        want.add((u, run_type, run_from, run_to, n))
+
+    assert got == want
