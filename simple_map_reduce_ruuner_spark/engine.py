@@ -136,3 +136,31 @@ def run_job(
             spark.conf.set(_MAX_PARTITION_BYTES, prev_split)
     _last_outcome = "All done!"
     return out
+
+
+def observed(df: DataFrame, metrics: dict, name: str = "job_metrics"):
+    """A10 extension: attach pipeline audit metrics that are computed as
+    a side-effect of the SAME action that materializes ``df``.
+
+    The reference's progress page reports only task phase
+    (Master.java:71-73); production pipelines also need row-count /
+    quality audits ("how many rows survived the filter?"), and the
+    naive way — a second ``df.count()`` — re-runs the whole plan, a
+    full extra 100 TB scan. ``Dataset.observe`` instead folds the
+    metric aggregates into the existing plan's execution (an
+    accumulator-backed CollectMetrics node, no extra exchange, no extra
+    job).
+
+    Returns ``(df_with_metrics, observation)``; after ANY action on the
+    returned frame, ``observation.get`` yields the metric dict.
+
+        df, obs = observed(clean, {"n_rows": F.count(F.lit(1)),
+                                   "null_keys": F.count_if(F.col("k").isNull())})
+        df.write.parquet(out)      # one pass...
+        audit = obs.get            # ...metrics came along for free
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *cols), obs

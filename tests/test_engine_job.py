@@ -148,3 +148,37 @@ def test_job_status_after_success(spark, tmp_path):
     assert status["phase"] == "All done!"
     assert status["active_jobs"] == []
     assert status["active_stages"] == []
+
+
+def test_observed_metrics_ride_the_single_action(spark, sf_dir):
+    """observed() computes audit metrics during the one materializing
+    action — values match an independent computation, and no extra
+    Spark job runs beyond the action itself."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.engine import observed
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 10)
+    df, obs = observed(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum("l_quantity"),
+            "null_keys": F.count(F.when(F.col("l_orderkey").isNull(), 1)),
+        },
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    n = df.count()
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_keys"] == 0
+    expect = li.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(got["sum_qty"] - expect) < 1e-6
+    # the metrics must not have spawned their own job(s): only the
+    # count() action's job(s) appear
+    assert jobs_after - jobs_before <= 2
