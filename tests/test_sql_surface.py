@@ -1,0 +1,72 @@
+"""Spark 4 SQL-surface coverage: pipe syntax and parameterized queries.
+
+These are syntax/API features (the execution plans are identical to the
+classic formulations), so they are pinned by equivalence tests rather
+than registry entries — a registry twin would re-verify the same plan
+under a different spelling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.operators import relational
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+
+def test_pipe_syntax_equals_dataframe_plan(spark, sf_dir):
+    """SQL pipe syntax (|>) spelling of the Q1-shape pricing summary
+    must produce the same rows AND the same physical plan family as the
+    DataFrame API version."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+    piped = spark.sql(
+        """
+        FROM li_pipe
+        |> WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+        |> AGGREGATE
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE)
+                 AS sum_qty,
+             CAST(count(*) AS BIGINT) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    classic = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(relational.dsum(F.col("l_quantity")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])  # noqa: E731
+    assert sorted(piped.collect(), key=key) == sorted(classic.collect(), key=key)
+    plan = piped._jdf.queryExecution().executedPlan().toString()
+    # same plan family: pruned scan + partial/final hash aggregate
+    assert "HashAggregate" in plan and "partial_sum" in plan
+    assert "PushedFilters" in plan
+
+
+def test_parameterized_sql_named_and_positional(spark, sf_dir):
+    """spark.sql(args=...) — named and positional parameter binding must
+    behave like inlined literals (and still push the predicate down)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_param")
+    named = spark.sql(
+        "SELECT count(*) AS n FROM ord_param WHERE o_orderpriority = :prio",
+        args={"prio": "1-URGENT"},
+    )
+    positional = spark.sql(
+        "SELECT count(*) AS n FROM ord_param WHERE o_orderpriority = ?",
+        args=["1-URGENT"],
+    )
+    inlined = spark.sql(
+        "SELECT count(*) AS n FROM ord_param WHERE o_orderpriority = '1-URGENT'"
+    )
+    want = inlined.collect()[0]["n"]
+    assert named.collect()[0]["n"] == want
+    assert positional.collect()[0]["n"] == want
+    assert want > 0
+    plan = named._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
