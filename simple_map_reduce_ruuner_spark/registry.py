@@ -296,6 +296,12 @@ def _load_relational7() -> dict[str, Query]:
     return relational7.QUERIES
 
 
+def _load_relational8() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    return relational8.QUERIES
+
+
 def _load_profiling() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import profiling
 
@@ -349,4 +355,5 @@ _EXTENSION_LOADERS = [
     _load_cogroup,
     _load_relational7,
     _load_profiling,
+    _load_relational8,
 ]

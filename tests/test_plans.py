@@ -493,6 +493,130 @@ def test_user_type_islands_single_shuffle_two_sorts(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
 
 
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: the registry's purest I/O query — every predicate
+    (ship-date range, discount band, quantity bound) reaches the
+    parquet reader, the ReadSchema is minimal, and the only exchange
+    is the single-row final aggregate."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    q = relational8.forecast_revenue_delta(spark, sf_dir)
+    plan = plan_of(q)
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    # toString truncates the PushedFilters list — assert via the
+    # untruncated formatted explain instead.
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    pushed = fmt.split("PushedFilters:")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "ReadSchema" in scan and "l_tax" not in scan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_min_cost_supplier_argmin_no_join_back(spark, sf_dir):
+    """Q2 shape: the cheapest-supplier argmin is min(struct) over the
+    (part, supplier) aggregate — no rank window, no fact join-back,
+    one fact scan, dims broadcast."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    plan = plan_of(relational8.regional_min_cost_supplier(spark, sf_dir))
+    assert "Window" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert sum("lineitem" in ln for ln in scans) == 1, scans
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_late_counts_semi_join_with_residual(spark, sf_dir):
+    """Q4 shape: the correlated EXISTS is a LeftSemi hash join — the
+    datediff runs as a join residual, never as a post-join filter over
+    duplicated orders (no distinct/aggregate dedup step)."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    plan = plan_of(relational8.order_priority_late_counts(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # quarter filter pushed to the orders scan
+    orders_scan = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "orders" in ln
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in orders_scan
+    # priority groups only: one distinct-free aggregate pair
+    assert plan.count("HashAggregate") == 2
+
+
+def test_returned_items_topk_bounded(spark, sf_dir):
+    """Q10 shape: top-k is TakeOrderedAndProject (never a global sort);
+    the return-flag filter reaches the fact scan; nation broadcasts."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    plan = plan_of(relational8.returned_item_losses(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    fact_scan = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert "EqualTo(l_returnflag,R)" in fact_scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_important_part_value_reuses_fact_exchange(spark, sf_dir):
+    """Q11 shape: the scalar total aggregates the per-part aggregate —
+    at runtime AQE reuses the l_partkey exchange, so the fact is
+    scanned and shuffled ONCE, and the total joins back as a 1-row
+    broadcast (BNLJ over a single row is constant work)."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    q = relational8.important_part_value(spark, sf_dir)
+    q.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(q)
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row build side
+    assert "Window" not in plan
+
+
+def test_special_brand_revenue_stays_equi_join(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs predicate must NOT degrade the join to
+    a nested loop — the part-only residue pre-filters the broadcast
+    build side and the disjunction evaluates as an equi-join residual;
+    the shared quantity bound reaches the fact scan."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    plan = plan_of(relational8.special_brand_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    fact_scan = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert "LessThanOrEqual(l_quantity" in fact_scan
+    part_scan = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "part" in ln
+    )
+    assert "In(p_brand" in part_scan or "Or(" in part_scan
+
+
+def test_red_part_heavy_suppliers_broadcast_chain(spark, sf_dir):
+    """Q20 shape: the part-family filter broadcasts into the
+    year-filtered fact scan; one fact exchange (l_suppkey aggregate);
+    the HAVING bar runs before the supplier-name broadcast join."""
+    from simple_map_reduce_ruuner_spark.operators import relational8
+
+    plan = plan_of(relational8.red_part_heavy_suppliers(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    fact_scan = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in fact_scan
+    part_scan = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "part.parquet" in ln
+    )
+    assert "StringStartsWith(p_name" in part_scan
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
