@@ -1,0 +1,192 @@
+"""Behavioral / product-analytics batch over the ``events`` stream
+table: cohort retention, event-transition matrices, and time-weighted
+averages — the workloads a user-analytics deployment of the reference
+would script as custom reducers (the reference itself has no notion of
+users or time; exampleCodes/finding_peek_numbers is its only temporal
+workload, a per-second concurrency count).
+
+Scale notes: all three queries ride ONE exchange of the events table on
+``user_id`` (window functions compute per-user context in place — the
+same decorrelation as relational7.small_quantity_order_revenue), then
+aggregate to dimension-bounded outputs (|cohort-week × week|,
+|event-type|², |user|). Nothing is collected to the driver; no self
+joins.
+
+Determinism-for-oracle notes:
+- Week truncation uses ``date_trunc('week', ...)`` — ISO Monday in both
+  Spark and DuckDB, and purely field-based on TIMESTAMP_NTZ (no session
+  timezone involvement).
+- Durations are exact MICROSECOND diffs (``timestampdiff`` is
+  field-based on NTZ; DuckDB ``datediff('microsecond', ...)`` matches
+  exactly at this precision).
+- The time-weighted average is an all-integer computation floored to
+  the cent (see its docstring) — no decimal→double cast of a
+  >15-significant-digit total ever happens (those casts are correctly
+  rounded in Spark but not in DuckDB).
+- Transition ordering ties break on ``event_id`` (unique), making
+  ``lead`` deterministic under equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_no, active_users): classic retention triangle —
+    users bucketed by the week of their FIRST event, counted distinct in
+    each subsequent week they appear.
+
+    The per-user first-event timestamp is a window ``min`` over the
+    ``user_id`` partition (no separate firsts aggregate + fact
+    join-back), so the fact is exchanged once on user_id; the retention
+    aggregate then groups |cohort×week| cells and the distinct count
+    runs as the standard two-level rewrite.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            (F.datediff(week, cohort) / 7).cast("long").alias("week_no"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH tagged AS (
+    SELECT user_id,
+           date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+               AS cohort_week,
+           date_trunc('week', ts) AS event_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, event_week) // 7 AS BIGINT)
+           AS week_no,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, transitions): per-user event-type bigram
+    counts — the Markov transition matrix of the product funnel.
+
+    ``lead`` over (user_id | ts, event_id) pairs each event with its
+    successor in one exchange; terminal events (lead = NULL) drop out;
+    the |event-type|² aggregate is map-side-combinable.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("transitions")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH paired AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+FROM paired
+WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, twa_value): per-user time-weighted average of ``value``
+    — each reading weighted by how long it remained current (until the
+    user's next event). The hypertable/financial "time_weight" aggregate
+    (TWAP), which a plain AVG gets wrong whenever sampling is irregular.
+
+    Single-event users have no weighted interval and drop out (matching
+    the oracle). Exactness contract: the result is the TWAP floored to
+    the cent. value is exactly 2-decimal, so ``value × 100`` through a
+    DECIMAL cast is an exact BIGINT of cents; cents × dt_us sums in
+    DECIMAL(38,0) (a first cut summed value-decimals directly and cast
+    the 17-significant-digit total to double — correctly rounded in
+    Spark's BigDecimal path but not in DuckDB's, a measured last-ulp
+    mismatch on every user); the cent-µs total integer-divides by the
+    µs total (all non-negative, so trunc ≡ floor on both engines), and
+    only the exact integer cents ever touch floating point.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    weighted = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            (cents * dt_us).cast("decimal(38,0)").alias("cents_dt"),
+            dt_us.alias("dt_us"),
+        )
+    )
+    return weighted.groupBy("user_id").agg(
+        F.expr(
+            "CAST(CAST(sum(cents_dt) div sum(dt_us) AS BIGINT) AS DOUBLE)"
+            " / 100.0"
+        ).alias("twa_value")
+    )
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH spans AS (
+    SELECT user_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           datediff('microsecond', ts,
+                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS dt_us
+    FROM events
+)
+SELECT user_id,
+       CAST(sum(CAST(cents AS HUGEINT) * dt_us) // sum(dt_us) AS DOUBLE)
+           / 100.0 AS twa_value
+FROM spans
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "cohort_retention": Query(
+        cohort_retention,
+        COHORT_RETENTION_SQL,
+        "retention triangle: first-event cohort × active week",
+    ),
+    "event_transitions": Query(
+        event_transitions,
+        EVENT_TRANSITIONS_SQL,
+        "per-user event-type bigram (Markov transition) counts",
+    ),
+    "time_weighted_value": Query(
+        time_weighted_value,
+        TIME_WEIGHTED_VALUE_SQL,
+        "per-user TWAP: interval-weighted mean over irregular samples",
+    ),
+}

@@ -296,6 +296,12 @@ def _load_relational7() -> dict[str, Query]:
     return relational7.QUERIES
 
 
+def _load_behavior() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import behavior
+
+    return behavior.QUERIES
+
+
 def _load_relational8() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import relational8
 
@@ -356,4 +362,5 @@ _EXTENSION_LOADERS = [
     _load_relational7,
     _load_profiling,
     _load_relational8,
+    _load_behavior,
 ]

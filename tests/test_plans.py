@@ -617,6 +617,27 @@ def test_red_part_heavy_suppliers_broadcast_chain(spark, sf_dir):
     assert "StringStartsWith(p_name" in part_scan
 
 
+def test_behavior_batch_single_user_exchange(spark, sf_dir):
+    """Behavioral analytics: each query's per-user context is a window
+    over ONE hash(user_id) exchange of the events scan (no firsts
+    aggregate + join-back, no self-joins); the follow-up aggregate adds
+    at most one more dimension-bounded exchange — and the TWAP's
+    groupBy(user_id) reuses the window's partitioning outright."""
+    from simple_map_reduce_ruuner_spark.operators import behavior
+
+    for fn, max_exchanges in [
+        (behavior.cohort_retention, 2),
+        (behavior.event_transitions, 2),
+        (behavior.time_weighted_value, 1),
+    ]:
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan") == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        assert (
+            plan.count("Exchange hashpartitioning") <= max_exchanges
+        ), (fn.__name__, plan[:1200])
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
