@@ -638,6 +638,21 @@ def test_behavior_batch_single_user_exchange(spark, sf_dir):
         ), (fn.__name__, plan[:1200])
 
 
+def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
+    """Clustering: every centroid side is a BROADCAST build (K × dim
+    longs) — assignment is a map-side pass over the vectors, never a
+    shuffled or unbroadcast cartesian; the SemDeDup pair join is keyed
+    on the cluster id, not all-pairs."""
+    from simple_map_reduce_ruuner_spark.operators import clustering
+
+    for fn in (clustering.kmeans_clusters, clustering.semdedup_pairs):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "Broadcast" in plan, fn.__name__
+    pair_plan = plan_of(clustering.semdedup_pairs(spark, sf_dir))
+    assert "cid" in pair_plan  # cluster-keyed join, not cross
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
