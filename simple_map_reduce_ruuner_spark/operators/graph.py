@@ -152,10 +152,137 @@ FROM {prev}
 PAGERANK_TRADING_SQL = _pagerank_sql()
 
 
+# --------------------------------------------------------------------------
+# Bipartite projection + subgraph counting. The trading graph above is
+# bipartite (customers never link to customers), so triangle-class
+# analytics need the one-mode PROJECTION first: suppliers linked when
+# they share a customer — the classic 2-path / butterfly-counting
+# MapReduce workload.
+# --------------------------------------------------------------------------
+
+# Hub mitigation: customers connected to more than MAX_CUST_DEG suppliers
+# are dropped before pairing (standard co-occurrence practice — a hub of
+# degree d contributes d² wedges; the cap bounds per-customer work at
+# MAX_CUST_DEG² and total work at O(customers · cap²) instead of
+# O(Σ d²), which a single viral hub can otherwise dominate).
+MAX_CUST_DEG = 64
+TOP_PAIRS = 100  # co-trading report size
+TRI_EDGES = 200  # projected-graph edge budget for triangle counting
+
+
+def _cotrading_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s1, s2, shared_customers) for every supplier pair sharing ≥1
+    non-hub customer; one exchange on the customer key for both the
+    degree window and the pair join."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    deg = F.count(F.lit(1)).over(Window.partitionBy("cust"))
+    kept = pairs.withColumn("deg", deg).where(F.col("deg") <= MAX_CUST_DEG)
+    a = kept.select("cust", F.col("supp").alias("s1"))
+    b = kept.select("cust", F.col("supp").alias("s2"))
+    return (
+        a.join(b, "cust")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_customers"))
+    )
+
+
+def supplier_cotrading_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-trading supplier pairs by shared (non-hub) customer count
+    — the bipartite one-mode projection, reported as a bounded top-k so
+    the output stays fixed-size at any corpus scale. Total order
+    (count desc, s1, s2) makes the cut deterministic."""
+    return (
+        _cotrading_counts(spark, sf_dir)
+        .orderBy(F.col("shared_customers").desc(), "s1", "s2")
+        .limit(TOP_PAIRS)
+    )
+
+
+_COTRADING_CTE = f"""
+pairs AS (
+    SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), kept AS (
+    SELECT cust, supp
+    FROM (SELECT cust, supp,
+                 count(*) OVER (PARTITION BY cust) AS deg
+          FROM pairs)
+    WHERE deg <= {MAX_CUST_DEG}
+), co AS (
+    SELECT a.supp AS s1, b.supp AS s2,
+           CAST(count(*) AS BIGINT) AS shared_customers
+    FROM kept a JOIN kept b ON a.cust = b.cust AND a.supp < b.supp
+    GROUP BY 1, 2
+)"""
+
+
+SUPPLIER_COTRADING_PAIRS_SQL = f"""
+WITH {_COTRADING_CTE}
+SELECT s1, s2, shared_customers
+FROM co
+ORDER BY shared_customers DESC, s1, s2
+LIMIT {TOP_PAIRS}
+"""
+
+
+def cotrading_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (triangles): triangle count over the TRI_EDGES strongest
+    projected edges — subgraph counting via the ordered-wedge join
+    (e(a,b) ⋈ e(b,c) builds wedges, e(a,c) closes them; ordering
+    a < b < c counts each triangle exactly once). The edge list is a
+    deterministic bounded top-k, so both wedge sides broadcast and the
+    count is scale-invariant work after the projection.
+    """
+    edges = (
+        _cotrading_counts(spark, sf_dir)
+        .orderBy(F.col("shared_customers").desc(), "s1", "s2")
+        .limit(TRI_EDGES)
+        .select("s1", "s2")
+    )
+    e1 = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = edges.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    wedges = e1.join(e2, "b")
+    closed = wedges.join(e3, ["a", "c"])
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
+COTRADING_TRIANGLES_SQL = f"""
+WITH {_COTRADING_CTE}, edges AS (
+    SELECT s1, s2 FROM co
+    ORDER BY shared_customers DESC, s1, s2
+    LIMIT {TRI_EDGES}
+)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM edges e1
+JOIN edges e2 ON e1.s2 = e2.s1
+JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pagerank_trading": Query(
         pagerank_trading,
         PAGERANK_TRADING_SQL,
         "5-iteration fixed-point PageRank on the customer-supplier graph",
+    ),
+    "supplier_cotrading_pairs": Query(
+        supplier_cotrading_pairs,
+        SUPPLIER_COTRADING_PAIRS_SQL,
+        "bipartite one-mode projection: top shared-customer pairs, hub-capped",
+    ),
+    "cotrading_triangles": Query(
+        cotrading_triangles,
+        COTRADING_TRIANGLES_SQL,
+        "triangle count on the projected graph via ordered-wedge join",
     ),
 }

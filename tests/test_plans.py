@@ -653,6 +653,20 @@ def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
     assert "cid" in pair_plan  # cluster-keyed join, not cross
 
 
+def test_cotrading_projection_bounded_topk(spark, sf_dir):
+    """Bipartite projection: the top-k report never sorts the full pair
+    set (TakeOrderedAndProject), the degree window and pair join share
+    the customer-key clustering, and the triangle count's wedge joins
+    run over the bounded (broadcastable) edge list."""
+    from simple_map_reduce_ruuner_spark.operators import graph
+
+    pairs_plan = plan_of(graph.supplier_cotrading_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in pairs_plan
+    assert "CartesianProduct" not in pairs_plan
+    tri_plan = plan_of(graph.cotrading_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in tri_plan
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
