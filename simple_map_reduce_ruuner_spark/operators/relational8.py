@@ -67,10 +67,14 @@ Q6_MAX_QTY = 24
 Q10_QUARTER = ("1997-01-01", "1997-04-01")
 Q10_TOP_K = 20
 
-# Q11 analog: a part is "important" if it carries more than 1/Q11_DEN
-# of total revenue (TPC-H uses 0.0001/sf; 1/2000 keeps the answer
-# non-degenerate across sf0.001..0.1 where |part| is 200..20k).
-Q11_DEN = 2000
+# Q11 analog: a part is "important" if it carries more than
+# Q11_NUM/Q11_DEN times the AVERAGE part's revenue. TPC-H thresholds on
+# a fixed fraction of the total (0.0001/sf) and has to re-scale it per
+# sf by hand; thresholding on the average is scale-free — a first cut
+# with a fixed 1/2000-of-total bar passed all parts at sf0.001 (200
+# parts, avg share 1/200) and ZERO parts at sf0.1 (20k parts, avg
+# share 1/20k), both degenerate.
+Q11_NUM, Q11_DEN = 3, 2  # value > 1.5 × average part value
 
 # Q19 analog: three (brand, size-band, quantity-band) disjuncts.
 Q19_ARMS = (
@@ -324,24 +328,31 @@ LIMIT {Q10_TOP_K}
 
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(l_partkey, part_value): parts carrying more than 1/Q11_DEN of
-    total revenue — TPC-H Q11's HAVING-against-a-scalar-subquery.
+    """(l_partkey, part_value): parts whose revenue exceeds 1.5× the
+    average part's — TPC-H Q11's HAVING-against-a-scalar-subquery.
 
-    The scalar total is an aggregate OF the per-part aggregate, so it
-    is computed from the grouped result (|part| rows), never by a
-    second fact scan; it comes back as a broadcast single-row cross
-    join. The threshold comparison stays in exact decimals
-    (``value * DEN > total``) — no engine-divergent decimal division.
-    One fact exchange on ``l_partkey``.
+    The scalar (total, part count) is an aggregate OF the per-part
+    aggregate, so it is computed from the grouped result (|part| rows),
+    never by a second fact scan; it comes back as a broadcast
+    single-row cross join. The threshold comparison stays in exact
+    decimal/integer cross-multiplication
+    (``value × n × DEN > total × NUM``) — no engine-divergent decimal
+    division. One fact exchange on ``l_partkey``.
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice")).alias("val_dec")
     )
-    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    total = per_part.agg(
+        F.sum("val_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("val_dec") * Q11_DEN > F.col("total_dec"))
+        .where(
+            F.col("val_dec") * F.col("n_parts") * Q11_DEN
+            > F.col("total_dec") * Q11_NUM
+        )
         .select("l_partkey", as_money(F.col("val_dec")).alias("part_value"))
     )
 
@@ -350,10 +361,12 @@ IMPORTANT_PART_VALUE_SQL = f"""
 WITH per_part AS (
     SELECT l_partkey, {dsum_sql('l_extendedprice')} AS val_dec
     FROM lineitem GROUP BY l_partkey
+), scalar AS (
+    SELECT sum(val_dec) AS total_dec, count(*) AS n_parts FROM per_part
 )
 SELECT l_partkey, CAST(ROUND(val_dec, 2) AS DOUBLE) AS part_value
-FROM per_part
-WHERE val_dec * {Q11_DEN} > (SELECT sum(val_dec) FROM per_part)
+FROM per_part, scalar
+WHERE val_dec * n_parts * {Q11_DEN} > total_dec * {Q11_NUM}
 """
 
 
