@@ -116,7 +116,84 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PART_HIERARCHY_ROLLUP_SQL)
 
 
+# --------------------------------------------------------------------------
+# Spark 4 SQL scripting (BEGIN ... END, DECLARE, WHILE): control flow
+# executed inside the SQL layer, each iteration a full distributed
+# query. The reference's only "control flow" is the master's Java loop
+# over chunks (Master.java:212-224) — scripting is the declarative
+# replacement for that kind of driver-side orchestration.
+# --------------------------------------------------------------------------
+
+# Threshold search start (a power of two) and the target population.
+SCRIPT_T0_EXP = 12  # start at 2^12 = 4096
+SCRIPT_MAX_RICH = 100
+
+
+def script_rich_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (threshold, n_rich): the smallest power-of-two spend
+    threshold (starting at 2^SCRIPT_T0_EXP) that at most
+    SCRIPT_MAX_RICH customers exceed — found by an iterative doubling
+    loop written in Spark 4 SQL scripting. Every WHILE probe is a full
+    distributed aggregate; the script is the declarative form of the
+    driver-side orchestration loops the reference hand-rolls in Java.
+
+    The oracle has no scripting — it states the loop's FIXPOINT in
+    closed form instead (the minimal qualifying power over a generated
+    series), which doubles as an independent check that the iteration
+    terminates at the right bound. Exactness: customer totals sum in
+    DECIMAL (dsum discipline) and compare against integer powers of
+    two — no rounding anywhere.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "smrr_script_orders"
+    )
+    return spark.sql(f"""
+    BEGIN
+      DECLARE t BIGINT DEFAULT {2 ** SCRIPT_T0_EXP};
+      DECLARE n BIGINT DEFAULT 0;
+      SET n = (SELECT count(*) FROM (
+                 SELECT o_custkey
+                 FROM smrr_script_orders
+                 GROUP BY o_custkey
+                 HAVING SUM(CAST(o_totalprice AS DECIMAL(30,6))) > t));
+      WHILE n > {SCRIPT_MAX_RICH} DO
+        SET t = t * 2;
+        SET n = (SELECT count(*) FROM (
+                   SELECT o_custkey
+                   FROM smrr_script_orders
+                   GROUP BY o_custkey
+                   HAVING SUM(CAST(o_totalprice AS DECIMAL(30,6))) > t));
+      END WHILE;
+      SELECT t AS threshold, n AS n_rich;
+    END
+    """)
+
+
+SCRIPT_RICH_THRESHOLD_SQL = f"""
+WITH totals AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS total
+    FROM orders GROUP BY o_custkey
+), powers AS (
+    SELECT CAST(power(2, k) AS BIGINT) AS t
+    FROM generate_series({SCRIPT_T0_EXP}, 50) s(k)
+), counted AS (
+    SELECT t, (SELECT count(*) FROM totals WHERE total > t) AS n_rich
+    FROM powers
+)
+SELECT CAST(t AS BIGINT) AS threshold, CAST(n_rich AS BIGINT) AS n_rich
+FROM counted
+WHERE n_rich <= {SCRIPT_MAX_RICH}
+ORDER BY t
+LIMIT 1
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "script_rich_threshold": Query(
+        script_rich_threshold,
+        SCRIPT_RICH_THRESHOLD_SQL,
+        "SQL-scripting WHILE loop: iterative threshold search, closed-form oracle",
+    ),
     "props_variant_bins": Query(
         props_variant_bins,
         PROPS_VARIANT_BINS_SQL,
