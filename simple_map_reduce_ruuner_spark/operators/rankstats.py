@@ -1,0 +1,167 @@
+"""Rank statistics over customer spend: Spearman rank correlation and
+the Gini concentration coefficient — the order-statistics complement to
+``relational4.stats_moments`` (which covers the moment family:
+stddev/covar/Pearson from exact decimal power sums). The reference has
+no statistics surface at all; these are the one-pass distributional
+reports an analytics deployment runs on every snapshot.
+
+Exactness design (same discipline as stats_moments): every sum is an
+exact integer — money flows as BIGINT cents, ranks are row_numbers with
+a total tie-break order (value, then customer key) — and each statistic
+performs exactly ONE floating-point division of two exactly-
+representable int64s (Spearman) or one truncating DECIMAL division
+(Gini, emitted in parts-per-million), so both engines agree
+bit-for-bit. int64 headroom: Σi·x caps near 1.1e16 at sf0.1 and grows
+as |customer|²·spend; past ~1e8 customers widen the partial sums to
+DECIMAL(38,0) (the Gini numerator already is).
+
+Scale shape: both queries aggregate the fact table ONCE on the customer
+key, then rank the POST-AGGREGATE (|customer| rows). The ranking window
+has a global ORDER BY — a deliberate single-partition step over the
+dimension-sized result, fine to ~10⁷ rows; for a customer dimension
+beyond that, replace it with the range-partitioned rank used by
+``timeseries.session_overlap_counts`` (per-bucket row_number + broadcast
+prefix offsets), which computes the identical rank in O(rows/bucket)
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+PPM = 1_000_000
+
+
+def _customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, spend_cents, n_orders): exact integer spend totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    return orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("spend_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (n_customers, sum_d2, spearman_rho): Spearman rank
+    correlation between how much a customer spends and how often they
+    order. ρ = 1 − 6Σd²/(n(n²−1)) with d the rank difference; both
+    rankings are row_numbers with (value desc, custkey) total orders,
+    so there are no fractional tie ranks and every intermediate is an
+    exact int64 — the single division is IEEE-identical across engines.
+    The exact (n, Σd²) pair is emitted alongside ρ for auditability.
+    """
+    per_cust = _customer_spend(spark, sf_dir)
+    rs = F.row_number().over(
+        Window.orderBy(F.col("spend_cents").desc(), "o_custkey")
+    )
+    ro = F.row_number().over(
+        Window.orderBy(F.col("n_orders").desc(), "o_custkey")
+    )
+    ranked = per_cust.select(
+        (rs.cast("long") - ro.cast("long")).alias("d")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
+    ).select(
+        "n_customers",
+        "sum_d2",
+        F.expr(
+            "1.0D - CAST(6 * sum_d2 AS DOUBLE)"
+            " / CAST(n_customers * (n_customers * n_customers - 1) AS DOUBLE)"
+        ).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_SPEND_ORDERS_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS spend_cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY spend_cents DESC, o_custkey)
+                AS BIGINT)
+         - CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey)
+                AS BIGINT) AS d
+    FROM per_cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(d * d) AS BIGINT) AS sum_d2,
+       1.0 - CAST(6 * sum(d * d) AS DOUBLE)
+           / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)
+           AS spearman_rho
+FROM ranked
+"""
+
+
+def gini_spend_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (n_customers, total_cents, gini_ppm): Gini coefficient of
+    customer spend concentration, in exact parts-per-million.
+    G = (2Σi·xᵢ − (n+1)Σx) / (nΣx) over spend sorted ascending (ties
+    by customer key); the numerator ×10⁶ runs in DECIMAL(38,0) (it
+    overflows int64 once Σi·x passes ~9e18) and the single truncating
+    division (Spark ``div`` ≡ DuckDB ``//``) lands back in BIGINT.
+    """
+    per_cust = _customer_spend(spark, sf_dir)
+    i = F.row_number().over(
+        Window.orderBy(F.col("spend_cents").asc(), "o_custkey")
+    )
+    terms = per_cust.select(
+        "spend_cents",
+        (i.cast("long") * F.col("spend_cents")).alias("ix"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_cents").alias("sx"),
+        F.sum("ix").alias("six"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.expr(
+            f"CAST(CAST(2 * six - (n + 1) * sx AS DECIMAL(38,0)) * {PPM}"
+            " div (n * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+GINI_SPEND_PPM_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS spend_cents
+    FROM orders GROUP BY o_custkey
+), terms AS (
+    SELECT spend_cents,
+           CAST(row_number() OVER (ORDER BY spend_cents, o_custkey)
+                AS BIGINT) * spend_cents AS ix
+    FROM per_cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+       CAST(CAST(2 * sum(ix) - (count(*) + 1) * sum(spend_cents)
+                 AS HUGEINT) * {PPM}
+            // (count(*) * sum(spend_cents)) AS BIGINT) AS gini_ppm
+FROM terms
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "spearman_spend_orders": Query(
+        spearman_spend_orders,
+        SPEARMAN_SPEND_ORDERS_SQL,
+        "Spearman rank correlation, exact int ranks, one IEEE division",
+    ),
+    "gini_spend_ppm": Query(
+        gini_spend_ppm,
+        GINI_SPEND_PPM_SQL,
+        "Gini spend concentration in exact parts-per-million",
+    ),
+}

@@ -296,6 +296,12 @@ def _load_relational7() -> dict[str, Query]:
     return relational7.QUERIES
 
 
+def _load_rankstats() -> dict[str, Query]:
+    from simple_map_reduce_ruuner_spark.operators import rankstats
+
+    return rankstats.QUERIES
+
+
 def _load_clustering() -> dict[str, Query]:
     from simple_map_reduce_ruuner_spark.operators import clustering
 
@@ -370,4 +376,5 @@ _EXTENSION_LOADERS = [
     _load_relational8,
     _load_behavior,
     _load_clustering,
+    _load_rankstats,
 ]

@@ -667,6 +667,20 @@ def test_cotrading_projection_bounded_topk(spark, sf_dir):
     assert "CartesianProduct" not in tri_plan
 
 
+def test_rank_stats_rank_post_aggregate_only(spark, sf_dir):
+    """Rank statistics: the fact aggregates once on the customer key
+    and every ranking window runs over the POST-AGGREGATE rows — one
+    orders scan, no joins, no fact-sized sort."""
+    from simple_map_reduce_ruuner_spark.operators import rankstats
+
+    for fn in (rankstats.spearman_spend_orders, rankstats.gini_spend_ppm):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan") == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        # the customer aggregate precedes (is deeper than) every Window
+        assert plan.index("Window") < plan.index("FileScan"), fn.__name__
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Registry-wide invariant: Python reaches plans only through Arrow
     batches (ArrowEvalPython / *InPandas) — BatchEvalPython (row-at-a-
