@@ -115,3 +115,35 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     df.repartition(int(n_files)).write.mode("overwrite").parquet(dst_path)
     return int(n_files)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Whole-file multimodal ingest via Spark's ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the standard entry point for image/audio corpora before they are
+    repacked into parquet binary columns (operators/multimodal.py picks
+    up from there).
+
+    ``glob_filter`` (e.g. ``*.jpg``) prunes at FILE LISTING time —
+    non-matching files are never opened; ``max_bytes`` pushes a
+    ``length`` predicate into the reader so oversized blobs are skipped
+    before their content is materialized (binaryFile supports exactly
+    this pushdown on the length column). At 100 TB the repack matters:
+    millions of loose files pay per-object listing and open costs on
+    every scan, so this reader should run ONCE per ingest, writing
+    size-bounded parquet (see ``compact_parquet``).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -228,3 +228,26 @@ def test_python_datasource_chunked_text(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_binary_file_source_reads_and_prunes(spark, tmp_path):
+    """binaryFile whole-file ingest: content round-trips byte-exact,
+    pathGlobFilter prunes at listing time, and the max_bytes bound
+    reaches the reader as a length pushdown."""
+    from simple_map_reduce_ruuner_spark.sources.formats import read_binary_files
+
+    blobs = {"a.jpg": b"\xff\xd8jpeg-bytes", "b.jpg": b"\xff\xd8" + b"x" * 64,
+             "c.txt": b"not-an-image"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+
+    df = read_binary_files(spark, str(tmp_path), glob_filter="*.jpg")
+    rows = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
+    assert rows == {"a.jpg": blobs["a.jpg"], "b.jpg": blobs["b.jpg"]}
+
+    small = read_binary_files(
+        spark, str(tmp_path), glob_filter="*.jpg", max_bytes=20
+    )
+    assert [os.path.basename(r.path) for r in small.collect()] == ["a.jpg"]
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "length" in plan  # size bound pushed toward the reader
