@@ -369,7 +369,54 @@ GROUP BY 1, 2, 3
 """
 
 
+ROLLING_MEDIAN_ROWS = 4  # trailing window: this many preceding + current
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, median_value): per-user rolling exact median of the
+    last ROLLING_MEDIAN_ROWS+1 event values — the order-statistics
+    denoiser (robust to spikes where the rolling MEAN of
+    rolling_hour_value is not).
+
+    Exactness: the median interpolates between ORDER STATISTICS, so it
+    is deterministic where a float mean is not — values become integer
+    cents, every interpolation point is k or k+0.5 (exact doubles in
+    both engines' a+(b−a)·f form), and the one /100.0 at the end is a
+    single IEEE division. Window frame state is O(frame rows); one
+    exchange on user_id shared with the in-partition (ts, event_id)
+    sort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    med = F.expr(
+        f"percentile(cents, 0.5) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id "
+        f"ROWS BETWEEN {ROLLING_MEDIAN_ROWS} PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        ev.withColumn("cents", cents)
+        .select("event_id", (med / F.lit(100.0)).alias("median_value"))
+    )
+
+
+ROLLING_MEDIAN_VALUE_SQL = f"""
+SELECT event_id,
+       quantile_cont(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ROLLING_MEDIAN_ROWS} PRECEDING AND CURRENT ROW)
+           / 100.0 AS median_value
+FROM events
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "rolling_median_value": Query(
+        rolling_median_value,
+        ROLLING_MEDIAN_VALUE_SQL,
+        "per-user rolling exact median (order-statistics denoiser)",
+    ),
     "session_overlap_counts": Query(
         session_overlap_counts,
         _session_overlap_counts_sql(),
