@@ -151,3 +151,26 @@ def test_decode_image_pil_degrades_to_stub_contract(spark, sf_dir):
     ]
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         plan.collect()
+
+
+def test_hll_sketches_merge_across_groups(spark, sf_dir):
+    """Spark 4 DataSketches surface: per-segment HLL sketches built with
+    ``hll_sketch_agg`` union into a corpus-wide estimate via
+    ``hll_union_agg`` — the RE-AGGREGATABLE form of distinct counting
+    that plain approx_count_distinct hides (at 100 TB, per-partition /
+    per-day sketches persist and merge instead of rescanning history).
+    The merged estimate must satisfy the same 5% bound the direct HLL
+    query is held to."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_seg = ev.groupBy(F.pmod("user_id", F.lit(8)).alias("seg")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    est = per_seg.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0].est
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0].n
+    assert abs(est - exact) <= 0.05 * exact
