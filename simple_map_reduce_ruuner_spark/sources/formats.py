@@ -147,3 +147,23 @@ def read_binary_files(
 
         df = df.where(F.col("length") <= max_bytes)
     return df
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_col: str) -> None:
+    """Incremental backfill primitive: rewrite ONLY the partitions
+    present in ``df`` (dynamic partition overwrite), leaving every other
+    partition's files untouched.
+
+    This is how a 100 TB rollup absorbs late or corrected data: the
+    static ``overwrite`` mode would truncate the whole table, and
+    append would duplicate the reprocessed days. ``partitionOverwriteMode
+    =dynamic`` scopes the delete-and-replace to exactly the partition
+    values the incoming frame contains — O(changed days), not O(table).
+    Set per-write via option so the session default stays untouched.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -251,3 +251,51 @@ def test_binary_file_source_reads_and_prunes(spark, tmp_path):
     assert [os.path.basename(r.path) for r in small.collect()] == ["a.jpg"]
     plan = small._jdf.queryExecution().executedPlan().toString()
     assert "length" in plan  # size bound pushed toward the reader
+
+
+def test_dynamic_partition_overwrite_touches_only_changed_days(spark, sf_dir, tmp_path):
+    """Incremental backfill: overwriting a one-day correction frame
+    rewrites ONLY that day's partition — other partitions' files are
+    bit-identical afterwards, and the table equals the full recompute."""
+    from simple_map_reduce_ruuner_spark.sources.formats import (
+        overwrite_partitions_dynamic,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(30,6)")).alias("v")
+    )
+    path = str(tmp_path / "rollup")
+    overwrite_partitions_dynamic(daily, path, "day")
+
+    import glob
+    import hashlib
+
+    def digests():
+        out = {}
+        for f in glob.glob(f"{path}/day=*/*.parquet"):
+            out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    before = digests()
+    target_day = sorted(
+        d.day for d in daily.select("day").distinct().collect()
+    )[3]
+    corrected = (
+        daily.where(F.col("day") == F.lit(target_day))
+        .withColumn("n", F.col("n") + 1)
+    )
+    overwrite_partitions_dynamic(corrected, path, "day")
+    after = digests()
+
+    changed_prefix = f"{path}/day={target_day}"
+    for f, h in before.items():
+        if not f.startswith(changed_prefix):
+            assert after.get(f) == h, f"untouched partition rewritten: {f}"
+    assert any(f.startswith(changed_prefix) for f in after)
+
+    got = spark.read.parquet(path)
+    assert got.where(F.col("day") == F.lit(target_day)).collect()[0].n == (
+        daily.where(F.col("day") == F.lit(target_day)).collect()[0].n + 1
+    )
+    assert got.count() == daily.count()
