@@ -692,3 +692,36 @@ def test_no_row_at_a_time_python_udfs(spark, sf_dir):
         if "BatchEvalPython" in plan_of(q.fn(spark, sf_dir)):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_analyze_statistics_drive_cbo_estimates(spark, sf_dir):
+    """Catalog statistics → optimizer: ANALYZE TABLE populates row and
+    column stats, and with CBO enabled the optimizer's cardinality
+    estimates use them — the exact row count on a bare scan, and a
+    column-stats selectivity estimate (< full count) under an equality
+    filter. At 100 TB this is what keeps join-order and broadcast
+    decisions from flying blind on raw file sizes."""
+    spark.sql("DROP TABLE IF EXISTS smrr_cbo_dim")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "smrr_cbo_dim"
+    )
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.sql(
+            "ANALYZE TABLE smrr_cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+
+        def row_estimate(df):
+            opt = df._jdf.queryExecution().optimizedPlan()
+            rc = opt.stats().rowCount()
+            assert rc.isDefined(), "CBO produced no rowCount estimate"
+            return int(str(rc.get()))
+
+        n = row_estimate(spark.table("smrr_cbo_dim"))
+        assert n == 25  # exact analyzed row count, not a size guess
+        filtered = spark.table("smrr_cbo_dim").where(F.col("n_regionkey") == 0)
+        assert 0 < row_estimate(filtered) < n  # column-stat selectivity
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS smrr_cbo_dim")
