@@ -221,6 +221,81 @@ FROM d
 
 
 
+RESIZE_FACTOR = 4  # 8x8 -> 2x2 via 4x4 integer block means
+RESIZE_SIDE = IMG_SIDE // RESIZE_FACTOR
+
+
+def resize_image_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, q00, q01, q10, q11): the fake 8×8 image downsampled to
+    2×2 by exact integer 4×4 block means — the RESIZE stage of the
+    multimodal pipeline, same Arrow-batch numpy path as
+    ``decode_image_fake`` (swap the block-mean for cv2/PIL thumbnailing
+    and the plumbing is unchanged). Block means are floor divisions of
+    16-pixel integer sums, so the oracle replays them exactly.
+    """
+    df = _with_payload(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            img = np.zeros((n, IMG_PIXELS), dtype=np.int64)
+            for i, b in enumerate(pdf["payload"]):
+                v = np.frombuffer(b[:IMG_PIXELS], dtype=np.uint8)
+                img[i, : v.size] = v
+            blocks = (
+                img.reshape(n, RESIZE_SIDE, RESIZE_FACTOR, RESIZE_SIDE, RESIZE_FACTOR)
+                .sum(axis=(2, 4))
+                // (RESIZE_FACTOR * RESIZE_FACTOR)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "q00": blocks[:, 0, 0],
+                    "q01": blocks[:, 0, 1],
+                    "q10": blocks[:, 1, 0],
+                    "q11": blocks[:, 1, 1],
+                }
+            )
+
+    return df.mapInPandas(
+        resize, "doc_id long, q00 long, q01 long, q10 long, q11 long"
+    )
+
+
+def _resize_block_sql(br: int, bc: int) -> str:
+    """Sum of the (br, bc) 4x4 block over the 1-based 64-pixel list."""
+    idx = [
+        (br * RESIZE_FACTOR + r) * IMG_SIDE + (bc * RESIZE_FACTOR + c) + 1
+        for r in range(RESIZE_FACTOR)
+        for c in range(RESIZE_FACTOR)
+    ]
+    total = " + ".join(f"p[{i}]" for i in idx)
+    return f"CAST(({total}) // {RESIZE_FACTOR * RESIZE_FACTOR} AS BIGINT)"
+
+
+RESIZE_IMAGE_FAKE_SQL = f"""
+WITH codes AS (
+    SELECT doc_id,
+           list_transform(string_split(substr(text, 1, {IMG_PIXELS}), ''),
+                          c -> ascii(c)::BIGINT) AS cs
+    FROM documents
+),
+px AS (
+    SELECT doc_id,
+           [coalesce(cs[i], 0) for i in range(1, {IMG_PIXELS} + 1)] AS p
+    FROM codes
+)
+SELECT doc_id,
+       {_resize_block_sql(0, 0)} AS q00,
+       {_resize_block_sql(0, 1)} AS q01,
+       {_resize_block_sql(1, 0)} AS q10,
+       {_resize_block_sql(1, 1)} AS q11
+FROM px
+"""
+
+
 def decode_media_stub(df: DataFrame, media_col: str = "payload") -> DataFrame:
     """Where a real decoder plugs in (PIL / torchaudio / ffmpeg).
 
@@ -372,5 +447,10 @@ QUERIES: dict[str, Query] = {
         decode_image_fake,
         DECODE_IMAGE_FAKE_SQL,
         "executable deterministic decode: 8x8 gray image features via mapInPandas",
+    ),
+    "resize_image_fake": Query(
+        resize_image_fake,
+        RESIZE_IMAGE_FAKE_SQL,
+        "resize stage: exact integer 4x4 block-mean downsample via mapInPandas",
     ),
 }
