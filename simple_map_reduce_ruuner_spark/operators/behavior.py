@@ -47,7 +47,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate then groups |cohort×week| cells and the distinct count
     runs as the standard two-level rewrite.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_of(load_table(spark, sf_dir, "events"))
+
+
+def cohort_of(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`cohort_retention` (property-tested
+    on generated event sets in tests/test_properties.py)."""
+    ev = ev.select("user_id", "ts")
     w = Window.partitionBy("user_id")
     cohort = F.date_trunc("week", F.min("ts").over(w))
     week = F.date_trunc("week", F.col("ts"))
@@ -87,9 +93,12 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     successor in one exchange; terminal events (lead = NULL) drop out;
     the |event-type|² aggregate is map-side-combinable.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
+    return transitions_of(load_table(spark, sf_dir, "events"))
+
+
+def transitions_of(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`event_transitions`."""
+    ev = ev.select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paired = ev.select(
         F.col("event_type").alias("from_type"),
@@ -132,15 +141,25 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs total (all non-negative, so trunc ≡ floor on both engines), and
     only the exact integer cents ever touch floating point.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
+    return twa_of(load_table(spark, sf_dir, "events"))
+
+
+def twa_of(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`time_weighted_value`.
+
+    Zero-duration spans (equal consecutive timestamps) carry no weight
+    and are filtered BEFORE aggregation — a user whose events all share
+    one timestamp would otherwise reach ``sum(dt_us) = 0`` and raise
+    DIVIDE_BY_ZERO under ANSI mode (hypothesis-found; such users drop
+    out exactly like single-event users).
+    """
+    ev = ev.select("user_id", "ts", "event_id", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dt_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     weighted = (
         ev.withColumn("next_ts", F.lead("ts").over(w))
-        .where(F.col("next_ts").isNotNull())
+        .where(dt_us > 0)
         .select(
             "user_id",
             (cents * dt_us).cast("decimal(38,0)").alias("cents_dt"),
@@ -168,7 +187,7 @@ SELECT user_id,
        CAST(sum(CAST(cents AS HUGEINT) * dt_us) // sum(dt_us) AS DOUBLE)
            / 100.0 AS twa_value
 FROM spans
-WHERE dt_us IS NOT NULL
+WHERE dt_us > 0
 GROUP BY user_id
 """
 

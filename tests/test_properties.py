@@ -467,3 +467,96 @@ def test_user_type_islands_equals_bruteforce(spark, tmp_path_factory, evs):
         want.add((u, run_type, run_from, run_to, n))
 
     assert got == want
+
+
+# --- behavioral analytics vs pure-Python reimplementation ----------------
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=3),            # user_id (small pool)
+    st.integers(min_value=0, max_value=3_000_000),    # µs offset from epoch0
+    st.sampled_from(["a", "b", "c"]),                 # event_type
+    st.integers(min_value=0, max_value=9999),         # value in cents
+)
+
+
+def _event_df(spark, events):
+    import datetime
+
+    epoch0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            u,
+            epoch0 + datetime.timedelta(microseconds=us),
+            i,  # unique event_id = generation index
+            t,
+            cents / 100.0,
+        )
+        for i, (u, us, t, cents) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string, value double"
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_event, min_size=2, max_size=25))
+def test_event_transitions_match_python(spark, events):
+    from simple_map_reduce_ruuner_spark.operators.behavior import transitions_of
+
+    got = {
+        (r.from_type, r.to_type): r.transitions
+        for r in transitions_of(_event_df(spark, events)).collect()
+    }
+    per_user: dict[int, list] = {}
+    for i, (u, us, t, _c) in enumerate(events):
+        per_user.setdefault(u, []).append((us, i, t))
+    expected = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            expected[(a, b)] += 1
+    assert got == dict(expected)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_event, min_size=2, max_size=25))
+def test_twa_matches_python_bigint(spark, events):
+    from simple_map_reduce_ruuner_spark.operators.behavior import twa_of
+
+    got = {
+        r.user_id: r.twa_value
+        for r in twa_of(_event_df(spark, events)).collect()
+    }
+    per_user: dict[int, list] = {}
+    for i, (u, us, t, cents) in enumerate(events):
+        per_user.setdefault(u, []).append((us, i, cents))
+    expected = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        num = den = 0
+        for (us0, _, cents), (us1, _, _) in zip(seq, seq[1:]):
+            dt = us1 - us0
+            num += cents * dt
+            den += dt
+        if den > 0:
+            expected[u] = (num // den) / 100.0
+    # all-zero-duration users drop out in both implementations (the
+    # dt_us > 0 filter — its absence was a hypothesis-found ANSI
+    # DIVIDE_BY_ZERO crash)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_event, min_size=1, max_size=25))
+def test_cohort_retention_invariants(spark, events):
+    from simple_map_reduce_ruuner_spark.operators.behavior import cohort_of
+
+    rows = cohort_of(_event_df(spark, events)).collect()
+    users = {u for (u, *_rest) in events}
+    # week 0 of each cohort contains every user of that cohort exactly once
+    week0 = {r.cohort_week: r.active_users for r in rows if r.week_no == 0}
+    assert sum(week0.values()) == len(users)
+    # no cell can exceed its cohort's size, and week_no is never negative
+    for r in rows:
+        assert 0 <= r.week_no
+        assert r.active_users <= week0[r.cohort_week]
