@@ -55,7 +55,12 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 — the single division is IEEE-identical across engines.
     The exact (n, Σd²) pair is emitted alongside ρ for auditability.
     """
-    per_cust = _customer_spend(spark, sf_dir)
+    return spearman_of(_customer_spend(spark, sf_dir))
+
+
+def spearman_of(per_cust: DataFrame) -> DataFrame:
+    """Core of :func:`spearman_spend_orders` over a (o_custkey,
+    spend_cents, n_orders) frame (property-tested on generated tables)."""
     rs = F.row_number().over(
         Window.orderBy(F.col("spend_cents").desc(), "o_custkey")
     )
@@ -109,7 +114,15 @@ def gini_spend_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows int64 once Σi·x passes ~9e18) and the single truncating
     division (Spark ``div`` ≡ DuckDB ``//``) lands back in BIGINT.
     """
-    per_cust = _customer_spend(spark, sf_dir)
+    return gini_of(_customer_spend(spark, sf_dir))
+
+
+def gini_of(per_cust: DataFrame) -> DataFrame:
+    """Core of :func:`gini_spend_ppm` over a (o_custkey, spend_cents)
+    frame. Concentration is undefined over zero total spend — the
+    divisor is NULLed rather than crashing (hypothesis-found ANSI
+    DIVIDE_BY_ZERO on an all-zero-spend snapshot), so such inputs
+    report gini_ppm = NULL."""
     i = F.row_number().over(
         Window.orderBy(F.col("spend_cents").asc(), "o_custkey")
     )
@@ -127,7 +140,7 @@ def gini_spend_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_cents"),
         F.expr(
             f"CAST(CAST(2 * six - (n + 1) * sx AS DECIMAL(38,0)) * {PPM}"
-            " div (n * sx) AS BIGINT)"
+            " div nullif(n * sx, 0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -148,7 +161,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(spend_cents) AS BIGINT) AS total_cents,
        CAST(CAST(2 * sum(ix) - (count(*) + 1) * sum(spend_cents)
                  AS HUGEINT) * {PPM}
-            // (count(*) * sum(spend_cents)) AS BIGINT) AS gini_ppm
+            // nullif(count(*) * sum(spend_cents), 0) AS BIGINT) AS gini_ppm
 FROM terms
 """
 

@@ -560,3 +560,56 @@ def test_cohort_retention_invariants(spark, events):
     for r in rows:
         assert 0 <= r.week_no
         assert r.active_users <= week0[r.cohort_week]
+
+
+_cust_row = st.tuples(
+    st.integers(min_value=0, max_value=9),     # o_custkey
+    st.integers(min_value=0, max_value=500),   # spend_cents
+    st.integers(min_value=1, max_value=9),     # n_orders
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_cust_row, min_size=2, max_size=12, unique_by=lambda r: r[0]))
+def test_spearman_and_gini_match_python(spark, custs):
+    """Rank statistics vs pure-Python on generated spend tables — ties
+    in spend/order counts are the subtle part (both rankings must use
+    the same (value, custkey) total order the SQL declares)."""
+    from simple_map_reduce_ruuner_spark.operators.rankstats import (
+        PPM,
+        gini_of,
+        spearman_of,
+    )
+
+    df = spark.createDataFrame(
+        custs, "o_custkey long, spend_cents long, n_orders long"
+    )
+    n = len(custs)
+
+    def rank(key):
+        order = sorted(custs, key=key)
+        return {r[0]: i + 1 for i, r in enumerate(order)}
+
+    rs = rank(lambda r: (-r[1], r[0]))
+    ro = rank(lambda r: (-r[2], r[0]))
+    sum_d2 = sum((rs[c] - ro[c]) ** 2 for c, _s, _n in custs)
+    got = spearman_of(df).collect()[0]
+    assert (got.n_customers, got.sum_d2) == (n, sum_d2)
+    if n > 1:
+        expected_rho = 1.0 - (6 * sum_d2) / (n * (n * n - 1))
+        assert got.spearman_rho == expected_rho
+
+    sx = sum(s for _c, s, _n in custs)
+    asc = sorted(custs, key=lambda r: (r[1], r[0]))
+    six = sum((i + 1) * r[1] for i, r in enumerate(asc))
+    gg = gini_of(df).collect()[0]
+    assert (gg.n_customers, gg.total_cents) == (n, sx)
+    if sx > 0:
+        num = (2 * six - (n + 1) * sx) * PPM
+        den = n * sx
+        # Spark div / DuckDB // truncate toward zero (num can be ±)
+        expected_ppm = abs(num) // den * (1 if num >= 0 else -1)
+        assert gg.gini_ppm == expected_ppm
+    else:
+        # undefined concentration: NULL, not a DIVIDE_BY_ZERO crash
+        assert gg.gini_ppm is None
