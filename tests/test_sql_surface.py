@@ -70,3 +70,35 @@ def test_parameterized_sql_named_and_positional(spark, sf_dir):
     assert want > 0
     plan = named._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderpriority" in plan
+
+
+def test_pandas_on_spark_api_matches_native(spark, sf_dir):
+    """pyspark.pandas (the drop-in pandas API): a groupby-agg written in
+    pandas idiom must distribute through the same engine and agree with
+    the native DataFrame result — the migration surface for pandas-first
+    users of the reference's workloads."""
+    import warnings
+
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+        got = (
+            psdf.groupby("o_orderstatus")["o_totalprice"]
+            .count()
+            .sort_index()
+            .to_pandas()
+            .to_dict()
+        )
+    native = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == native and len(got) == 3
