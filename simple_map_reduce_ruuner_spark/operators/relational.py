@@ -321,6 +321,39 @@ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
 """
 
 
+def event_type_bag_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, surplus): EXCEPT ALL — bag (multiplicity-aware) set
+    difference, the reconciliation semantics the DISTINCT variants above
+    cannot express. Each event type's first-half-of-January occurrences
+    minus its second-half occurrences, clamped at zero: exceptAll keeps
+    ``max(0, count_a − count_b)`` copies per value, which the grouped
+    count then reports compactly. The plan never materializes duplicate
+    rows row-by-row — Catalyst rewrites ExceptAll to a count-diff
+    generate, so the shuffle carries one row per distinct value.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    first_half = ev.where(F.col("ts") < mid).select("event_type")
+    second_half = ev.where(F.col("ts") >= mid).select("event_type")
+    return (
+        first_half.exceptAll(second_half)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("surplus"))
+    )
+
+
+EVENT_TYPE_BAG_SURPLUS_SQL = """
+WITH diff AS (
+    SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS surplus
+FROM diff
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # As-of join: each error event matched to the same user's most recent
 # prior-or-equal signup. Implemented with a union + last_value window —

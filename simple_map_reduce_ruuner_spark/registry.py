@@ -111,6 +111,11 @@ def _builtin_queries() -> dict[str, Query]:
         relational.RICH_WITH_BIG_ORDERS_SQL,
         "set operation (INTERSECT DISTINCT)",
     )
+    q["event_type_bag_surplus"] = Query(
+        relational.event_type_bag_surplus,
+        relational.EVENT_TYPE_BAG_SURPLUS_SQL,
+        "set operation (EXCEPT ALL, bag semantics) + compact count report",
+    )
     q["error_asof_signup"] = Query(
         relational.error_asof_signup,
         relational.ERROR_ASOF_SIGNUP_SQL,
