@@ -157,12 +157,16 @@ def twa_of(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dt_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    # the cents × µs product MUST multiply in DECIMAL, not int64: a
+    # ~$35k value held for ~30 days already exceeds 2^63 µs-cents and
+    # would raise ARITHMETIC_OVERFLOW under ANSI (the oracle multiplies
+    # in HUGEINT and would silently keep going — an asymmetric crash)
     weighted = (
         ev.withColumn("next_ts", F.lead("ts").over(w))
         .where(dt_us > 0)
         .select(
             "user_id",
-            (cents * dt_us).cast("decimal(38,0)").alias("cents_dt"),
+            (cents.cast("decimal(38,0)") * dt_us).alias("cents_dt"),
             dt_us.alias("dt_us"),
         )
     )

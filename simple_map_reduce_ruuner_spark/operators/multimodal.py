@@ -194,18 +194,38 @@ def decode_image_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECODE_IMAGE_FAKE_SQL = f"""
-WITH codes AS (
-    SELECT doc_id,
-           list_transform(string_split(substr(text, 1, {IMG_PIXELS}), ''),
-                          c -> ascii(c)::BIGINT) AS cs
-    FROM documents
+# Oracle byte extraction: the Spark path reads the first 64 BYTES of
+# the UTF-8 payload (np.frombuffer), so the oracle must index bytes,
+# not characters — substr/ascii would diverge on any non-ASCII code
+# point (review-found, latent on the ASCII driver corpus). hex() of
+# the encoded blob gives two hex digits per byte; strpos decodes them.
+_HEX = "0123456789ABCDEF"
+
+
+def _byte_sql(i: int) -> str:
+    """1-based byte i of the hex-encoded payload as a BIGINT (0 if past
+    the end)."""
+    hi = f"(strpos('{_HEX}', h[{2 * i - 1}:{2 * i - 1}]) - 1)"
+    lo = f"(strpos('{_HEX}', h[{2 * i}:{2 * i}]) - 1)"
+    return (
+        f"CASE WHEN length(h) >= {2 * i}"
+        f" THEN CAST({hi} * 16 + {lo} AS BIGINT) ELSE 0 END"
+    )
+
+
+_PX_CTE = f"""
+codes AS (
+    SELECT doc_id, hex(encode(text)) AS h FROM documents
 ),
 px AS (
     SELECT doc_id,
-           [coalesce(cs[i], 0) for i in range(1, {IMG_PIXELS} + 1)] AS p
+           [{", ".join(_byte_sql(i) for i in range(1, IMG_PIXELS + 1))}] AS p
     FROM codes
-),
+)"""
+
+
+DECODE_IMAGE_FAKE_SQL = f"""
+WITH {_PX_CTE},
 d AS (
     SELECT doc_id, p,
            [abs(p[i + 1] - p[i]) for i in range(1, {IMG_PIXELS})] AS diffs
@@ -276,17 +296,7 @@ def _resize_block_sql(br: int, bc: int) -> str:
 
 
 RESIZE_IMAGE_FAKE_SQL = f"""
-WITH codes AS (
-    SELECT doc_id,
-           list_transform(string_split(substr(text, 1, {IMG_PIXELS}), ''),
-                          c -> ascii(c)::BIGINT) AS cs
-    FROM documents
-),
-px AS (
-    SELECT doc_id,
-           [coalesce(cs[i], 0) for i in range(1, {IMG_PIXELS} + 1)] AS p
-    FROM codes
-)
+WITH {_PX_CTE}
 SELECT doc_id,
        {_resize_block_sql(0, 0)} AS q00,
        {_resize_block_sql(0, 1)} AS q01,

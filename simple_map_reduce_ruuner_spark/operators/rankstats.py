@@ -8,12 +8,16 @@ reports an analytics deployment runs on every snapshot.
 Exactness design (same discipline as stats_moments): every sum is an
 exact integer — money flows as BIGINT cents, ranks are row_numbers with
 a total tie-break order (value, then customer key) — and each statistic
-performs exactly ONE floating-point division of two exactly-
-representable int64s (Spearman) or one truncating DECIMAL division
-(Gini, emitted in parts-per-million), so both engines agree
-bit-for-bit. int64 headroom: Σi·x caps near 1.1e16 at sf0.1 and grows
-as |customer|²·spend; past ~1e8 customers widen the partial sums to
-DECIMAL(38,0) (the Gini numerator already is).
+performs exactly ONE floating-point division at the very end
+(Spearman: IEEE double of exact operands; Gini: truncating DECIMAL
+division emitted in parts-per-million), so both engines agree
+bit-for-bit. All derived products (6Σd², n(n²−1), 2Σi·x, nΣx) widen to
+DECIMAL(38,0) BEFORE arithmetic — n(n²−1) alone overflows int64 at
+n ≈ 2.1e6 customers, and the DuckDB oracle's HUGEINT sums would keep
+going where a late-cast Spark side crashed (review-found). Degenerate
+inputs yield NULL, not errors or NaN: a single customer nullifies
+Spearman's denominator (DuckDB's double division by zero is NULL, so
+Spark nullifs to match) and zero total spend nullifies Gini's.
 
 Scale shape: both queries aggregate the fact table ONCE on the customer
 key, then rank the POST-AGGREGATE (|customer| rows). The ranking window
@@ -70,6 +74,10 @@ def spearman_of(per_cust: DataFrame) -> DataFrame:
     ranked = per_cust.select(
         (rs.cast("long") - ro.cast("long")).alias("d")
     )
+    # numerator and denominator widen to DECIMAL(38,0) BEFORE any
+    # arithmetic: n(n²−1) overflows int64 at n ≈ 2.1e6 customers and 6Σd²
+    # soon after, and the n=1 denominator of 0 must yield NULL (nullif),
+    # matching DuckDB's NULL-on-zero double division rather than NaN.
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
@@ -77,8 +85,10 @@ def spearman_of(per_cust: DataFrame) -> DataFrame:
         "n_customers",
         "sum_d2",
         F.expr(
-            "1.0D - CAST(6 * sum_d2 AS DOUBLE)"
-            " / CAST(n_customers * (n_customers * n_customers - 1) AS DOUBLE)"
+            "1.0D - CAST(CAST(sum_d2 AS DECIMAL(38,0)) * 6 AS DOUBLE)"
+            " / CAST(nullif(CAST(n_customers AS DECIMAL(38,0))"
+            "   * n_customers * n_customers"
+            "   - n_customers, 0) AS DOUBLE)"
         ).alias("spearman_rho"),
     )
 
@@ -99,8 +109,9 @@ WITH per_cust AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(d * d) AS BIGINT) AS sum_d2,
-       1.0 - CAST(6 * sum(d * d) AS DOUBLE)
-           / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)
+       1.0 - CAST(CAST(sum(d * d) AS HUGEINT) * 6 AS DOUBLE)
+           / CAST(nullif(CAST(count(*) AS HUGEINT) * count(*) * count(*)
+                         - count(*), 0) AS DOUBLE)
            AS spearman_rho
 FROM ranked
 """
@@ -126,21 +137,29 @@ def gini_of(per_cust: DataFrame) -> DataFrame:
     i = F.row_number().over(
         Window.orderBy(F.col("spend_cents").asc(), "o_custkey")
     )
+    # rank-weighted products and their sums widen to DECIMAL(38,0)
+    # BEFORE arithmetic — i·x already clears int64 around 3e5
+    # sf0.1-sized customers, and 2·Σi·x / n·Σx soon after; the DuckDB
+    # oracle computes in HUGEINT throughout (sum(BIGINT) is HUGEINT
+    # there), so int64 anywhere on the Spark side would crash where the
+    # oracle succeeds (review-found).
     terms = per_cust.select(
-        "spend_cents",
-        (i.cast("long") * F.col("spend_cents")).alias("ix"),
+        F.col("spend_cents").cast("decimal(38,0)").alias("sc"),
+        (i.cast("long") * F.col("spend_cents").cast("decimal(38,0)")).alias(
+            "ix"
+        ),
     )
     agg = terms.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("spend_cents").alias("sx"),
+        F.sum("sc").alias("sx"),
         F.sum("ix").alias("six"),
     )
     return agg.select(
         F.col("n").alias("n_customers"),
-        F.col("sx").alias("total_cents"),
+        F.col("sx").cast("long").alias("total_cents"),
         F.expr(
-            f"CAST(CAST(2 * six - (n + 1) * sx AS DECIMAL(38,0)) * {PPM}"
-            " div nullif(n * sx, 0) AS BIGINT)"
+            f"CAST((six * 2 - sx * (n + 1)) * {PPM}"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * sx, 0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -154,7 +173,7 @@ WITH per_cust AS (
 ), terms AS (
     SELECT spend_cents,
            CAST(row_number() OVER (ORDER BY spend_cents, o_custkey)
-                AS BIGINT) * spend_cents AS ix
+                AS BIGINT) * CAST(spend_cents AS HUGEINT) AS ix
     FROM per_cust
 )
 SELECT CAST(count(*) AS BIGINT) AS n_customers,

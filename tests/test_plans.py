@@ -677,8 +677,11 @@ def test_rank_stats_rank_post_aggregate_only(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert plan.count("FileScan") == 1, fn.__name__
         assert "Join" not in plan, fn.__name__
-        # the customer aggregate precedes (is deeper than) every Window
-        assert plan.index("Window") < plan.index("FileScan"), fn.__name__
+        # the customer aggregate must sit BETWEEN the Window and the
+        # scan (deeper operators print later): if ranking ever ran over
+        # raw fact rows, every HashAggregate would move above the
+        # Window and this rindex comparison would flip
+        assert plan.rindex("HashAggregate") > plan.index("Window"), fn.__name__
 
 
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):

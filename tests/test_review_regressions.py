@@ -1,0 +1,106 @@
+"""Regressions for review-found edge bugs: ANSI integer overflows in
+the exact-arithmetic statistics, NaN-vs-NULL divergence on degenerate
+inputs, and byte-vs-character indexing in the image-oracle SQL.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from simple_map_reduce_ruuner_spark.operators.behavior import twa_of
+from simple_map_reduce_ruuner_spark.operators.rankstats import (
+    gini_of,
+    spearman_of,
+)
+
+
+def test_twa_survives_large_value_times_long_gap(spark):
+    """cents × µs must multiply in DECIMAL: $35,500 held for 30 days is
+    ~8e18 µs-cents — past int64 — and crashed with ARITHMETIC_OVERFLOW
+    before the widening (the DuckDB oracle's HUGEINT kept going)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = t0 + datetime.timedelta(days=30)
+    df = spark.createDataFrame(
+        [(1, t0, 1, 35500.00), (1, t1, 2, 0.0)],
+        "user_id long, ts timestamp_ntz, event_id long, value double",
+    )
+    got = twa_of(df).collect()
+    assert got == [(1, 35500.00)] or (
+        got[0].user_id == 1 and got[0].twa_value == 35500.0
+    )
+
+
+def test_spearman_single_customer_is_null_both_engines(spark):
+    """n = 1 makes the denominator n(n²−1) zero: Spark must emit NULL
+    (nullif), matching DuckDB's NULL-on-zero double division — the
+    pre-fix NaN hash-mismatched the oracle."""
+    df = spark.createDataFrame(
+        [(1, 100, 1)], "o_custkey long, spend_cents long, n_orders long"
+    )
+    row = spearman_of(df).collect()[0]
+    assert (row.n_customers, row.sum_d2) == (1, 0)
+    assert row.spearman_rho is None
+    duck = duckdb.sql(
+        "SELECT 1.0 - CAST(0 AS DOUBLE) / CAST(nullif(0, 0) AS DOUBLE)"
+    ).fetchone()[0]
+    assert duck is None
+
+
+def test_rank_stats_survive_int64_scale(spark):
+    """All derived products widen to DECIMAL(38,0) before arithmetic:
+    spends near int64/4 per customer overflowed 2·Σi·x and n·Σx before
+    the fix. Verified against Python big-int arithmetic."""
+    big = (1 << 60)  # spend_cents per customer (Σ stays within BIGINT
+    # for the total_cents output; the rank-weighted products do not)
+    custs = [(c, big + c, c + 1) for c in range(4)]
+    df = spark.createDataFrame(
+        custs, "o_custkey long, spend_cents long, n_orders long"
+    )
+    gg = gini_of(df).collect()[0]
+    n = len(custs)
+    sx = sum(s for _c, s, _n in custs)
+    asc = sorted(custs, key=lambda r: (r[1], r[0]))
+    six = sum((i + 1) * r[1] for i, r in enumerate(asc))
+    num = (2 * six - (n + 1) * sx) * 1_000_000
+    expected = abs(num) // (n * sx) * (1 if num >= 0 else -1)
+    assert (gg.n_customers, gg.total_cents, gg.gini_ppm) == (n, sx, expected)
+    rho = spearman_of(df).collect()[0]
+    assert rho.spearman_rho is not None  # finite, no overflow
+
+
+def test_image_oracles_index_bytes_not_characters(spark, tmp_path):
+    """The fake decoder consumes the first 64 BYTES of the UTF-8
+    payload; the oracle SQL must too. A document starting with
+    non-ASCII text ('é' → 0xC3 0xA9) exposed the old substr/ascii
+    character indexing."""
+    from simple_map_reduce_ruuner_spark.operators.multimodal import (
+        DECODE_IMAGE_FAKE_SQL,
+        RESIZE_IMAGE_FAKE_SQL,
+        decode_image_fake,
+        resize_image_fake,
+    )
+
+    rows = [
+        (1, "é" * 40, "fr", "synth", 80),
+        (2, "añö" + "x" * 61, "es", "synth", 64),
+        (3, "plain ascii " * 6, "en", "synth", 72),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for fn, sql in (
+        (decode_image_fake, DECODE_IMAGE_FAKE_SQL),
+        (resize_image_fake, RESIZE_IMAGE_FAKE_SQL),
+    ):
+        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, fn.__name__
