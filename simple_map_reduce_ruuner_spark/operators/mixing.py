@@ -154,7 +154,12 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             F.col("cnt").cast("long").alias("cnt"),
-            F.expr("cnt * 1000000 div total").cast("long").alias("ppm"),
+            # ppm widens to DECIMAL first: a 100 TB-corpus stop-word
+            # passes ~9.2e12 occurrences and cnt*1e6 would overflow
+            # int64 (same class as doc_lm_familiarity's r4 fix)
+            F.expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 div total")
+            .cast("long")
+            .alias("ppm"),
         )
     )
 
@@ -169,7 +174,7 @@ total AS (
     SELECT SUM(len({_TOKS_SQL})) AS total FROM documents
 )
 SELECT token, CAST(cnt AS BIGINT) AS cnt,
-       CAST(cnt * 1000000 // total AS BIGINT) AS ppm
+       CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS ppm
 FROM counts, total
 WHERE cnt * {HH_K} > total
 """
