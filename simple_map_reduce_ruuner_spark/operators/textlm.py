@@ -200,8 +200,16 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_a",
             "token_b",
             F.col("n_ab").cast("long").alias("n_ab"),
+            # products go to double BEFORE multiplying: n_ab·n_docs in
+            # int64 overflows (ANSI crash) once the corpus passes ~3e9
+            # docs, on both engines; the float product is invisible
+            # under ROUND(..., 6) and the oracle mirrors the exact
+            # association order so the IEEE sequence is identical
             F.round(
-                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))),
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
                 6,
             ).alias("pmi"),
         )
@@ -219,7 +227,7 @@ pairs AS (
     HAVING count(*) >= {MIN_PAIR_COUNT}
 )
 SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
-       ROUND(ln(n_ab * n.n_docs * 1.0 / (da.df * db.df)), 6) AS pmi
+       ROUND(ln((n_ab * 1.0 * n.n_docs) / (da.df * 1.0 * db.df)), 6) AS pmi
 FROM pairs
 JOIN df da ON da.token = token_a
 JOIN df db ON db.token = token_b
