@@ -13,9 +13,16 @@ from pyspark.sql import functions as F
 #: semantics (word_count/mapper.cpp:22-25, finding_the_suspects/mapper.py:8-12).
 WS = r"\s+"
 
+# DuckDB twin of tokens() below — the ONE canonical tokenizer literal.
+# Operator modules import this instead of re-typing it; a differential
+# test (test_registry_census) pins the pair, and every remaining inline
+# copy in oracle strings is grep-guarded against drift.
+TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
 
 def tokens(col: Column, lowercase: bool = True) -> Column:
-    """Array of whitespace-delimited tokens (empty tokens removed)."""
+    """Array of whitespace-delimited tokens (empty tokens removed).
+    DuckDB twin: :data:`TOKS_SQL`."""
     c = F.lower(col) if lowercase else col
     return F.filter(F.split(c, WS), lambda t: t != "")
 

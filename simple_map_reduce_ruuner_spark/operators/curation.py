@@ -413,7 +413,7 @@ FROM m JOIN stats USING (event_type)
 
 CDC_DIV = 16
 CDC_SHINGLE = 3
-_CDC_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _CDC_TOKS_SQL
 
 
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,7 +127,12 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     than cross-join, but worst-case quadratic in hot shingles. Use the
     MinHash-LSH variant at scale; this one is its correctness anchor.
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
+    # localCheckpoint, NOT .cache(): CacheManager entries outlive the
+    # returned DataFrame (nothing ever unpersisted them — review-found
+    # storage-pool leak across gate+bench reps), while checkpoint blocks
+    # are reference-counted and freed by the ContextCleaner once the
+    # result is consumed. Same materialize-once effect for the 3 reads.
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -503,6 +508,15 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Da
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component whose diameter exceeds max_iter hops would return
+        # SPLIT clusters with no signal (review-found) — corpus_clean
+        # would then keep extra "canonical" duplicates. Fail loudly;
+        # callers with genuinely deep chains pass a larger max_iter.
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

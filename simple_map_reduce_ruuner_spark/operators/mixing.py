@@ -41,7 +41,7 @@ EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 → held-out "benchmark" slice
 CONTAM_K = 5  # n-gram width for contamination (8-13 typical; 5 fits fixtures)
 HH_K = 50  # heavy hitter threshold: count > total / HH_K
 
-_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _TOKS_SQL
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,20 +128,27 @@ def payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Documents are ASCII, so per-character code points equal UTF-8 bytes —
-# letting DuckDB compute byte stats without blob manipulation.
+# True BYTE stats in the oracle: hex() of the UTF-8 blob, two hex
+# digits per byte, decoded via strpos — the old substr/ascii character
+# form diverged on non-ASCII text AND on empty docs (string_split('','')
+# is [''] in DuckDB → n_bytes=1 where Spark sees 0 bytes; review-found).
 PAYLOAD_BYTE_STATS_SQL = """
 WITH codes AS (
+    SELECT doc_id, hex(encode(text)) AS h FROM documents
+),
+bl AS (
     SELECT doc_id,
-           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS cs
-    FROM documents
+           [ (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
+             + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)
+             for i in range(1, length(h) // 2 + 1) ] AS cs
+    FROM codes
 ),
 s AS (
     SELECT doc_id,
            len(cs)::BIGINT AS n_bytes,
            CAST(coalesce(list_sum(cs), 0) AS BIGINT) AS sum_bytes,
            CAST(coalesce(list_max(cs), 0) AS BIGINT) AS max_byte
-    FROM codes
+    FROM bl
 )
 SELECT doc_id, n_bytes, sum_bytes, max_byte,
        ROUND(CASE WHEN n_bytes = 0 THEN 0.0

@@ -423,8 +423,16 @@ def event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("event_type").alias("type_upper"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.hour("ts").cast("long").alias("hour"),
-        F.round(F.sqrt(F.col("value")), 6).alias("sqrt_value"),
-        F.round(F.log(F.col("value") + F.lit(1.0)), 6).alias("log1p_value"),
+        # domain-clamped: DuckDB raises on sqrt/ln of negatives while
+        # Spark returns NaN/NULL — an asymmetric crash on any negative
+        # reading (review-found); greatest(value, 0) makes both engines
+        # total and identical
+        F.round(F.sqrt(F.greatest(F.col("value"), F.lit(0.0))), 6).alias(
+            "sqrt_value"
+        ),
+        F.round(
+            F.log(F.greatest(F.col("value"), F.lit(0.0)) + F.lit(1.0)), 6
+        ).alias("log1p_value"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
         F.length("props").cast("long").alias("props_len"),
         F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias(
@@ -439,8 +447,8 @@ SELECT event_id,
        upper(event_type) AS type_upper,
        strftime(ts, '%Y-%m-%d') AS day,
        EXTRACT(hour FROM ts)::BIGINT AS hour,
-       ROUND(sqrt(value), 6) AS sqrt_value,
-       ROUND(ln(value + 1.0), 6) AS log1p_value,
+       ROUND(sqrt(greatest(value, 0)), 6) AS sqrt_value,
+       ROUND(ln(greatest(value, 0) + 1.0), 6) AS log1p_value,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
        length(props) AS props_len,
        event_type || ':' || CAST(user_id AS VARCHAR) AS type_user,

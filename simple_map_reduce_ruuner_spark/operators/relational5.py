@@ -47,7 +47,7 @@ WINDOW_DAYS = 7
 POSTING_DF_MIN = 2
 POSTING_DF_MAX = 100
 
-_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _TOKS_SQL
 
 
 def order_followups_week(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -413,17 +413,25 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark plans it as BroadcastNestedLoopJoin over one row — free);
     the "no urgent orders" NOT EXISTS is a LEFT ANTI join on the
     filtered orders, whose priority predicate pushes to the scan.
+
+    The above-average threshold is an exact decimal cross-multiply
+    (``balance × n > Σbalance``), never a float AVG — a double average's
+    partial-merge order is partitioning-dependent, so a balance within
+    one ulp of the mean could flip between engines/runs (review-found;
+    the same rule every other boundary in the repo follows).
     """
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
+    bal_dec = F.col("c_acctbal").cast("decimal(12,2)")
     avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        dsum(F.col("c_acctbal")).alias("s_bal"),
+        F.count(F.lit(1)).alias("n_bal"),
     )
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return (
         customer.join(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .where(bal_dec * F.col("n_bal") > F.col("s_bal"))
         .join(F.broadcast(urgent), customer.c_custkey == urgent.o_custkey, "left_anti")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
@@ -440,7 +448,9 @@ SELECT n_name,
        CAST(ROUND({dsum_sql('c_acctbal')}, 2) AS DOUBLE) AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE CAST(c_acctbal AS DECIMAL(12,2))
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT {dsum_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'

@@ -117,25 +117,56 @@ FROM ranked WHERE rank <= {TOP_K}
 # --------------------------------------------------------------------------
 
 
+QPROJ_SCALE = 1_000_000  # embedding components quantized to exact micros
+
+
 def _planes(spark: SparkSession) -> DataFrame:
-    """(plane, d, w): deterministic pseudo-random weights in [-1, 1],
-    derived from the portable hash so DuckDB builds the same matrix."""
+    """(plane, d, wk): deterministic pseudo-random INTEGER weights in
+    [-1000, 1000], derived from the portable hash so DuckDB builds the
+    same matrix. Weights stay integral so the projection below is an
+    exact int64 sum — a float-weight SUM's accumulation order is
+    partition-dependent and a projection within one ulp of 0 could flip
+    its sign bit between engines (review-found)."""
     planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
     dims = spark.range(DIM).select(F.col("id").cast("int").alias("d"))
     seed = F.concat(
         F.lit("plane"), F.col("plane").cast("string"), F.lit(":"), F.col("d").cast("string")
     )
     return planes.crossJoin(dims).select(
-        "plane", "d", ((hash60(seed) % 2001 - 1000) / 1000.0).alias("w")
+        "plane", "d", (hash60(seed) % 2001 - 1000).cast("long").alias("wk")
     )
 
 
 _PLANES_SQL = f"""
 SELECT p.plane, d.d,
-       (({hash60_sql("'plane' || p.plane || ':' || d.d")} % 2001) - 1000) / 1000.0 AS w
+       CAST(({hash60_sql("'plane' || p.plane || ':' || d.d")} % 2001) - 1000
+            AS BIGINT) AS wk
 FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p,
      (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
 """
+
+# Shared bucket fragment: exact integer projection sign bits. qx·wk
+# caps at ~4e9 per term × 64 dims — far inside int64, and integer sums
+# are order-independent, so the bucket bitmap is engine-exact even for
+# projections arbitrarily close to zero.
+_BUCKETS_SQL = f"""
+planes AS ({_PLANES_SQL}),
+comp AS (
+    SELECT vec_id, i - 1 AS d,
+           CAST(floor(embedding[i]::DOUBLE * {QPROJ_SCALE}) AS BIGINT) AS qx
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, {DIM})) AS i) s
+),
+proj AS (
+    SELECT vec_id, plane, SUM(qx * wk) AS proj
+    FROM comp JOIN planes USING (d)
+    GROUP BY vec_id, plane
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << plane ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+)"""
 
 
 def rh_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,15 +174,19 @@ def rh_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     posexplode(embedding) ⋈ broadcast(planes) → per-(vec, plane) projection
     sums — one partial-aggregated shuffle keyed by vec_id, no UDFs.
+    Components quantize to exact integer micros so the projection is an
+    order-independent int64 sum (see _planes).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).withColumn("x", F.col("x").cast("double"))
+    ).withColumn(
+        "qx", F.floor(F.col("x").cast("double") * QPROJ_SCALE).cast("long")
+    )
     proj = (
         comp.join(F.broadcast(_planes(spark)), "d")
         .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("proj"))
+        .agg(F.sum(F.col("qx") * F.col("wk")).alias("proj"))
     )
     return (
         proj.groupBy("vec_id")
@@ -167,21 +202,8 @@ def rh_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RH_LSH_BUCKETS_SQL = f"""
-WITH planes AS ({_PLANES_SQL}),
-comp AS (
-    SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
-    FROM embeddings,
-         (SELECT unnest(generate_series(1, {DIM})) AS i) s
-),
-proj AS (
-    SELECT vec_id, plane, SUM(x * w) AS proj
-    FROM comp JOIN planes USING (d)
-    GROUP BY vec_id, plane
-)
-SELECT vec_id,
-       CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << plane ELSE 0 END) AS BIGINT) AS bucket
-FROM proj
-GROUP BY vec_id
+WITH {_BUCKETS_SQL}
+SELECT vec_id, bucket FROM buckets
 """
 
 
@@ -224,22 +246,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
 
 
 ANN_TOPK_LSH_SQL = f"""
-WITH planes AS ({_PLANES_SQL}),
-comp AS (
-    SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
-    FROM embeddings,
-         (SELECT unnest(generate_series(1, {DIM})) AS i) s
-),
-proj AS (
-    SELECT vec_id, plane, SUM(x * w) AS proj
-    FROM comp JOIN planes USING (d)
-    GROUP BY vec_id, plane
-),
-buckets AS (
-    SELECT vec_id,
-           CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << plane ELSE 0 END) AS BIGINT) AS bucket
-    FROM proj GROUP BY vec_id
-),
+WITH {_BUCKETS_SQL},
 vecs AS (
     SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, b.bucket
     FROM embeddings e JOIN buckets b USING (vec_id)

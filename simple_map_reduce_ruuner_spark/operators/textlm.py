@@ -33,16 +33,18 @@ from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
 from simple_map_reduce_ruuner_spark.functions.text import norm_text, tokens, word_shingles
+from simple_map_reduce_ruuner_spark.operators.dedup import SIMHASH_BITS
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
-_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _TOKS_SQL
 _TOK_ROWS_SQL = f"SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents"
 _NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 MIN_BIGRAM_COUNT = 5
 MIN_PAIR_COUNT = 20  # token_pmi: min docs containing both tokens
-SIMHASH_BITS = 60
+# SIMHASH_BITS imported from dedup (single source of truth — the band
+# masks here MUST cover exactly the signature width dedup produces)
 BAND_BITS = 15  # 60-bit simhash → 4 bands of 15 bits
 HAMMING_MAX = 8
 EDIT_PREFIX = 150  # chars of normalized text scored by levenshtein

@@ -203,7 +203,9 @@ WINDOW w AS (
 """
 
 
-SESSION_GAP_SECONDS = 4 * 3600  # same gap as streaming/windows.py sessions
+# single source of truth: the batch sessionization MUST use the same gap
+# as the streaming session windows (their equivalence is tested)
+from simple_map_reduce_ruuner_spark.streaming.windows import SESSION_GAP_SECONDS
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:

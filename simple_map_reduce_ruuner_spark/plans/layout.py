@@ -84,9 +84,14 @@ def key_ranges(path: str, key: str) -> list[tuple]:
 
 def ranges_disjoint(ranges: list[tuple]) -> bool:
     """True iff the per-file key ranges never overlap — the property
-    that makes a point/range predicate prune to ≤1 + boundary files."""
+    that makes a point predicate prune to exactly one file. Ranges are
+    CLOSED intervals (parquet footer min/max), so a shared boundary
+    value (prev.max == next.min) IS an overlap: that key would live in
+    two files and a point lookup would open both — strict < required
+    (a <= here let the regression the check exists for pass silently,
+    review-found)."""
     ordered = sorted(ranges)
-    return all(prev[1] <= nxt[0] for prev, nxt in zip(ordered, ordered[1:]))
+    return all(prev[1] < nxt[0] for prev, nxt in zip(ordered, ordered[1:]))
 
 
 # --------------------------------------------------------------------------

@@ -43,6 +43,13 @@ def salted_aggregate(
         fn = expr.split("(", 1)[0].strip().lower()
         if fn not in remerge:
             raise ValueError(f"non-algebraic aggregate not salt-able: {expr}")
+        # DISTINCT partials do NOT re-merge by sum: a value seen under
+        # two salts would be counted twice — reject, don't silently
+        # inflate (review-found guard bypass)
+        if "distinct" in expr.lower():
+            raise ValueError(
+                f"DISTINCT aggregate not salt-able (partials overlap): {expr}"
+            )
         finals.append(getattr(F, remerge[fn])(out).alias(out))
     return phase1.groupBy(*key_cols).agg(*finals)
 

@@ -41,3 +41,40 @@ def test_every_oracle_belongs_to_a_query():
     # and the two known sketch queries are the ONLY oracle-less entries
     no_oracle = {n for n, q in qs.items() if q.oracle is None}
     assert no_oracle == {"approx_distinct_users", "approx_percentiles"}
+
+
+def test_tokenizer_literal_matches_spark_twin_and_never_drifts(spark):
+    """The canonical DuckDB tokenizer literal (functions.text.TOKS_SQL)
+    must (a) produce exactly what the Spark tokens() helper produces,
+    and (b) be the ONLY whitespace-tokenizer shape appearing in any
+    oracle string — a drifted inline copy silently breaks parity for
+    just that operator (review-found duplication risk)."""
+    import pathlib
+    import re
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL, tokens
+
+    samples = ["Hello  World", "", "  tabs\tand\nnewlines  ", "MiXeD case x"]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r.t for r in sdf.select(tokens(F.col("text")).alias("t")).collect()]
+    want = [
+        duckdb.sql(
+            f"SELECT {TOKS_SQL} FROM (SELECT ? AS text)", params=[s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
+
+    # grep-guard: every inline occurrence keeps the canonical core
+    root = pathlib.Path(__file__).resolve().parent.parent
+    core = re.compile(r"string_split_regex\(lower\(text\), '\\\\?s\+'\)")
+    offenders = []
+    for path in (root / "simple_map_reduce_ruuner_spark").rglob("*.py"):
+        for n, line in enumerate(path.read_text().splitlines(), 1):
+            if "string_split_regex" in line and not core.search(line):
+                offenders.append(f"{path.name}:{n}: {line.strip()[:80]}")
+    assert not offenders, offenders
