@@ -60,8 +60,11 @@ def main() -> None:
                     "overwrite"
                 ).save()
         except Exception as exc:
-            failed.add(name)
-            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+            # warm-up failures are reported but must NOT gate the timed
+            # run — a tiny-scale-only edge would otherwise silently drop
+            # the query from the benchmarked total (review-found); only
+            # failures AT THE BENCHMARKED SCALE exclude a query
+            print(f"BENCH WARMUP ERROR {name}: {exc}", file=sys.stderr)
     for _ in range(reps):
         for name in names:
             if name in failed:

@@ -50,9 +50,11 @@ def _as_command(src_path: str, lang: str) -> str:
 
 
 # Last run_job outcome, phase strings verbatim from the reference master
-# (Master.java:186,188 — "something wrong!" / "All done!"). Only jobs that
-# actually executed (out_path given, or the caller collected the returned
-# DataFrame) flip this; Spark is lazy where the reference is eager.
+# (Master.java:186,188 — "something wrong!" / "All done!"). A failure
+# anywhere through the (eager) map phase flips this in every branch;
+# "All done!" is reported only by the out_path branch, which drives the
+# job to completion — with out_path=None the caller executes the
+# residual reduce and its outcome is outside this tracker.
 _IDLE = "idle — no job run yet"
 _last_outcome = _IDLE
 
@@ -111,19 +113,19 @@ def run_job(
         mapper_cmd = argv_file_command(mapper_cmd)
         reducer_cmd = argv_file_command(reducer_cmd)
     # chunk_mb is applied via spark.sql.files.maxPartitionBytes, which the
-    # scan reads at EXECUTION time — so it must stay set while the job
-    # runs. Capture the prior value and restore it once the job completes
-    # (eager out_path branch), so a small chunk_mb doesn't silently shrink
-    # every later scan in the session. The lazy branch (returning an
-    # unexecuted DataFrame) necessarily leaves it set until the caller
-    # executes — session-level knob, documented in read_text_chunked.
+    # scan reads at EXECUTION time. pipe_map_reduce materializes the map
+    # phase eagerly (its parallel-map contract), so the scan has consumed
+    # the knob by the time it returns and the restore below is safe in
+    # EVERY branch — including early failures (a missing input path used
+    # to raise before any try, leaking the shrunken split size into all
+    # later scans and leaving job_status stale; review-found).
     prev_split = spark.conf.get(_MAX_PARTITION_BYTES, None)
-    lines = read_text_chunked(spark, data_path, chunk_mb=chunk_mb)
-    result = pipe_map_reduce(lines, mapper_cmd, reducer_cmd)
-    if out_path is None:
-        return result
+    out = None
     try:
-        out = write_text_single(result, out_path)
+        lines = read_text_chunked(spark, data_path, chunk_mb=chunk_mb)
+        result = pipe_map_reduce(lines, mapper_cmd, reducer_cmd)
+        if out_path is not None:
+            out = write_text_single(result, out_path)
     except Exception:
         # reference master surfaces any worker/reducer failure as the
         # "something wrong!" phase (Master.java:186,203; Worker.java:154-158)
@@ -134,6 +136,11 @@ def run_job(
             spark.conf.unset(_MAX_PARTITION_BYTES)
         else:
             spark.conf.set(_MAX_PARTITION_BYTES, prev_split)
+    if out_path is None:
+        # the map phase already ran (and would have reported failure);
+        # the caller drives the residual single-partition reduce from
+        # the returned frame, which job_status does not track further
+        return result
     _last_outcome = "All done!"
     return out
 

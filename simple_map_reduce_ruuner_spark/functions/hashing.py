@@ -53,13 +53,14 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def hash60_sql(expr: str) -> str:
-    """DuckDB SQL text computing the same value as :func:`hash60`."""
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-
-
 #: Template with ``{expr}`` placeholder, for oracle SQL composition.
 HASH60_SQL = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB SQL text computing the same value as :func:`hash60`
+    (single source: the HASH60_SQL template)."""
+    return HASH60_SQL.format(expr=expr)
 
 
 def minhash_perm(hash_col: Column, i: int) -> Column:

@@ -38,7 +38,17 @@ class ExplodeProps:
             return
         if isinstance(parsed, dict):
             for k, v in sorted(parsed.items()):
-                yield str(k), json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+                # render exactly like the JVM map<string,string> twin:
+                # strings bare, null as NULL, everything else as its
+                # JSON text (str() gave Python's 'True'/'None' —
+                # review-found divergence on boolean/null props)
+                if v is None:
+                    out = None
+                elif isinstance(v, str):
+                    out = v
+                else:
+                    out = json.dumps(v)
+                yield str(k), out
 
 
 @udtf(returnType="term string, pos int")

@@ -59,14 +59,31 @@ def pipe_map_reduce(
         reference's ``chunk_size`` knob expressed in partition count.
     """
     col = input_col or df.columns[0]
-    lines = df.select(col).rdd.map(lambda r: r[0])
+    # NULL text rows must not reach the pipe: RDD.pipe stringifies None
+    # into a literal "None" line the mapper would count as real data
+    # (review-found; spark.read.text never yields NULLs but parquet
+    # sources can).
+    lines = (
+        df.select(col).rdd.map(lambda r: r[0]).filter(lambda v: v is not None)
+    )
     if num_chunks is not None:
         lines = lines.repartition(num_chunks)
     # checkCode=True: a nonzero mapper/reducer exit fails the task — the
     # job-status twin of the reference's "something wrong!" report
     # (Worker.java:154-158); without it pipe swallows failures as empty
     # output.
-    mapped = lines.pipe(mapper_cmd, checkCode=True)
+    mapped = lines.pipe(mapper_cmd, checkCode=True).persist()
+    # Materialize the map phase BEFORE the single-partition reduce: a
+    # bare coalesce(1) is a narrow dependency that would pull every
+    # chunk's pipe into ONE task, serializing all mappers on one core
+    # (review-found — the exact bottleneck the reference avoids with
+    # per-worker dispatch, Master.java:212-224). With the mapped RDD
+    # persisted and computed, coalesce(1) just concatenates the cached
+    # blocks in partition order — same deterministic line order, but
+    # the mapper processes ran one-per-partition in parallel. RDD
+    # persistence is ContextCleaner-managed: blocks free once the
+    # result drops its lineage reference.
+    mapped.count()
     # Global single reduce (reference Master.java:182-208): all mapped
     # partials to one partition, one reducer process.
     reduced = mapped.coalesce(1).pipe(reducer_cmd, checkCode=True)
@@ -148,5 +165,8 @@ def map_reduce_in_pandas(
     ``reducer`` sees every mapped row in one partition (= the reference's
     single reducer over the concatenation).
     """
-    mapped = df.mapInPandas(mapper, schema=map_schema)
+    # localCheckpoint (eager) keeps the map phase parallel: coalescing
+    # the un-materialized frame would narrow the mapper into the single
+    # reduce task (same defect as pipe_map_reduce's, review-found).
+    mapped = df.mapInPandas(mapper, schema=map_schema).localCheckpoint()
     return mapped.coalesce(1).mapInPandas(reducer, schema=out_schema)

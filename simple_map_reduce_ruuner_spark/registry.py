@@ -181,160 +181,21 @@ def all_queries() -> dict[str, Query]:
     return {name: q[name] for name in names}
 
 
-def _load_relational2() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational2
-
-    return relational2.QUERIES
-
-
-def _load_dedup() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import dedup
-
-    return dedup.QUERIES
-
-
-def _load_similarity() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import similarity
-
-    return similarity.QUERIES
-
-
-def _load_textstats() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import textstats
-
-    return textstats.QUERIES
-
-
-def _load_streaming() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.streaming import windows
-
-    return windows.QUERIES
-
-
-def _load_multimodal() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import multimodal
-
-    return multimodal.QUERIES
-
-
-def _load_approx() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import approx
-
-    return approx.QUERIES
-
-
-def _load_pipeline() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import pipeline
-
-    return pipeline.QUERIES
-
-
-def _load_timeseries() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import timeseries
-
-    return timeseries.QUERIES
-
-
-def _load_curation() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import curation
-
-    return curation.QUERIES
-
-
-def _load_training() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import training
-
-    return training.QUERIES
-
-
-def _load_relational3() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational3
-
-    return relational3.QUERIES
-
-
-def _load_mixing() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import mixing
-
-    return mixing.QUERIES
-
-
-def _load_graph() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import graph
-
-    return graph.QUERIES
-
-
-def _load_textlm() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import textlm
-
-    return textlm.QUERIES
-
-
-def _load_relational4() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational4
-
-    return relational4.QUERIES
-
-
-def _load_relational5() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational5
-
-    return relational5.QUERIES
-
-
-def _load_sql4() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import sql4
-
-    return sql4.QUERIES
-
-
-def _load_relational6() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational6
-
-    return relational6.QUERIES
-
-
-def _load_relational7() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational7
-
-    return relational7.QUERIES
-
-
-def _load_rankstats() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import rankstats
-
-    return rankstats.QUERIES
-
-
-def _load_clustering() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import clustering
-
-    return clustering.QUERIES
-
-
-def _load_behavior() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import behavior
-
-    return behavior.QUERIES
-
-
-def _load_relational8() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import relational8
-
-    return relational8.QUERIES
-
-
-def _load_profiling() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import profiling
-
-    return profiling.QUERIES
-
-
-def _load_cogroup() -> dict[str, Query]:
-    from simple_map_reduce_ruuner_spark.operators import cogroup_ops
-
-    return cogroup_ops.QUERIES
+def _module_loader(dotted: str):
+    """Loader for one extension module's QUERIES dict. One parameterized
+    factory instead of a hand-written function per module (27 clones
+    before the cleanup — a loader defined but never listed was silently
+    dead; test_registry_census now guards reachability)."""
+
+    def _load() -> dict[str, Query]:
+        import importlib
+
+        return importlib.import_module(
+            f"simple_map_reduce_ruuner_spark.{dotted}"
+        ).QUERIES
+
+    _load.__name__ = f"_load_{dotted.rsplit('.', 1)[1]}"
+    return _load
 
 
 def _load_skew_demo() -> dict[str, Query]:
@@ -352,34 +213,38 @@ def _load_skew_demo() -> dict[str, Query]:
 # Priority order: a driver-side query cap (suspected from r1, which
 # recorded exactly the first 50 entries) must trim the newest additions
 # first, never an already-verified anchor — so approx (whose exact
-# queries lost their r1 row by sitting last) loads first and dedup
-# (whose newest LSH queries are the freshest additions) loads last.
-_EXTENSION_LOADERS = [
-    _load_approx,
-    _load_relational2,
-    _load_similarity,
-    _load_textstats,
-    _load_streaming,
-    _load_multimodal,
-    _load_dedup,
-    _load_pipeline,
-    _load_timeseries,
-    _load_curation,
-    _load_training,
-    _load_relational3,
-    _load_mixing,
-    _load_graph,
-    _load_skew_demo,
-    _load_textlm,
-    _load_relational4,
-    _load_relational5,
-    _load_sql4,
-    _load_relational6,
-    _load_cogroup,
-    _load_relational7,
-    _load_profiling,
-    _load_relational8,
-    _load_behavior,
-    _load_clustering,
-    _load_rankstats,
+# queries lost their r1 row by sitting last) loads first and the newest
+# modules load last. (The LRU all_queries() ordering has since made the
+# cap question moot, but the order is stable and harmless.)
+_EXTENSION_MODULES = [
+    "operators.approx",
+    "operators.relational2",
+    "operators.similarity",
+    "operators.textstats",
+    "streaming.windows",
+    "operators.multimodal",
+    "operators.dedup",
+    "operators.pipeline",
+    "operators.timeseries",
+    "operators.curation",
+    "operators.training",
+    "operators.relational3",
+    "operators.mixing",
+    "operators.graph",
+    "operators.textlm",
+    "operators.relational4",
+    "operators.relational5",
+    "operators.sql4",
+    "operators.relational6",
+    "operators.cogroup_ops",
+    "operators.relational7",
+    "operators.profiling",
+    "operators.relational8",
+    "operators.behavior",
+    "operators.clustering",
+    "operators.rankstats",
+]
+
+_EXTENSION_LOADERS = [_module_loader(m) for m in _EXTENSION_MODULES] + [
+    _load_skew_demo
 ]

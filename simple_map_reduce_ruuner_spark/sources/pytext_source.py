@@ -45,7 +45,7 @@ import os
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StringType, StructField, StructType
 
-DEFAULT_CHUNK_MB = 10  # reference default blockSize, Master.java:45
+from simple_map_reduce_ruuner_spark.sources.text import DEFAULT_CHUNK_MB  # Master.java:45
 
 
 class _ByteRange(InputPartition):

@@ -64,6 +64,13 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
     Read the raw INT64 nanos via the legacy conf, then convert to a
     microsecond timestamp (lossless here: the generator emits whole µs).
+
+    The nanosAsLong conf is DELIBERATELY session-wide and never
+    restored: Spark reads it at scan EXECUTION time, and every events
+    frame this catalog hands out executes lazily — restoring after plan
+    construction would break those scans at run time. The visible
+    side effect (other nanos-parquet reads decode as bigint instead of
+    erroring) is confined to this engine's sessions and noted here.
     """
     from pyspark.sql import functions as F
 
