@@ -88,6 +88,12 @@ def main() -> None:
         n: (round(median(samples[n]), 3) if samples[n] else -1.0) for n in names
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # failures must be visible IN the JSON: a fully-failed query would
+    # otherwise just shrink the headline total (reads as a speedup), and
+    # a partially-failed one would look like a clean run (review-found)
+    incomplete = sorted(
+        n for n in names if len(samples[n]) < reps or n in failed
+    )
 
     # Noise calibration: per-query max/min rep ratio. This VM shows 2-10x
     # CPU-steal bursts (r03 vs r04 ran identical code ±20%); publishing
@@ -131,6 +137,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "incomplete": incomplete,
                 "sf": sf,
                 "reps": reps,
                 "stat": "median_round_robin",

@@ -2,8 +2,8 @@
 Spark and its oracle SQL on DuckDB over the same parquet tables, compare
 row count, column names, and order-insensitive values.
 
-Used by tests and by ``tools/verify_local.py`` so oracle mismatches are
-caught before the driver runs.
+Used by the pytest parity gates; ``tools/driver_sim.py`` is the
+standalone end-to-end mirror run before every commit.
 """
 
 from __future__ import annotations
@@ -17,14 +17,22 @@ import pandas as pd
 
 from simple_map_reduce_ruuner_spark.sources.tables import TABLE_NAMES
 
+# One connection per sf_dir for the whole test session: rebuilding the
+# 10 parquet views for each of the ~600 check_query calls was measured
+# pure overhead (review-found).
+_CONS: dict[str, duckdb.DuckDBPyConnection] = {}
+
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-        )
+    con = _CONS.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+        _CONS[sf_dir] = con
     return con
 
 
@@ -37,7 +45,7 @@ def _norm_cell(v: Any) -> Any:
             return "NaN"
         # collapse -0.0 vs 0.0 and format at full precision
         return repr(v + 0.0)
-    if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
+    if pd.isna(v):  # lists/tuples already returned above
         return None
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -53,8 +61,19 @@ def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, sorted(rows, key=repr)
 
 
+def _driver_canonicalize_or_raise(df: pd.DataFrame) -> None:
+    """Reproduce the REAL driver's pandas ``sort_values`` canonicalize
+    step, which raises TypeError on unhashable cells (arrays/maps) —
+    the r1 suspects_orders crash class. Our tuple-normalizing compare
+    would happily pass such outputs, so without this probe a regression
+    goes green locally and crashes the external gate (review-found)."""
+    cols = sorted(df.columns)
+    df[cols].sort_values(by=cols)
+
+
 def compare(spark_df, duck_df: pd.DataFrame) -> dict[str, Any]:
     spd = spark_df.toPandas()
+    _driver_canonicalize_or_raise(spd)
     s_cols, s_rows = _normalize(spd)
     d_cols, d_rows = _normalize(duck_df)
     result: dict[str, Any] = {
@@ -77,18 +96,18 @@ def check_query(spark, sf_dir: str, name: str) -> dict[str, Any]:
     from simple_map_reduce_ruuner_spark.registry import all_queries
 
     q = all_queries()[name]
+    spark_df = q.fn(spark, sf_dir)
+    if q.oracle is None:
+        # still run the driver-crash probe: rows-only queries go through
+        # the same pandas canonicalization on the real gate
+        pdf = spark_df.toPandas()
+        _driver_canonicalize_or_raise(pdf)
+        return {"name": name, "rows_spark": len(pdf), "oracle": "rows-only", "ok": True}
     con = duck_connect(sf_dir)
-    try:
-        spark_df = q.fn(spark, sf_dir)
-        if q.oracle is None:
-            n = spark_df.count()
-            return {"name": name, "rows_spark": n, "oracle": "rows-only", "ok": True}
-        duck_df = con.execute(q.oracle).df()
-        result = compare(spark_df, duck_df)
-        result["name"] = name
-        result["ok"] = (
-            result["cols_match"] and result["count_match"] and result["values_match"]
-        )
-        return result
-    finally:
-        con.close()
+    duck_df = con.execute(q.oracle).df()
+    result = compare(spark_df, duck_df)
+    result["name"] = name
+    result["ok"] = (
+        result["cols_match"] and result["count_match"] and result["values_match"]
+    )
+    return result

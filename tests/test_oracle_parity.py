@@ -14,7 +14,10 @@ from tests._oracle import check_query
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
 QUERY_NAMES = sorted(all_queries().keys())
-SF_DIRS = [SF_SMOKE] + ([] if os.environ.get("SMRR_FAST") else [SF_CORRECT])
+# explicit truthiness: SMRR_FAST=0/false must run the full gate (a raw
+# env-string check treated "0" as skip — review-found)
+_FAST = os.environ.get("SMRR_FAST", "").strip().lower() in ("1", "true", "yes")
+SF_DIRS = [SF_SMOKE] + ([] if _FAST else [SF_CORRECT])
 
 
 @pytest.mark.parametrize("sf", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])

@@ -22,16 +22,22 @@ import duckdb
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# single source of truth for the table catalog (a table added there but
+# missing here would error every oracle that references it)
+from simple_map_reduce_ruuner_spark.sources.tables import TABLE_NAMES as TABLES
 
 
 def norm(v):
+    """Keep in lockstep with tests/_oracle._norm_cell (same
+    normalization, incl. the pandas-NA -> None branch)."""
+    import pandas as pd
+
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v + 0.0)
+    if pd.isna(v):
+        return None
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -74,13 +80,25 @@ def main() -> int:
     fails, zeros = [], []
     for name in sorted(qs):
         t0 = time.perf_counter()
-        sdf = qs[name](spark, sf).toPandas()
+        # one failing query must not abort the sweep — record and move
+        # on so every remaining mismatch still gets reported
+        try:
+            sdf = qs[name](spark, sf).toPandas()
+        except Exception as e:
+            fails.append(name)
+            print(f"{name}: SPARK-ERROR {str(e)[:160]}")
+            continue
         if len(sdf) == 0:
             zeros.append(name)
         if name not in osql:
             print(f"{name}: rows-only rows={len(sdf)} ({time.perf_counter()-t0:.1f}s)")
             continue
-        ddf = con.execute(osql[name]).df()
+        try:
+            ddf = con.execute(osql[name]).df()
+        except Exception as e:
+            fails.append(name)
+            print(f"{name}: ORACLE-ERROR {str(e)[:160]}")
+            continue
         sc, dc = sorted(sdf.columns), sorted(ddf.columns)
         # The real driver canonicalizes with pandas sort_values, which
         # raises on unhashable cells (arrays/maps) — r1's suspects_orders
