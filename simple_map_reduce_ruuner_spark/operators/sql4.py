@@ -192,7 +192,51 @@ LIMIT 1
 """
 
 
+PART_TREE_REVENUE_SQL = """
+WITH RECURSIVE rev AS (
+    SELECT l_partkey AS node0,
+           SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS r
+    FROM lineitem GROUP BY 1
+), walk(node, r) AS (
+    SELECT node0, r FROM rev
+    UNION ALL
+    SELECT CAST(floor(w.node / 10) AS BIGINT), w.r
+    FROM walk w
+    WHERE w.node >= 10
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(r), 2) AS DOUBLE) AS subtree_revenue
+FROM walk
+GROUP BY node
+"""
+
+
+def part_tree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_parts, subtree_revenue): revenue accumulated up the
+    decimal-digit part hierarchy — every node's total over its whole
+    subtree, the hierarchical-aggregation (BOM cost rollup) shape that
+    ``part_hierarchy_rollup`` only walks structurally.
+
+    One recursive query, SAME SQL text on both engines: leaf revenues
+    aggregate once from the fact (exact DECIMAL sums), then each
+    (leaf, revenue) row climbs its ancestor chain via UNION ALL
+    recursion (unique paths on a tree — no fixpoint dedup needed,
+    depth = digits(maxkey) ≈ 6) and the final GROUP BY folds each
+    node's subtree. Money follows the engine-wide round-the-decimal-
+    then-cast discipline. Scale: the recursion multiplies the |part|-
+    bounded aggregate by tree depth, never the fact table.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(PART_TREE_REVENUE_SQL)
+
+
 QUERIES: dict[str, Query] = {
+    "part_tree_revenue": Query(
+        part_tree_revenue,
+        PART_TREE_REVENUE_SQL,
+        "hierarchical revenue rollup via recursive CTE (dialect-shared SQL)",
+    ),
     "script_rich_threshold": Query(
         script_rich_threshold,
         SCRIPT_RICH_THRESHOLD_SQL,
