@@ -102,3 +102,40 @@ def test_pandas_on_spark_api_matches_native(spark, sf_dir):
         .collect()
     }
     assert got == native and len(got) == 3
+
+
+def test_part_tree_revenue_matches_python_walk(spark, sf_dir):
+    """part_tree_revenue's oracle is the SAME SQL text on both engines
+    (dialect-shared recursion), so engine agreement alone cannot catch a
+    wrong formulation — this check re-derives the rollup independently:
+    exact-cent leaf sums in Python big-ints walked up the digit tree."""
+    import pyarrow.parquet as pq
+
+    from simple_map_reduce_ruuner_spark.operators.sql4 import part_tree_revenue
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+    leaf_cents: dict[int, int] = {}
+    for pk, price in zip(
+        t["l_partkey"].to_pylist(), t["l_extendedprice"].to_pylist()
+    ):
+        leaf_cents[pk] = leaf_cents.get(pk, 0) + round(price * 100)
+    rolled: dict[int, list] = {}
+    for pk, cents in leaf_cents.items():
+        node = pk
+        while True:
+            agg = rolled.setdefault(node, [0, 0])
+            agg[0] += 1
+            agg[1] += cents
+            if node < 10:
+                break
+            node //= 10
+    got = {
+        r.node: (r.n_parts, r.subtree_revenue)
+        for r in part_tree_revenue(spark, sf_dir).collect()
+    }
+    expected = {
+        node: (n, cents / 100) for node, (n, cents) in rolled.items()
+    }
+    assert got == expected
