@@ -139,3 +139,18 @@ def test_part_tree_revenue_matches_python_walk(spark, sf_dir):
         node: (n, cents / 100) for node, (n, cents) in rolled.items()
     }
     assert got == expected
+
+
+def test_part_hierarchy_rollup_matches_digit_arithmetic(spark, sf_dir):
+    """Same dialect-shared-oracle caveat as the tree rollup: verify the
+    structural walk against plain digit arithmetic (root = leading
+    digit, depth = digits − 1)."""
+    from simple_map_reduce_ruuner_spark.operators.sql4 import (
+        part_hierarchy_rollup,
+    )
+
+    rows = part_hierarchy_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        s = str(r.p_partkey)
+        assert (r.root, r.depth) == (int(s[0]), len(s) - 1), r
