@@ -213,3 +213,72 @@ QUERIES: dict[str, Query] = {
         "per-user TWAP: interval-weighted mean over irregular samples",
     ),
 }
+
+
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, o_year, revenue, yoy_ppm): per-nation yearly customer
+    revenue with year-over-year growth in exact parts-per-million —
+    the lag-ratio trend pattern (growth dashboards, seasonality
+    screens) the windowed family otherwise lacks.
+
+    Exactness: yearly revenue sums in DECIMAL cents; growth
+    (rev − prev) × 10⁶ div prev runs entirely in DECIMAL with one
+    truncating division (Spark ``div`` ≡ DuckDB ``//``; operand signs
+    agree because revenue is positive). First year per nation emits
+    NULL. One fact pass: orders ⋈ broadcast(customer⋈nation), grouped
+    to |nation|×|year| rows; the lag window rides the tiny aggregate.
+    """
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    customer = _lt(spark, sf_dir, "customer")
+    nation = _lt(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    yearly = (
+        orders.join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return (
+        yearly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "n_name",
+            "o_year",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            F.expr(
+                "CAST((rev_cents - prev_cents) * CAST(1000000 AS DECIMAL(38,0))"
+                " div nullif(prev_cents, 0) AS BIGINT)"
+            ).alias("yoy_ppm"),
+        )
+    )
+
+
+NATION_YOY_GROWTH_SQL = """
+WITH yearly AS (
+    SELECT n_name,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS rev_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT n_name, o_year,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST((rev_cents - lag(rev_cents) OVER w) * CAST(1000000 AS HUGEINT)
+            // nullif(lag(rev_cents) OVER w, 0) AS BIGINT) AS yoy_ppm
+FROM yearly
+WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+"""
+
+
+QUERIES["nation_yoy_growth"] = Query(
+    nation_yoy_growth,
+    NATION_YOY_GROWTH_SQL,
+    "per-nation yearly revenue with exact-ppm year-over-year growth",
+)
