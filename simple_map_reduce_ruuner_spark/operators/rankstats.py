@@ -197,3 +197,79 @@ QUERIES: dict[str, Query] = {
         "Gini spend concentration in exact parts-per-million",
     ),
 }
+
+
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(abc_class, n_parts, class_revenue): ABC / Pareto inventory
+    classification — parts ranked by revenue, class A = the prefix
+    carrying ≤80% of total revenue, B = to 95%, C = the tail. The
+    cumulative-share bucketing pattern (80/20 analyses, storage
+    tiering) the percent-of-total reports don't cover.
+
+    Exactness: revenues are exact DECIMAL sums; the running total rides
+    a fully-ordered window (revenue desc, partkey — deterministic
+    sequence, so the cumulative sum is engine-identical), and the class
+    boundaries compare by integer cross-multiplication
+    (cum×100 ≤ total×80), never a float share. Like the other rank
+    statistics, the window orders the POST-aggregate (|part| rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_cents"))
+    w = (
+        Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classified = per_part.select(
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.sum("rev_cents").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_cents"),
+    ).select(
+        "rev_cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classified.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.sum("rev_cents").cast("double") / 100.0).alias("class_revenue"),
+    )
+
+
+PART_ABC_CLASSES_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS rev_cents
+    FROM lineitem GROUP BY l_partkey
+), classified AS (
+    SELECT rev_cents,
+           CASE
+             WHEN sum(rev_cents) OVER w * 100 <= sum(rev_cents) OVER () * 80
+               THEN 'A'
+             WHEN sum(rev_cents) OVER w * 100 <= sum(rev_cents) OVER () * 95
+               THEN 'B'
+             ELSE 'C'
+           END AS abc_class
+    FROM per_part
+    WINDOW w AS (ORDER BY rev_cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_cents) AS DOUBLE) / 100.0 AS class_revenue
+FROM classified
+GROUP BY abc_class
+"""
+
+
+QUERIES["part_abc_classes"] = Query(
+    part_abc_classes,
+    PART_ABC_CLASSES_SQL,
+    "ABC/Pareto classification via exact cumulative-share bucketing",
+)
