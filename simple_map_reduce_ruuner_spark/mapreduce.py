@@ -72,7 +72,19 @@ def pipe_map_reduce(
     # job-status twin of the reference's "something wrong!" report
     # (Worker.java:154-158); without it pipe swallows failures as empty
     # output.
-    mapped = lines.pipe(mapper_cmd, checkCode=True).persist()
+    from pyspark import StorageLevel
+
+    # MEMORY_AND_DISK, not the default MEMORY_ONLY: if cached map output
+    # were evicted under memory pressure, the coalesce(1) reduce task
+    # would recompute the evicted blocks inline — silently re-serializing
+    # every mapper onto one core (the exact bottleneck the count() below
+    # exists to avoid) AND re-executing mapper subprocesses, which for a
+    # non-deterministic or side-effecting mapper diverges from the pass
+    # that was counted (advice r5). Disk spill keeps the materialized
+    # output authoritative.
+    mapped = lines.pipe(mapper_cmd, checkCode=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Materialize the map phase BEFORE the single-partition reduce: a
     # bare coalesce(1) is a narrow dependency that would pull every
     # chunk's pipe into ONE task, serializing all mappers on one core

@@ -223,9 +223,12 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: yearly revenue sums in DECIMAL cents; growth
     (rev − prev) × 10⁶ div prev runs entirely in DECIMAL with one
-    truncating division (Spark ``div`` ≡ DuckDB ``//``; operand signs
-    agree because revenue is positive). First year per nation emits
-    NULL. One fact pass: orders ⋈ broadcast(customer⋈nation), grouped
+    truncating division. The numerator (rev − prev) IS negative in
+    shrinking years, so sign-agreement is NOT what makes the engines
+    match — Spark ``div`` and DuckDB ``//`` both truncate toward zero
+    (not floor), so negative quotients round identically (-7÷2 → -3 in
+    both). Do not swap either side for a floor division. First year per
+    nation emits NULL. One fact pass: orders ⋈ broadcast(customer⋈nation), grouped
     to |nation|×|year| rows; the lag window rides the tiny aggregate.
     """
     from simple_map_reduce_ruuner_spark.sources.tables import load_table as _lt

@@ -41,17 +41,31 @@ from simple_map_reduce_ruuner_spark.sources.tables import load_table
 # explicit second-precision format so neither engine appends fractional
 # digits.
 _PROFILE_COLS: dict[str, tuple[str, str]] = {
-    "o_orderkey": ("CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
-    "o_custkey": ("CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"),
+    # Key columns are zero-padded (lpad) so lexicographic min/max on the
+    # canonical string IS numeric min/max — an unpadded CAST would report
+    # artifacts like min='1000000' > max='999996' (advice r5). Width 12
+    # covers int keys up to 1e12-1; keys are positive so padding '0' is
+    # order-preserving.
+    "o_orderkey": (
+        "lpad(CAST(o_orderkey AS STRING), 12, '0')",
+        "lpad(CAST(o_orderkey AS VARCHAR), 12, '0')",
+    ),
+    "o_custkey": (
+        "lpad(CAST(o_custkey AS STRING), 12, '0')",
+        "lpad(CAST(o_custkey AS VARCHAR), 12, '0')",
+    ),
     "o_orderstatus": ("o_orderstatus", "o_orderstatus"),
     "o_orderpriority": ("o_orderpriority", "o_orderpriority"),
     "o_orderdate": (
         "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
         "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
     ),
+    # DECIMAL(12,2) renders at most 10 integer digits + '.' + 2, so a
+    # 13-wide zero pad makes lexicographic order numeric here too
+    # (prices are non-negative).
     "o_totalprice": (
-        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)",
-        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)",
+        "lpad(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING), 13, '0')",
+        "lpad(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 13, '0')",
     ),
 }
 
@@ -61,8 +75,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan profiling report over the orders table.
 
     Metrics are computed on the stringified values (documented contract:
-    min/max are lexicographic on the canonical string form — zero-padded
-    keys and ISO timestamps keep that meaningful). The distinct count is
+    min/max are lexicographic on the canonical string form — and every
+    numeric column's stringification in ``_PROFILE_COLS`` is zero-padded
+    to a fixed width precisely so that lexicographic order coincides
+    with numeric order; ISO timestamps are order-preserving as-is). The distinct count is
     the two-level rewrite — groupBy (column, value) then (column) — so
     the plan is two plain hash aggregates, not the Expand plan Spark
     emits for countDistinct mixed with other aggregates.

@@ -58,6 +58,19 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     so there are no fractional tie ranks and every intermediate is an
     exact int64 — the single division is IEEE-identical across engines.
     The exact (n, Σd²) pair is emitted alongside ρ for auditability.
+
+    KNOWN BIAS (documented, accepted): textbook Spearman assigns tied
+    values their AVERAGE (fractional) rank; this variant breaks ties by
+    the SAME o_custkey order on both rankings, so tied blocks contribute
+    d=0 where average-rank Spearman would too — but the tie-broken ranks
+    also align non-tied neighbors more often than random, which inflates
+    ρ toward +1 when n_orders is heavily tied (small discrete counts).
+    The deterministic tie-break is what makes the statistic exactly
+    reproducible across engines; treat ρ as the "identically tie-broken"
+    variant, not textbook Spearman. (The average-rank form could keep
+    integer exactness with 2×-scaled ranks — rank() + rank count — at
+    the cost of a second window; not done because the oracle-parity
+    contract pins this definition.)
     """
     return spearman_of(_customer_spend(spark, sf_dir))
 

@@ -7,7 +7,10 @@ the driver would, NOT via the repo's tuned session factory. Mirrors the
 driver compare: sorted column names + order-insensitive normalized values.
 
 Usage: python tools/driver_sim.py [sf_dir] [--tz America/New_York]
-Exit code 0 iff every oracle-backed query matches.
+                                  [--only name1,name2] [--first-n 50]
+Exit code 0 iff every oracle-backed query matches. --first-n N restricts
+the sweep to the first N registry entries in driver order — i.e. exactly
+the names the external gate will record this round.
 """
 
 from __future__ import annotations
@@ -46,9 +49,19 @@ def norm(v):
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     tz = None
+    only: set[str] | None = None
+    first_n: int | None = None
     if "--tz" in args:
         i = args.index("--tz")
         tz = args[i + 1]
+        del args[i : i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    if "--first-n" in args:
+        i = args.index("--first-n")
+        first_n = int(args[i + 1])
         del args[i : i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"
 
@@ -77,6 +90,15 @@ def main() -> int:
         )
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    if first_n is not None:
+        # dict order IS driver order (LRU, registry.all_queries)
+        qs = {k: qs[k] for k in list(qs)[:first_n]}
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"UNKNOWN --only names: {sorted(missing)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     fails, zeros = [], []
     for name in sorted(qs):
         t0 = time.perf_counter()
