@@ -67,10 +67,10 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ρ toward +1 when n_orders is heavily tied (small discrete counts).
     The deterministic tie-break is what makes the statistic exactly
     reproducible across engines; treat ρ as the "identically tie-broken"
-    variant, not textbook Spearman. (The average-rank form could keep
-    integer exactness with 2×-scaled ranks — rank() + rank count — at
-    the cost of a second window; not done because the oracle-parity
-    contract pins this definition.)
+    variant, not textbook Spearman — that form is implemented alongside
+    as :func:`spearman_avg_rank` (average fractional tie ranks via
+    2×-scaled integer ranks), and this variant is kept because the
+    oracle-parity contract pins its definition.
     """
     return spearman_of(_customer_spend(spark, sf_dir))
 
@@ -127,6 +127,115 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
                          - count(*), 0) AS DOUBLE)
            AS spearman_rho
 FROM ranked
+"""
+
+
+def spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (n_customers, cov_term, varx_term, vary_term, spearman_rho):
+    TEXTBOOK Spearman rank correlation between customer spend and order
+    count — tied values receive their AVERAGE (fractional) rank, and ρ
+    is the Pearson correlation of the two rank variables (the definition
+    that stays exact under ties; it reduces to 1 − 6Σd²/(n(n²−1)) only
+    when both rankings are tie-free). Complements
+    :func:`spearman_spend_orders`, whose deterministic row_number
+    tie-break inflates ρ on heavily-tied inputs (documented bias there).
+
+    Exactness (the stats_moments discipline): the average rank
+    r + (c−1)/2 of a tied block (min rank r, c ties) is held as the
+    INTEGER 2r + c − 1 — 2×-scaled, so no fractional rank ever exists —
+    and Pearson is scale-invariant, so the scaling cancels. All power
+    sums run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): nΣx² and
+    (Σx)² reach ~4e28 at n = 10⁷ customers, far past int64. The single
+    floating step is the final num/sqrt(vx·vy), written IDENTICALLY in
+    both engines (one double multiply under one sqrt, then one divide —
+    sqrt(vx)*sqrt(vy) would round differently). Degenerate inputs
+    (n ≤ 1, or a constant column ⇒ zero variance) yield NULL via
+    nullif, matching both engines. The exact terms are emitted as
+    deterministic DOUBLE casts for auditability.
+
+    Scale shape: identical to :func:`spearman_of` — one fact-table
+    aggregate, then globally-ordered windows over the POST-aggregate
+    (|customer| rows); the tie-count windows (PARTITION BY value) ride
+    additional dimension-sized exchanges. See the module docstring for
+    the range-partitioned rank replacement beyond ~10⁷ rows.
+    """
+    return spearman_avg_rank_of(_customer_spend(spark, sf_dir))
+
+
+def spearman_avg_rank_of(per_cust: DataFrame) -> DataFrame:
+    """Core of :func:`spearman_avg_rank` over a (o_custkey, spend_cents,
+    n_orders) frame (property-tested against scipy-free references on
+    generated tables, including all-tied and n=1 degenerates)."""
+
+    def two_x_avg_rank(value: str):
+        # 2·(avg tied rank) = 2·rank + ties − 1, an exact integer.
+        return (
+            F.rank().over(Window.orderBy(F.col(value))).cast("long") * 2
+            + F.count(F.lit(1))
+            .over(Window.partitionBy(F.col(value)))
+            .cast("long")
+            - 1
+        )
+
+    ranked = per_cust.select(
+        two_x_avg_rank("spend_cents").alias("x2"),
+        two_x_avg_rank("n_orders").alias("y2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x2")).alias("sx"),
+        F.sum(d("y2")).alias("sy"),
+        F.sum(d("x2") * F.col("x2")).alias("sxx"),
+        F.sum(d("y2") * F.col("y2")).alias("syy"),
+        F.sum(d("x2") * F.col("y2")).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("cov_term"),
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("varx_term"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("vary_term"),
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0D)"
+        ).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_AVG_RANK_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS spend_cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT CAST(2 * rank() OVER (ORDER BY spend_cents)
+                + count(*) OVER (PARTITION BY spend_cents) - 1
+                AS BIGINT) AS x2,
+           CAST(2 * rank() OVER (ORDER BY n_orders)
+                + count(*) OVER (PARTITION BY n_orders) - 1
+                AS BIGINT) AS y2
+    FROM per_cust
+), sums AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x2) AS HUGEINT) AS sx,
+           CAST(sum(y2) AS HUGEINT) AS sy,
+           CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y2 AS HUGEINT) * y2) AS HUGEINT) AS syy,
+           CAST(sum(CAST(x2 AS HUGEINT) * y2) AS HUGEINT) AS sxy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(n * sxy - sx * sy AS DOUBLE) AS cov_term,
+       CAST(n * sxx - sx * sx AS DOUBLE) AS varx_term,
+       CAST(n * syy - sy * sy AS DOUBLE) AS vary_term,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+           AS spearman_rho
+FROM sums
 """
 
 
@@ -208,6 +317,12 @@ QUERIES: dict[str, Query] = {
         gini_spend_ppm,
         GINI_SPEND_PPM_SQL,
         "Gini spend concentration in exact parts-per-million",
+    ),
+    "spearman_avg_rank": Query(
+        spearman_avg_rank,
+        SPEARMAN_AVG_RANK_SQL,
+        "textbook Spearman: average tie ranks (2×-scaled ints), "
+        "Pearson-of-ranks form",
     ),
 }
 

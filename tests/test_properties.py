@@ -599,6 +599,51 @@ def test_spearman_and_gini_match_python(spark, custs):
         expected_rho = 1.0 - (6 * sum_d2) / (n * (n * n - 1))
         assert got.spearman_rho == expected_rho
 
+    # textbook (average-rank) Spearman: Pearson of fractional tie ranks,
+    # computed here over exact 2×-scaled integer ranks like the operator
+    from simple_map_reduce_ruuner_spark.operators.rankstats import (
+        spearman_avg_rank_of,
+    )
+
+    x2 = {}
+    y2 = {}
+    for key_idx, out in ((1, x2), (2, y2)):
+        vals = sorted(r[key_idx] for r in custs)
+        first: dict = {}
+        cnt: dict = {}
+        for i, v in enumerate(vals):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        for r in custs:
+            out[r[0]] = 2 * first[r[key_idx]] + cnt[r[key_idx]] - 1
+    sx2 = sum(x2.values())
+    sy2 = sum(y2.values())
+    sxx = sum(v * v for v in x2.values())
+    syy = sum(v * v for v in y2.values())
+    sxy = sum(x2[c] * y2[c] for c in x2)
+    num = n * sxy - sx2 * sy2
+    vx = n * sxx - sx2 * sx2
+    vy = n * syy - sy2 * sy2
+    avg = spearman_avg_rank_of(df).collect()[0]
+    # the exact integer terms round-trip the double cast losslessly at
+    # this scale (< 2^53)
+    assert (avg.n_customers, avg.cov_term, avg.varx_term, avg.vary_term) == (
+        n,
+        float(num),
+        float(vx),
+        float(vy),
+    )
+    import math
+
+    if vx > 0 and vy > 0:
+        assert avg.spearman_rho == float(num) / math.sqrt(
+            float(vx) * float(vy)
+        )
+        assert -1.0 - 1e-12 <= avg.spearman_rho <= 1.0 + 1e-12
+    else:
+        # constant column ⇒ zero variance ⇒ undefined, emitted as NULL
+        assert avg.spearman_rho is None
+
     sx = sum(s for _c, s, _n in custs)
     asc = sorted(custs, key=lambda r: (r[1], r[0]))
     six = sum((i + 1) * r[1] for i, r in enumerate(asc))

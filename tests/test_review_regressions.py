@@ -48,6 +48,33 @@ def test_spearman_single_customer_is_null_both_engines(spark):
     assert duck is None
 
 
+def test_spearman_avg_rank_degenerates_are_null(spark):
+    """Textbook Spearman is undefined at n = 1 and when either column is
+    constant (zero rank variance): both engines must emit NULL, not NaN
+    or a crash — the sqrt-product denominator is nullif'd."""
+    from simple_map_reduce_ruuner_spark.operators.rankstats import (
+        spearman_avg_rank_of,
+    )
+
+    one = spark.createDataFrame(
+        [(1, 100, 1)], "o_custkey long, spend_cents long, n_orders long"
+    )
+    row = spearman_avg_rank_of(one).collect()[0]
+    assert row.n_customers == 1 and row.spearman_rho is None
+
+    const = spark.createDataFrame(
+        [(1, 100, 1), (2, 100, 5), (3, 100, 2)],
+        "o_custkey long, spend_cents long, n_orders long",
+    )
+    row = spearman_avg_rank_of(const).collect()[0]
+    assert row.varx_term == 0.0  # spend is constant
+    assert row.spearman_rho is None
+    duck = duckdb.sql(
+        "SELECT CAST(5 AS DOUBLE) / nullif(sqrt(0.0 * 7.0), 0.0)"
+    ).fetchone()[0]
+    assert duck is None
+
+
 def test_rank_stats_survive_int64_scale(spark):
     """All derived products widen to DECIMAL(38,0) before arithmetic:
     spends near int64/4 per customer overflowed 2·Σi·x and n·Σx before
