@@ -35,53 +35,48 @@ from pyspark.sql.window import Window
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 
-# Profiled columns and their engine-identical stringifications. Doubles
-# go through DECIMAL(12,2) (cent precision is exact in both engines —
-# the as_money discipline, relational.py:38); timestamps through an
+# Profiled columns as TYPED (string_expr, numeric_expr) pairs per
+# engine — a numeric column profiles through its DOUBLE value (min/max
+# are numeric order, the production shape), a string/temporal column
+# through an engine-identical canonical string (timestamps get an
 # explicit second-precision format so neither engine appends fractional
-# digits.
-_PROFILE_COLS: dict[str, tuple[str, str]] = {
-    # Key columns are zero-padded (lpad) so lexicographic min/max on the
-    # canonical string IS numeric min/max — an unpadded CAST would report
-    # artifacts like min='1000000' > max='999996' (advice r5). Width 12
-    # covers int keys up to 1e12-1; keys are positive so padding '0' is
-    # order-preserving.
-    "o_orderkey": (
-        "lpad(CAST(o_orderkey AS STRING), 12, '0')",
-        "lpad(CAST(o_orderkey AS VARCHAR), 12, '0')",
-    ),
-    "o_custkey": (
-        "lpad(CAST(o_custkey AS STRING), 12, '0')",
-        "lpad(CAST(o_custkey AS VARCHAR), 12, '0')",
-    ),
-    "o_orderstatus": ("o_orderstatus", "o_orderstatus"),
-    "o_orderpriority": ("o_orderpriority", "o_orderpriority"),
-    "o_orderdate": (
-        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
-        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
-    ),
-    # DECIMAL(12,2) renders at most 10 integer digits + '.' + 2, so a
-    # 13-wide zero pad makes lexicographic order numeric here too
-    # (prices are non-negative).
-    "o_totalprice": (
-        "lpad(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING), 13, '0')",
-        "lpad(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 13, '0')",
-    ),
+# digits). Exactly one side of each pair is non-NULL, which is what
+# lets one unpivoted aggregation tree carry both types without a
+# sum-type column. (The r2–r6 form zero-padded everything into strings
+# so lexicographic == numeric order; besides being a representational
+# wart, lpad silently TRUNCATES once a key outgrows the pad width —
+# advice r6 — corrupting min/max identically in both engines. The
+# typed form has no width cliff: int keys are exact in a double
+# through 2^53, far past any TPC-H scale, and doubles are compared
+# natively.)
+_NUM = "CAST({c} AS DOUBLE)"
+_PROFILE_COLS: dict[str, dict[str, str | None]] = {
+    "o_orderkey": {"spark_num": _NUM, "duck_num": _NUM},
+    "o_custkey": {"spark_num": _NUM, "duck_num": _NUM},
+    "o_orderstatus": {"spark_str": "{c}", "duck_str": "{c}"},
+    "o_orderpriority": {"spark_str": "{c}", "duck_str": "{c}"},
+    "o_orderdate": {
+        "spark_str": "date_format({c}, 'yyyy-MM-dd HH:mm:ss')",
+        "duck_str": "strftime({c}, '%Y-%m-%d %H:%M:%S')",
+    },
+    "o_totalprice": {"spark_num": _NUM, "duck_num": _NUM},
 }
 
 
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(column_name, n_rows, n_nulls, n_distinct, min_value, max_value):
-    one-scan profiling report over the orders table.
+    """(column_name, n_rows, n_nulls, n_distinct, min_numeric,
+    max_numeric, min_string, max_string): one-scan TYPED profiling
+    report over the orders table — numeric columns fill the numeric
+    min/max (DOUBLE, NULL string side), string/temporal columns the
+    string min/max (canonical form, NULL numeric side).
 
-    Metrics are computed on the stringified values (documented contract:
-    min/max are lexicographic on the canonical string form — and every
-    numeric column's stringification in ``_PROFILE_COLS`` is zero-padded
-    to a fixed width precisely so that lexicographic order coincides
-    with numeric order; ISO timestamps are order-preserving as-is). The distinct count is
-    the two-level rewrite — groupBy (column, value) then (column) — so
-    the plan is two plain hash aggregates, not the Expand plan Spark
-    emits for countDistinct mixed with other aggregates.
+    The unpivot stacks each row into (column, value_str, value_num)
+    pairs so ONE aggregation tree profiles every column; the distinct
+    count is the two-level rewrite — groupBy (column, values) then
+    (column) — so the plan is two plain hash aggregates, not the
+    Expand plan Spark emits for countDistinct mixed with other
+    aggregates. A cell is null iff both typed sides are null (each
+    source column populates exactly one side).
     """
     orders = load_table(spark, sf_dir, "orders")
     pairs = orders.select(
@@ -90,50 +85,63 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(name).alias("column_name"),
-                        F.expr(spark_expr).alias("value"),
+                        F.expr(
+                            spec.get("spark_str", "CAST(NULL AS STRING)").format(c=name)
+                        ).alias("value_str"),
+                        F.expr(
+                            spec.get("spark_num", "CAST(NULL AS DOUBLE)").format(c=name)
+                        ).alias("value_num"),
                     )
-                    for name, (spark_expr, _) in _PROFILE_COLS.items()
+                    for name, spec in _PROFILE_COLS.items()
                 ]
             )
         ).alias("p")
-    ).select("p.column_name", "p.value")
-    per_value = pairs.groupBy("column_name", "value").agg(
+    ).select("p.column_name", "p.value_str", "p.value_num")
+    per_value = pairs.groupBy("column_name", "value_str", "value_num").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    is_null = F.col("value_str").isNull() & F.col("value_num").isNull()
     return per_value.groupBy("column_name").agg(
         F.sum("cnt").cast("long").alias("n_rows"),
-        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0))
+        F.sum(F.when(is_null, F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("n_nulls"),
-        F.count(F.when(F.col("value").isNotNull(), 1)).cast("long").alias(
-            "n_distinct"
-        ),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+        F.count(F.when(~is_null, 1)).cast("long").alias("n_distinct"),
+        F.min("value_num").alias("min_numeric"),
+        F.max("value_num").alias("max_numeric"),
+        F.min("value_str").alias("min_string"),
+        F.max("value_str").alias("max_string"),
     )
 
 
 def _table_profile_sql() -> str:
     arms = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS column_name, {duck_expr} AS value FROM orders"
-        for name, (_, duck_expr) in _PROFILE_COLS.items()
+        "SELECT '{n}' AS column_name, {s} AS value_str, {v} AS value_num"
+        " FROM orders".format(
+            n=name,
+            s=spec.get("duck_str", "CAST(NULL AS VARCHAR)").format(c=name),
+            v=spec.get("duck_num", "CAST(NULL AS DOUBLE)").format(c=name),
+        )
+        for name, spec in _PROFILE_COLS.items()
     )
     return f"""
 WITH pairs AS (
 {arms}
 ),
 per_value AS (
-    SELECT column_name, value, count(*) AS cnt
-    FROM pairs GROUP BY 1, 2
+    SELECT column_name, value_str, value_num, count(*) AS cnt
+    FROM pairs GROUP BY 1, 2, 3
 )
 SELECT column_name,
        CAST(sum(cnt) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT)
-           AS n_nulls,
-       CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
-           AS n_distinct,
-       min(value) AS min_value,
-       max(value) AS max_value
+       CAST(sum(CASE WHEN value_str IS NULL AND value_num IS NULL
+                     THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(CASE WHEN value_str IS NOT NULL OR value_num IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_distinct,
+       min(value_num) AS min_numeric,
+       max(value_num) AS max_numeric,
+       min(value_str) AS min_string,
+       max(value_str) AS max_string
 FROM per_value
 GROUP BY column_name
 """
@@ -198,7 +206,7 @@ QUERIES: dict[str, Query] = {
     "table_profile": Query(
         table_profile,
         _table_profile_sql(),
-        "one-scan per-column profiling report (stack-then-group)",
+        "one-scan typed per-column profiling report (stack-then-group)",
     ),
     "user_type_islands": Query(
         user_type_islands,

@@ -75,6 +75,33 @@ def test_spearman_avg_rank_degenerates_are_null(spark):
     assert duck is None
 
 
+def test_table_profile_minmax_are_typed_numeric(spark, sf_dir):
+    """The typed profile must report NUMERIC min/max for numeric
+    columns — the retired lpad-string form both had a lexicographic
+    wart (min='1000000' > max='999996' unpadded) and silently
+    truncated keys wider than the pad (advice r6). Here min/max must
+    equal the true numeric extremes, and exactly one typed side must
+    be populated per column."""
+    from simple_map_reduce_ruuner_spark.operators.profiling import (
+        table_profile,
+    )
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    rows = {r.column_name: r for r in table_profile(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.selectExpr(
+        "min(CAST(o_orderkey AS DOUBLE))", "max(CAST(o_orderkey AS DOUBLE))"
+    ).first()
+    ok = rows["o_orderkey"]
+    assert (ok.min_numeric, ok.max_numeric) == (lo, hi)
+    assert ok.min_string is None and ok.max_string is None
+    st = rows["o_orderstatus"]
+    assert st.min_numeric is None and st.max_numeric is None
+    assert st.min_string <= st.max_string
+    for r in rows.values():  # exactly one typed side per column
+        assert (r.min_numeric is None) != (r.min_string is None)
+
+
 def test_rank_stats_survive_int64_scale(spark):
     """All derived products widen to DECIMAL(38,0) before arithmetic:
     spends near int64/4 per customer overflowed 2·Σi·x and n·Σx before
