@@ -40,6 +40,12 @@ from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_sca
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.20
+
+# Hard ceiling for the exact-Jaccard ANCHOR's input: its inverted-index
+# self-join is worst-case quadratic in documents sharing a hot shingle,
+# so past this it refuses and points at the sub-quadratic LSH-verified
+# twin — same enforced-contract pattern as MAX_BROADCAST_VECTORS.
+MAX_ALLPAIRS_DOCS = 1_000_000
 N_PERMS = 16
 N_BANDS = 4  # 4 rows/band: P(candidate) = 1-(1-j^4)^4, ~0.5 at j≈0.45
 
@@ -125,8 +131,20 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation joins on the shingle (inverted index) so only
     pairs sharing ≥1 shingle are scored — exact, and already far better
     than cross-join, but worst-case quadratic in hot shingles. Use the
-    MinHash-LSH variant at scale; this one is its correctness anchor.
+    MinHash-LSH variant at scale; this one is its correctness anchor,
+    and that contract is ENFORCED: above MAX_ALLPAIRS_DOCS it raises
+    and directs callers to ``neardup_lsh_verified`` (banded candidate
+    prefilter, sub-quadratic). The check reads parquet footer row
+    counts — zero Spark jobs.
     """
+    n_docs = _parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+    if n_docs > MAX_ALLPAIRS_DOCS:
+        raise ValueError(
+            f"neardup_jaccard is the exact all-pairs ANCHOR and its input "
+            f"has {n_docs} documents (> {MAX_ALLPAIRS_DOCS}). Use "
+            f"neardup_lsh_verified, which scores only banded-MinHash "
+            f"candidate pairs and stays sub-quadratic."
+        )
     # localCheckpoint, NOT .cache(): CacheManager entries outlive the
     # returned DataFrame (nothing ever unpersisted them — review-found
     # storage-pool leak across gate+bench reps), while checkpoint blocks
