@@ -221,14 +221,19 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag-ratio trend pattern (growth dashboards, seasonality
     screens) the windowed family otherwise lacks.
 
-    Exactness: yearly revenue sums in DECIMAL cents; growth
-    (rev − prev) × 10⁶ div prev runs entirely in DECIMAL with one
-    truncating division. The numerator (rev − prev) IS negative in
-    shrinking years, so sign-agreement is NOT what makes the engines
-    match — Spark ``div`` and DuckDB ``//`` both truncate toward zero
-    (not floor), so negative quotients round identically (-7÷2 → -3 in
-    both). Do not swap either side for a floor division. First year per
-    nation emits NULL. One fact pass: orders ⋈ broadcast(customer⋈nation), grouped
+    Exactness: yearly revenue sums to exact BIGINT cents; growth
+    (rev − prev) × 10⁶ div prev then runs on INTEGER operands with one
+    truncating division — Spark in DECIMAL(38,0) (where ``div`` is the
+    integral-divide), DuckDB in HUGEINT (``sum(BIGINT)`` widens there).
+    The integer operands are load-bearing: DuckDB's ``//`` only
+    truncates on INTEGER types — on DECIMAL operands it is plain
+    division (DECIMAL −7 // 2 returns −3.5, advice r6) — so the oracle
+    must never let these operands become DECIMAL. The numerator
+    (rev − prev) IS negative in shrinking years, so sign-agreement is
+    NOT what makes the engines match — Spark ``div`` and DuckDB integer
+    ``//`` both truncate toward zero (not floor), so negative quotients
+    round identically (−7÷2 → −3 in both). Do not swap either side for
+    a floor division. First year per nation emits NULL. One fact pass: orders ⋈ broadcast(customer⋈nation), grouped
     to |nation|×|year| rows; the lag window rides the tiny aggregate.
     """
     from simple_map_reduce_ruuner_spark.sources.tables import load_table as _lt

@@ -9,8 +9,12 @@ driver compare: sorted column names + order-insensitive normalized values.
 Usage: python tools/driver_sim.py [sf_dir] [--tz America/New_York]
                                   [--only name1,name2] [--first-n 50]
 Exit code 0 iff every oracle-backed query matches. --first-n N restricts
-the sweep to the first N registry entries in driver order — i.e. exactly
-the names the external gate will record this round.
+the sweep to the first N registry entries in driver order. CAVEAT: that
+window equals the external gate's only when the local CORRECTNESS_r*.json
+set equals the committed set — the LRU order is derived from those
+artifacts on disk, so an untracked/modified artifact shifts the local
+window away from what a clean driver checkout of HEAD would compute (the
+sim warns when it detects this).
 """
 
 from __future__ import annotations
@@ -44,6 +48,24 @@ def norm(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+def _untracked_correctness_artifacts() -> list[str]:
+    """CORRECTNESS_r*.json files whose working-tree state differs from
+    HEAD (untracked, modified, or deleted) — exactly the files that make
+    the local LRU window diverge from a clean driver checkout's."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
+    except Exception:
+        return []
+    return [line[3:] for line in out.splitlines() if line.strip()]
 
 
 def main() -> int:
@@ -90,14 +112,32 @@ def main() -> int:
         )
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    if only is not None:
+        # validate against the FULL registry before any windowing, so a
+        # valid name outside the --first-n window is reported as a
+        # windowing effect, not mislabeled as unknown (advice r6)
+        unknown = only - set(qs)
+        if unknown:
+            print(f"UNKNOWN --only names: {sorted(unknown)}")
+            return 1
     if first_n is not None:
         # dict order IS driver order (LRU, registry.all_queries)
+        dirty = _untracked_correctness_artifacts()
+        if dirty:
+            print(
+                "WARNING: local CORRECTNESS_r*.json set differs from the "
+                f"committed set ({dirty}); the --first-n window may not "
+                "match the external gate's."
+            )
         qs = {k: qs[k] for k in list(qs)[:first_n]}
     if only is not None:
-        missing = only - set(qs)
-        if missing:
-            print(f"UNKNOWN --only names: {sorted(missing)}")
-            return 1
+        outside = only - set(qs)
+        if outside:
+            print(
+                f"NOTE: --only names outside the --first-n window "
+                f"(valid registry names, not gated this round): "
+                f"{sorted(outside)}"
+            )
         qs = {k: v for k, v in qs.items() if k in only}
     fails, zeros = [], []
     for name in sorted(qs):
