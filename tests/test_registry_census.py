@@ -43,6 +43,36 @@ def test_every_oracle_belongs_to_a_query():
     assert no_oracle == {"approx_distinct_users", "approx_percentiles"}
 
 
+def test_registry_md_census_is_current():
+    """REGISTRY.md (the committed name → site → oracle-kind census) must
+    match a live regeneration on its STABLE columns — a new/renamed/moved
+    query without a census refresh fails here; run
+    `python tools/registry_census.py --write`. The last-green column is
+    driver-artifact-derived and rotates by design, so it is exempt: a
+    fresh CORRECTNESS artifact landing between rounds must not redden
+    the suite."""
+    import pathlib
+    import re
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    import registry_census
+
+    live = {(n, s, k) for n, s, k, _g in registry_census.census_rows()}
+    committed = set()
+    row = re.compile(r"^\| (\S+) \| `([^`]+)` \| (sql|rows-only) \| ")
+    for line in (root / "REGISTRY.md").read_text().splitlines():
+        m = row.match(line)
+        if m:
+            committed.add(m.groups())
+    assert committed == live, (
+        f"REGISTRY.md stale: regenerate with tools/registry_census.py "
+        f"--write (missing={sorted(live - committed)[:5]}, "
+        f"extra={sorted(committed - live)[:5]})"
+    )
+
+
 def test_tokenizer_literal_matches_spark_twin_and_never_drifts(spark):
     """The canonical DuckDB tokenizer literal (functions.text.TOKS_SQL)
     must (a) produce exactly what the Spark tokens() helper produces,
