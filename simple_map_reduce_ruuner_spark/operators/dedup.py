@@ -737,29 +737,52 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-mate candidate counts the vectorized dot products are ~6x
     faster than the codegen'd higher-order functions (measured at sf0.1:
     11.9 s → see SCALE.md), with the anchor-identical float64 math.
-    """
-    import numpy as np
-    import pandas as pd
 
+    PARAMETER caveat (measured by tools/scale_curve.py): the banding
+    here is FIXED (2 bands × 4 bits = 16 sub-buckets/band) for oracle
+    parity, so expected candidates are ~N²/32 — sub-quadratic only by
+    a constant. Past ~10⁴ vectors use
+    :func:`neardup_embedding_lsh_auto`, which widens the codes with N
+    so candidate counts stay ~linear.
+    """
     from simple_map_reduce_ruuner_spark.operators.similarity import rh_lsh_buckets
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = rh_lsh_buckets(spark, sf_dir)
-    banded = buckets.select(
+    banded = _banded(rh_lsh_buckets(spark, sf_dir), bands=2, bits=4)
+    return _score_banded_pairs(spark, sf_dir, banded)
+
+
+def _banded(buckets: DataFrame, bands: int, bits: int) -> DataFrame:
+    """(vec_id, band, sub): split an int64 sign-bitmap bucket into
+    ``bands`` contiguous ``bits``-wide band codes (OR-construction)."""
+    mask = (1 << bits) - 1
+    return buckets.select(
         "vec_id",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    F.col("bucket").bitwiseAND(F.lit(15)).alias("sub"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.shiftright(F.col("bucket"), 4).alias("sub"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("bucket"), i * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sub"),
+                    )
+                    for i in range(bands)
+                ]
             )
         ).alias("b"),
     ).select("vec_id", F.col("b.band").alias("band"), F.col("b.sub").alias("sub"))
+
+
+def _score_banded_pairs(
+    spark: SparkSession, sf_dir: str, banded: DataFrame
+) -> DataFrame:
+    """Band-mate candidate join + exact cosine scoring (the shared tail
+    of the fixed and N-adaptive LSH variants — identical float64 math
+    to the ``neardup_embedding`` anchor)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = banded.select(F.col("vec_id").alias("vec_a"), "band", "sub")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band", "sub")
     cand = (
@@ -794,6 +817,72 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return paired.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+
+
+# N-adaptive LSH sizing targets. Mean band-bucket occupancy ~N/2^bits;
+# TARGET_BUCKET_ROWS holds expected candidates per band to ~N·target/2.
+# Band count is then chosen so a PLANTED duplicate (cosine ≥ 0.9, the
+# semantic-dedup regime) is recalled with probability ≥ RECALL_TARGET:
+# P(pair shares ≥1 band) = 1 − (1 − p^bits)^bands, p = 1 − θ/π.
+TARGET_BUCKET_ROWS = 64
+RECALL_COSINE = 0.90
+RECALL_TARGET = 0.80
+
+
+def _auto_lsh_params(n_vecs: int) -> tuple[int, int]:
+    """(bands, bits) sized for ``n_vecs``: bits grows as log2(N) so
+    per-band candidate counts stay ~linear, and bands compensates the
+    per-band recall loss so P(recall a RECALL_COSINE pair) ≥
+    RECALL_TARGET by the closed form 1 − (1 − p^bits)^bands. bands
+    itself then grows like (N/target)^ρ with ρ = ln(1/p)/ln 2 ≈ 0.22
+    at the 0.9 regime — total work ~N^(1+ρ), the genuine hyperplane-
+    LSH exponent (sub-quadratic by construction, vs the fixed-parameter
+    variant's N²/32). Pure arithmetic — unit-tested against the
+    recall bound."""
+    import math
+
+    bits = min(
+        62, max(4, math.ceil(math.log2(max(n_vecs, 1) / TARGET_BUCKET_ROWS)))
+    )
+    p = 1.0 - math.acos(RECALL_COSINE) / math.pi
+    miss = 1.0 - p**bits
+    bands = 2 if miss <= 0.0 else max(
+        2, math.ceil(math.log(1.0 - RECALL_TARGET) / math.log(miss))
+    )
+    return bands, bits
+
+
+def neardup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via N-ADAPTIVE banded hyperplane-LSH —
+    the actual 100 TB path for semantic dedup.
+
+    tools/scale_curve.py caught the fixed-parameter variant growing
+    68.9× on 10× data (expected candidates N²/32 — quadratic in all but
+    name). The scaling law is classic b×r LSH: to keep candidates
+    linear the band width must grow with log2(N), and the band COUNT
+    must grow with it to hold recall at the duplicate threshold. This
+    variant reads N from parquet footers (zero Spark jobs, same
+    mechanism as the anchor guards), sizes (bands, bits) via
+    :func:`_auto_lsh_params`, and computes per-band codes with
+    `similarity.banded_codes_of` (same deterministic exact-integer
+    hyperplane matrix; per-band aggregates, so the plane budget is not
+    capped by one int64 bitmap) feeding the anchor-identical scoring
+    kernel.
+
+    Still deterministic for a given input FILE (params depend only on
+    the footer row count), but the params — hence the candidate set —
+    change with N, so this operator's oracle story is recall-vs-anchor
+    (tests/test_scale_guards.py pins subset-exactness and planted-dup
+    recall) rather than one static SQL string; register it with a
+    size-pinned oracle only for a fixed-sf gate.
+    """
+    n_vecs = _parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    bands, bits = _auto_lsh_params(n_vecs)
+    from simple_map_reduce_ruuner_spark.operators.similarity import banded_codes_of
+
+    return _score_banded_pairs(
+        spark, sf_dir, banded_codes_of(spark, sf_dir, bands, bits)
+    )
 
 
 def _neardup_embedding_lsh_sql() -> str:

@@ -120,14 +120,16 @@ FROM ranked WHERE rank <= {TOP_K}
 QPROJ_SCALE = 1_000_000  # embedding components quantized to exact micros
 
 
-def _planes(spark: SparkSession) -> DataFrame:
+def _planes(spark: SparkSession, n_planes: int = N_PLANES) -> DataFrame:
     """(plane, d, wk): deterministic pseudo-random INTEGER weights in
     [-1000, 1000], derived from the portable hash so DuckDB builds the
     same matrix. Weights stay integral so the projection below is an
     exact int64 sum — a float-weight SUM's accumulation order is
     partition-dependent and a projection within one ulp of 0 could flip
-    its sign bit between engines (review-found)."""
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
+    its sign bit between engines (review-found). ``n_planes`` extends
+    the same derivation to wider codes (plane index feeds the seed, so
+    planes 0..7 are IDENTICAL to the default 8-plane matrix)."""
+    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
     dims = spark.range(DIM).select(F.col("id").cast("int").alias("d"))
     seed = F.concat(
         F.lit("plane"), F.col("plane").cast("string"), F.lit(":"), F.col("d").cast("string")
@@ -177,6 +179,19 @@ def rh_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components quantize to exact integer micros so the projection is an
     order-independent int64 sum (see _planes).
     """
+    return buckets_of(spark, sf_dir, N_PLANES)
+
+
+def buckets_of(
+    spark: SparkSession, sf_dir: str, n_planes: int
+) -> DataFrame:
+    """Generalized sign-bitmap buckets over ``n_planes`` hyperplanes
+    (≤ 63 — the bitmap is one int64). Same exact-integer projection as
+    :func:`rh_lsh_buckets` (which is this at the default 8 planes).
+    For plane budgets past one bitmap — the N-adaptive LSH's bands×bits
+    codes — use :func:`banded_codes_of` instead."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "x")
@@ -184,7 +199,7 @@ def rh_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qx", F.floor(F.col("x").cast("double") * QPROJ_SCALE).cast("long")
     )
     proj = (
-        comp.join(F.broadcast(_planes(spark)), "d")
+        comp.join(F.broadcast(_planes(spark, n_planes)), "d")
         .groupBy("vec_id", "plane")
         .agg(F.sum(F.col("qx") * F.col("wk")).alias("proj"))
     )
@@ -205,6 +220,47 @@ RH_LSH_BUCKETS_SQL = f"""
 WITH {_BUCKETS_SQL}
 SELECT vec_id, bucket FROM buckets
 """
+
+
+def banded_codes_of(
+    spark: SparkSession, sf_dir: str, bands: int, bits: int
+) -> DataFrame:
+    """(vec_id, band, sub): ``bands`` independent ``bits``-wide
+    hyperplane sign codes per vector — band i owns planes
+    [i·bits, (i+1)·bits) of the SAME deterministic matrix as
+    :func:`_planes`. Unlike :func:`buckets_of` (one int64 bitmap,
+    ≤ 63 planes total), each band code is its own aggregate, so the
+    total plane budget bands×bits is unbounded — which the N-adaptive
+    LSH needs: holding recall while bucket counts scale with N takes
+    more than 63 planes well below real-corpus sizes."""
+    if bits < 1 or bits > 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).withColumn(
+        "qx", F.floor(F.col("x").cast("double") * QPROJ_SCALE).cast("long")
+    )
+    proj = (
+        comp.join(F.broadcast(_planes(spark, bands * bits)), "d")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("qx") * F.col("wk")).alias("proj"))
+    )
+    return (
+        proj.groupBy(
+            "vec_id", (F.col("plane") / bits).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("proj") >= 0,
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), plane % {bits})"),
+                ).otherwise(F.lit(0))
+            ).alias("sub")
+        )
+    )
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:

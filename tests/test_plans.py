@@ -673,7 +673,11 @@ def test_rank_stats_rank_post_aggregate_only(spark, sf_dir):
     orders scan, no joins, no fact-sized sort."""
     from simple_map_reduce_ruuner_spark.operators import rankstats
 
-    for fn in (rankstats.spearman_spend_orders, rankstats.gini_spend_ppm):
+    for fn in (
+        rankstats.spearman_spend_orders,
+        rankstats.gini_spend_ppm,
+        rankstats.spearman_avg_rank,
+    ):
         plan = plan_of(fn(spark, sf_dir))
         assert plan.count("FileScan") == 1, fn.__name__
         assert "Join" not in plan, fn.__name__

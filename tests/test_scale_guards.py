@@ -61,3 +61,82 @@ def test_guards_admit_in_contract_input(spark, tiny_sf):
     (so the guard tests above prove the REFUSAL, not a broken path)."""
     assert dedup.neardup_jaccard(spark, tiny_sf).count() >= 1
     assert dedup.neardup_embedding(spark, tiny_sf).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# N-adaptive LSH (the fix for the 68.9x super-linear growth the scale
+# curve measured on the fixed-parameter neardup_embedding_lsh)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_lsh_params_scaling_law():
+    """bits must grow ~log2(N) (per-band candidate counts stay
+    ~linear) and bands must hold the closed-form planted-dup recall
+    ≥ RECALL_TARGET at every N, while growing only polynomially
+    (the ~N^0.22 hyperplane-LSH exponent, i.e. total work ~N^1.22 —
+    sub-quadratic by construction)."""
+    import math
+
+    p = 1.0 - math.acos(dedup.RECALL_COSINE) / math.pi
+    rho = math.log(1.0 / p) / math.log(2)
+    prev_bits = 0
+    for n in (1, 1_000, 100_000, 10_000_000, 10_000_000_000, 10**13):
+        bands, bits = dedup._auto_lsh_params(n)
+        assert bits >= prev_bits, "bits must be monotone in N"
+        prev_bits = bits
+        recall = 1.0 - (1.0 - p**bits) ** bands
+        assert recall >= dedup.RECALL_TARGET, (n, bands, bits, recall)
+        # bands bounded by the LSH exponent (×4 slack for the ceils)
+        bound = 4 * max(1.0, (n / dedup.TARGET_BUCKET_ROWS)) ** rho
+        assert bands <= bound, (n, bands, bound)
+    # the law in numbers: 100 TB-ish N gets a far wider code than sf0.01
+    assert dedup._auto_lsh_params(10**10)[1] - dedup._auto_lsh_params(2000)[1] >= 10
+
+
+@pytest.fixture()
+def planted_sf(tmp_path):
+    """64-dim embeddings: 40 seeded random vectors plus 5 planted EXACT
+    duplicate pairs (cosine 1.0 — always co-banded, so their recall is
+    deterministic, not statistical)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.standard_normal(64).astype(np.float32) for _ in range(40)]
+    ids = list(range(40))
+    for i in range(5):  # ids 100+i duplicate ids i exactly
+        ids.append(100 + i)
+        vecs.append(vecs[i])
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+    )
+    return str(tmp_path)
+
+
+def test_auto_lsh_finds_planted_dups_and_scores_exactly(spark, planted_sf):
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.neardup_embedding_lsh_auto(spark, planted_sf).collect()
+    }
+    # every planted exact-duplicate pair shares every band -> recalled
+    for i in range(5):
+        assert (i, 100 + i) in got
+        assert got[(i, 100 + i)] == 1.0
+    # candidates are scored with the anchor's exact kernel: the auto
+    # variant's pairs are a SUBSET of the all-pairs anchor with
+    # identical cosines (LSH approximates recall, never values)
+    anchor = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.neardup_embedding(spark, planted_sf).collect()
+    }
+    assert set(got) <= set(anchor)
+    assert all(anchor[k] == v for k, v in got.items())
