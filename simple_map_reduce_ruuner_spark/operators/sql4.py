@@ -110,10 +110,36 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs the SAME SQL text on Spark (view registered here) and DuckDB
     (driver-registered ``part`` view). UNION ALL recursion is exact on
     trees: every (part, ancestor) path is unique, so no fixpoint dedup
-    is needed and the recursion depth is digits(maxkey) ≈ 6 at any SF.
+    is needed and the recursion depth is digits(maxkey) ≤ 19 for any
+    int64 key. The recursion ROW budget, however, is |part| × depth —
+    Spark 4 caps it at 10⁶ rows by default, which the 10× scale sweep
+    tripped (RECURSION_ROW_LIMIT_EXCEEDED at 200 k parts × 10 digits),
+    so the cap is sized from the parquet footer before running.
     """
+    _size_recursion_row_limit(spark, sf_dir)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(PART_HIERARCHY_ROLLUP_SQL)
+
+
+def _size_recursion_row_limit(spark: SparkSession, sf_dir: str) -> None:
+    """Raise ``spark.sql.cteRecursionRowLimit`` to the digit-walk's true
+    upper bound, |part| × 20 (19 int64 digits + the anchor row), read
+    from parquet FOOTER metadata — zero Spark jobs, same mechanism as
+    the dedup anchor guards. The default 10⁶ cap is a runaway-recursion
+    guard, and a tree walk bounded a priori deserves a bound, not the
+    default: at 10× sf0.1 the walk legitimately produces ~2×10⁶ rows
+    (found by tools/scale_curve.py). Never lowers the configured value."""
+    import os as _os
+
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+    )
+
+    n_parts = _parquet_row_count(_os.path.join(sf_dir, "part.parquet"))
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(current, n_parts * 20))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -225,8 +251,12 @@ def part_tree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = digits(maxkey) ≈ 6) and the final GROUP BY folds each
     node's subtree. Money follows the engine-wide round-the-decimal-
     then-cast discipline. Scale: the recursion multiplies the |part|-
-    bounded aggregate by tree depth, never the fact table.
+    bounded aggregate by tree depth, never the fact table — but that
+    product still outgrows Spark 4's default 10⁶ recursion-row cap
+    (see :func:`_size_recursion_row_limit`), so the cap is sized from
+    the part footer here too (distinct l_partkey ≤ |part|).
     """
+    _size_recursion_row_limit(spark, sf_dir)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(PART_TREE_REVENUE_SQL)
 

@@ -18,7 +18,13 @@ A ratio near 10 is linear scaling; below 10 means fixed overhead
 (session/scheduling) still dominates at this size; well above ~15
 (beyond machine noise) would flag a super-linear operator.
 
-Usage: python tools/scale_curve.py [--reps 2] [--big DIR]
+Usage: python tools/scale_curve.py [--reps 2] [--big DIR] [--merge-min]
+                                   [--all | --queries n1,n2,...]
+--queries restricts to named queries (chunked sweeps under the shell's
+10-minute cap); --all sweeps EVERY registry query except the documented
+anchors; --merge-min folds this run into the existing JSON taking the
+min per (query, size) — successive chunked/repeated runs build one
+artifact.
 """
 
 from __future__ import annotations
@@ -107,12 +113,23 @@ def main() -> int:
     # not (yet) registry-gated: N-adaptive params have no static oracle
     fns["neardup_embedding_lsh_auto"] = neardup_embedding_lsh_auto
 
+    if "--all" in args:
+        run_list = sorted(set(fns) - set(EXCLUDED_ANCHORS))
+    elif "--queries" in args:
+        run_list = args[args.index("--queries") + 1].split(",")
+        unknown = set(run_list) - set(fns)
+        if unknown:
+            print(f"unknown --queries names: {sorted(unknown)}")
+            return 1
+    else:
+        run_list = list(SCALE_PATH)
+
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
         fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    for name in SCALE_PATH:  # codegen warm-up
+    for name in run_list:  # codegen warm-up
         try:
             run(name, WARM)
         except Exception as exc:
@@ -120,10 +137,10 @@ def main() -> int:
     load_table(spark, big, "lineitem").count()  # warm the 10x scan path
 
     samples: dict[str, dict[str, list[float]]] = {
-        n: {"small": [], "big": []} for n in SCALE_PATH
+        n: {"small": [], "big": []} for n in run_list
     }
     for _ in range(reps):  # round-robin so one CPU-steal burst hits one rep
-        for name in SCALE_PATH:
+        for name in run_list:
             for key, sf_dir in (("small", SMALL), ("big", big)):
                 try:
                     samples[name][key].append(run(name, sf_dir))
@@ -135,7 +152,7 @@ def main() -> int:
         return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
     out = {}
-    for name in SCALE_PATH:
+    for name in run_list:
         t1 = med(samples[name]["small"]) if samples[name]["small"] else -1.0
         t10 = med(samples[name]["big"]) if samples[name]["big"] else -1.0
         out[name] = {
@@ -161,6 +178,8 @@ def main() -> int:
                     row[key] = prev[key]
             if row["sec_sf0.1"] > 0 and row["sec_10x"] > 0:
                 row["ratio"] = round(row["sec_10x"] / row["sec_sf0.1"], 2)
+        for name, prev in old.items():  # chunked sweeps: keep other rows
+            out.setdefault(name, prev)
     ratios = sorted(v["ratio"] for v in out.values() if v["ratio"])
     doc = {
         "method": (
@@ -179,11 +198,17 @@ def main() -> int:
             "ratio ~= 10 is linear in data; < 10 means fixed overhead still "
             "dominates at this size; >> 15 flags super-linear growth. "
             "10x data generated by tools/make_scale_data.py (key cardinality "
-            "scales; dedup/ANN content redrawn per replica). FINDING this "
-            "curve caught: neardup_embedding_lsh's fixed 2x4-bit banding is "
-            "quadratic-by-constant (first measurement 68.9x) — fixed by "
-            "neardup_embedding_lsh_auto (N-adaptive bands x bits, "
-            "dedup._auto_lsh_params), measured side by side here."
+            "scales; dedup/ANN content redrawn per replica). Coverage: the "
+            "FULL registry minus the 5 documented anchors, swept in "
+            "--merge-min chunks. FINDINGS this curve caught (both fixed in "
+            "r7): (1) neardup_embedding_lsh's fixed 2x4-bit banding is "
+            "quadratic-by-constant (first measurement 68.9x; kept as the "
+            "static-oracle entry, documented) -> neardup_embedding_lsh_auto "
+            "(N-adaptive bands x bits, dedup._auto_lsh_params) measured "
+            "side by side; (2) the recursive-CTE hierarchy walks tripped "
+            "Spark 4's default 1e6 recursion-row cap at 200k parts "
+            "(RECURSION_ROW_LIMIT_EXCEEDED) -> cap now sized from parquet "
+            "footers (sql4._size_recursion_row_limit)."
         ),
     }
     with open(path, "w") as fh:
