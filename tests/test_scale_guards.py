@@ -93,6 +93,35 @@ def test_auto_lsh_params_scaling_law():
     assert dedup._auto_lsh_params(10**10)[1] - dedup._auto_lsh_params(2000)[1] >= 10
 
 
+def test_recursive_cte_row_cap_sized_from_footer(spark, sf_dir):
+    """Spark 4 caps recursive-CTE output at 10⁶ rows by default; the
+    digit-hierarchy walks legitimately produce |part| × digits rows, so
+    at 200 k parts (10× sf0.1 — found by tools/scale_curve.py) they
+    died with RECURSION_ROW_LIMIT_EXCEEDED. The operators must size the
+    cap from the parquet footer BEFORE running: with the cap forced
+    below the walk's row count, calling the operator must raise it back
+    above and succeed."""
+    from simple_map_reduce_ruuner_spark.operators import sql4
+
+    key = "spark.sql.cteRecursionRowLimit"
+    saved = spark.conf.get(key)
+    try:
+        # sf0.001 has 200 parts x ~4 digit-levels ≈ 1k walk rows; a cap
+        # of 10 would kill the recursion if the operator didn't resize
+        spark.conf.set(key, "10")
+        out = sql4.part_hierarchy_rollup(spark, sf_dir)
+        assert out.count() > 0
+        assert int(spark.conf.get(key)) >= 200 * 20
+        # never lowers an already-larger configured value
+        spark.conf.set(key, "99999999")
+        sql4.part_tree_revenue(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        assert int(spark.conf.get(key)) == 99999999
+    finally:
+        spark.conf.set(key, saved)
+
+
 @pytest.fixture()
 def planted_sf(tmp_path):
     """64-dim embeddings: 40 seeded random vectors plus 5 planted EXACT
