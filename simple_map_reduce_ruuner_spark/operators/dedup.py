@@ -885,6 +885,44 @@ def neardup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_embedding_lsh_auto_sql(n_vecs: int) -> str:
+    """DuckDB oracle for :func:`neardup_embedding_lsh_auto` at a GIVEN
+    table size — the (bands, bits) parameterization must be pinned to
+    the N the gate runs at (the driver gates at sf0.01), because the
+    operator derives it from the input file's footer. Generated, not
+    static, so registering it means calling this with that N
+    (oracle-parity-tested at sf0.001 AND sf0.01 in
+    tests/test_scale_guards.py)."""
+    from simple_map_reduce_ruuner_spark.operators.similarity import (
+        banded_codes_sql,
+    )
+
+    bands, bits = _auto_lsh_params(n_vecs)
+    return f"""
+WITH {banded_codes_sql(bands, bits)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.sub = b.sub AND a.vec_id < b.vec_id
+),
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT vec_a, vec_b,
+       ROUND(CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
+                  ELSE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+             END, 6) AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
+           ELSE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+      END >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 def _neardup_embedding_lsh_sql() -> str:
     from simple_map_reduce_ruuner_spark.operators.similarity import RH_LSH_BUCKETS_SQL
 

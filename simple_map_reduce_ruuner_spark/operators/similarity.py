@@ -139,13 +139,48 @@ def _planes(spark: SparkSession, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
-_PLANES_SQL = f"""
+def planes_sql(n_planes: int) -> str:
+    """DuckDB twin of :func:`_planes` at an arbitrary plane count (the
+    same md5-derived weight matrix — plane index feeds the seed, so a
+    wider request extends, never changes, the default 8 planes)."""
+    return f"""
 SELECT p.plane, d.d,
        CAST(({hash60_sql("'plane' || p.plane || ':' || d.d")} % 2001) - 1000
             AS BIGINT) AS wk
-FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p,
+FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS plane) p,
      (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
 """
+
+
+_PLANES_SQL = planes_sql(N_PLANES)
+
+
+def banded_codes_sql(bands: int, bits: int) -> str:
+    """DuckDB twin of :func:`banded_codes_of`: a WITH-clause fragment
+    ending in ``banded(vec_id, band, sub)`` — bands × bits hyperplane
+    sign codes, band i over planes [i·bits, (i+1)·bits). Integer
+    ``//``/``%`` on INT operands truncate identically to Spark's
+    int division here (non-negative plane indices)."""
+    return f"""
+planes AS ({planes_sql(bands * bits)}),
+comp AS (
+    SELECT vec_id, i - 1 AS d,
+           CAST(floor(embedding[i]::DOUBLE * {QPROJ_SCALE}) AS BIGINT) AS qx
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, {DIM})) AS i) s
+),
+proj AS (
+    SELECT vec_id, plane, SUM(qx * wk) AS proj
+    FROM comp JOIN planes USING (d)
+    GROUP BY vec_id, plane
+),
+banded AS (
+    SELECT vec_id, CAST(plane // {bits} AS INT) AS band,
+           CAST(SUM(CASE WHEN proj >= 0
+                         THEN 1::BIGINT << (plane % {bits})
+                         ELSE 0 END) AS BIGINT) AS sub
+    FROM proj GROUP BY vec_id, plane // {bits}
+)"""
 
 # Shared bucket fragment: exact integer projection sign bits. qx·wk
 # caps at ~4e9 per term × 64 dims — far inside int64, and integer sums

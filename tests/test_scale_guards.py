@@ -151,6 +151,29 @@ def planted_sf(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_auto_lsh_matches_generated_oracle(spark, sf):
+    """The N-adaptive variant's oracle is GENERATED for a given table
+    size (params come from the footer N); full driver-style parity at
+    both local gate sizes — this is the r8 registration pre-check."""
+    from tests._oracle import compare, duck_connect
+
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+        neardup_embedding_lsh_auto,
+        neardup_embedding_lsh_auto_sql,
+    )
+
+    n = _parquet_row_count(f"{sf}/embeddings.parquet")
+    got = compare(
+        neardup_embedding_lsh_auto(spark, sf),
+        duck_connect(sf).execute(neardup_embedding_lsh_auto_sql(n)).df(),
+    )
+    assert got["cols_match"] and got["values_match"], got
+
+
 def test_auto_lsh_finds_planted_dups_and_scores_exactly(spark, planted_sf):
     got = {
         (r.vec_a, r.vec_b): r.cos_sim
