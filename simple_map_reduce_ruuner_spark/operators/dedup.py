@@ -722,9 +722,9 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OR-construction, same banding idea as MinHash-LSH). Candidate
     generation is a self-join keyed by (band, sub-bucket): each vector
     shuffles twice by a tiny key, scoring touches only band-mates —
-    never all pairs, and nothing is collected to the driver. Scoring is
-    the JVM-side zip_with/aggregate cosine; at ~N²/16 expected
-    candidates per band this stays inside codegen.
+    never all pairs, and nothing is collected to the driver; at ~N²/16
+    expected candidates per band the in-bucket scoring work is bounded
+    by the same banding that bounds the candidates.
 
     Deterministic end-to-end (md5-derived hyperplanes), so the
     *approximate* operator still has an exact DuckDB oracle — the
@@ -732,11 +732,12 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     which pytest bounds (planted duplicate pairs agree on a band with
     high probability at cosine ≥ ~0.9).
 
-    Candidate scoring is an Arrow-batched numpy kernel (row-wise einsum
-    over the joined pair batch), not per-pair zip_with/aggregate: at
-    band-mate candidate counts the vectorized dot products are ~6x
-    faster than the codegen'd higher-order functions (measured at sf0.1:
-    11.9 s → see SCALE.md), with the anchor-identical float64 math.
+    Scoring history (each step measured, see SCALE.md): per-pair
+    zip_with/aggregate 11.9 s at sf0.1 → Arrow row-wise einsum over the
+    joined candidate pairs ~3 s → since r7 the bucket-LOCAL matmul tail
+    (:func:`_score_within_buckets`), which drops the candidate-pair
+    join/DISTINCT shuffle entirely — same anchor-identical float64
+    math, pairs computed inside their (band, sub) group.
 
     PARAMETER caveat (measured by tools/scale_curve.py): the banding
     here is FIXED (2 bands × 4 bits = 16 sub-buckets/band) for oracle
@@ -748,7 +749,7 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.operators.similarity import rh_lsh_buckets
 
     banded = _banded(rh_lsh_buckets(spark, sf_dir), bands=2, bits=4)
-    return _score_banded_pairs(spark, sf_dir, banded)
+    return _score_within_buckets(spark, sf_dir, banded)
 
 
 def _banded(buckets: DataFrame, bands: int, bits: int) -> DataFrame:
@@ -771,52 +772,6 @@ def _banded(buckets: DataFrame, bands: int, bits: int) -> DataFrame:
             )
         ).alias("b"),
     ).select("vec_id", F.col("b.band").alias("band"), F.col("b.sub").alias("sub"))
-
-
-def _score_banded_pairs(
-    spark: SparkSession, sf_dir: str, banded: DataFrame
-) -> DataFrame:
-    """Band-mate candidate join + exact cosine scoring (the shared tail
-    of the fixed and N-adaptive LSH variants — identical float64 math
-    to the ``neardup_embedding`` anchor)."""
-    import numpy as np
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "sub")
-    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "sub")
-    cand = (
-        a.join(b, ["band", "sub"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    paired = cand.join(ea, "vec_a").join(eb, "vec_b")
-    threshold = COSINE_DUP_THRESHOLD
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb_a"]])
-            B = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb_b"]])
-            na = np.sqrt((A * A).sum(axis=1))
-            nb = np.sqrt((B * B).sum(axis=1))
-            denom = na * nb
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0.0, 0.0, np.einsum("ij,ij->i", A, B) / denom)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "cos_sim": np.round(cos[keep], 6),
-                }
-            )
-
-    return paired.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
 
 
 # N-adaptive LSH sizing targets. Mean band-bucket occupancy ~N/2^bits;
@@ -852,6 +807,60 @@ def _auto_lsh_params(n_vecs: int) -> tuple[int, int]:
     return bands, bits
 
 
+def _score_within_buckets(
+    spark: SparkSession, sf_dir: str, banded: DataFrame
+) -> DataFrame:
+    """Bucket-local all-pairs scoring: join each vector's embedding to
+    its (band, sub) code rows ONCE (N×bands rows), then compute every
+    band-mate pair inside its bucket with one BLAS matmul per group and
+    dedup the (tiny) thresholded output across bands.
+
+    This is the scale tail for wide-banded LSH: the candidate-join
+    formulation (the r7-interim tail, since removed) materializes and shuffles
+    every candidate pair twice (pair list + two embedding joins) — at
+    the 100× sweep's 200 k vectors that is ~48 M pairs ≈ 50 GB of
+    joined doubles (240 s measured); here the shuffle carries only the
+    N×bands coded vectors (~1 GB) and the quadratic work happens as
+    in-bucket arithmetic, which is exactly where LSH sizing already
+    bounds it (TARGET_BUCKET_ROWS). Same float64 matmul math as the
+    anchor kernel, so values are oracle-identical (parity-tested at
+    two sizes). A pair sharing several bands is scored once per band;
+    the closing dedup groups on the PAIR KEY (max over the — in
+    practice identical — per-band scores), not on the float, so a
+    last-ulp BLAS blocking difference between different-sized buckets
+    can never leak a duplicate pair row."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coded = banded.join(emb, "vec_id")
+    threshold = COSINE_DUP_THRESHOLD
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        nrm = np.sqrt((M * M).sum(axis=1))
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom == 0.0, 0.0, (M @ M.T) / denom)
+        ii, jj = np.nonzero((S >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cos_sim": np.round(S[ii, jj], 6)}
+        )
+
+    pairs = coded.groupBy("band", "sub").applyInPandas(
+        score_bucket, "vec_a long, vec_b long, cos_sim double"
+    )
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+
+
 def neardup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via N-ADAPTIVE banded hyperplane-LSH —
     the actual 100 TB path for semantic dedup.
@@ -880,7 +889,7 @@ def neardup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, bits = _auto_lsh_params(n_vecs)
     from simple_map_reduce_ruuner_spark.operators.similarity import banded_codes_of
 
-    return _score_banded_pairs(
+    return _score_within_buckets(
         spark, sf_dir, banded_codes_of(spark, sf_dir, bands, bits)
     )
 

@@ -20,6 +20,7 @@ A ratio near 10 is linear scaling; below 10 means fixed overhead
 
 Usage: python tools/scale_curve.py [--reps 2] [--big DIR] [--merge-min]
                                    [--all | --queries n1,n2,...]
+                                   [--scale K] [--out FILE]
 --queries restricts to named queries (chunked sweeps under the shell's
 10-minute cap); --all sweeps EVERY registry query except the documented
 anchors; --merge-min folds this run into the existing JSON taking the
@@ -90,8 +91,14 @@ EXCLUDED_ANCHORS = {
 def main() -> int:
     args = sys.argv[1:]
     reps = int(args[args.index("--reps") + 1]) if "--reps" in args else 2
+    scale = int(args[args.index("--scale") + 1]) if "--scale" in args else 10
+    out_name = (
+        args[args.index("--out") + 1]
+        if "--out" in args
+        else "SCALE_CURVE_r07.json"
+    )
     big = args[args.index("--big") + 1] if "--big" in args else os.path.join(
-        REPO, ".scaledata", "sf1"
+        REPO, ".scaledata", "sf1" if scale == 10 else f"sf{scale // 10}"
     )
     if not os.path.isdir(big):
         print(
@@ -160,7 +167,7 @@ def main() -> int:
             "sec_10x": round(t10, 3),
             "ratio": round(t10 / t1, 2) if t1 > 0 and t10 > 0 else None,
         }
-    path = os.path.join(REPO, "SCALE_CURVE_r07.json")
+    path = os.path.join(REPO, out_name)
     if "--merge-min" in args and os.path.exists(path):
         # min across runs at each size: the noise-robust throughput
         # estimator on a VM with CPU-steal bursts (cheaper than one
@@ -188,7 +195,7 @@ def main() -> int:
         ),
         "small_dir": SMALL,
         "big_dir": big,
-        "data_scale": 10,
+        "data_scale": scale,
         "reps": reps,
         "queries": out,
         "median_ratio": ratios[len(ratios) // 2] if ratios else None,
