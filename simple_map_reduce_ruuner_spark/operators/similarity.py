@@ -418,20 +418,80 @@ def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, ranked per vector. Centroids are the first N_CELLS vectors —
     deterministic stand-ins for k-means centroids (real deployments train
     them; the *plan shape* is identical: N × C broadcast scoring, argmin).
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.where(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    from pyspark.sql import Window
 
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    Scoring is an Arrow kernel against the broadcast centroid matrix:
+    the previous crossJoin × Catalyst-HOF cosine evaluated ~3.2 M
+    interpreted zip_with/aggregate lambdas at the 100× sweep's 200 k
+    vectors (≈ 100 s of the 118 s total); the kernel does the same
+    left-to-right double accumulation (see :func:`_seq_dots`) in a few
+    vectorized passes. Ranking happens in-kernel too — (sim desc,
+    cent_id asc) via lexsort, exactly row_number's total order — so
+    the N×C exchange for the window disappears as well."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sorted(
+        emb.where(F.col("vec_id") < N_CELLS).collect(),
+        key=lambda r: r.vec_id,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    return scored.withColumn("rk", F.row_number().over(w))
+    cent_ids = np.array([r.vec_id for r in cents], dtype=np.int64)
+    C = (
+        np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cents])
+        if cents
+        else np.zeros((0, DIM))
+    )
+    bc = spark.sparkContext.broadcast((cent_ids, C))
+
+    def _seq_dots(X, C):
+        """Dot products + norms accumulated dim by dim IN ORDER (acc =
+        acc + x_d·y_d from 0.0) — the exact IEEE operation sequence of
+        ``functions.vectors.dot``/``l2_norm`` and DuckDB's
+        ``list_dot_product``, so scores hash-compare against the
+        oracle. A BLAS matmul would be faster still but sums in blocked
+        order, reintroducing last-ulp divergence on rank tie-breaks.
+        Nested on purpose: a module-level helper is pickled by
+        REFERENCE into the task closure and breaks when the driver runs
+        outside the repo root (the verify-skill gotcha; found by
+        driver_sim from /tmp)."""
+        n, d = X.shape
+        dots = np.zeros((n, len(C)))
+        nx = np.zeros(n)
+        nc = np.zeros(len(C))
+        for j in range(d):
+            dots += X[:, j, None] * C[None, :, j]
+            nx += X[:, j] * X[:, j]
+            nc += C[:, j] * C[:, j]
+        return dots, np.sqrt(nx), np.sqrt(nc)
+
+    def score(batches):
+        ids_c, Cm = bc.value
+        k = len(ids_c)
+        for pdf in batches:
+            if not len(pdf) or k == 0:
+                continue
+            X = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            dots, nx, nc = _seq_dots(X, Cm)
+            denom = nx[:, None] * nc[None, :]
+            sim = np.where(denom == 0.0, 0.0, np.divide(dots, denom, where=denom != 0.0))
+            # row_number over (sim desc, cent_id asc): lexsort is
+            # last-key-primary, so order by (cent_id, -sim)
+            order = np.lexsort((np.broadcast_to(ids_c, sim.shape), -sim), axis=1)
+            rk = np.empty_like(order)
+            np.put_along_axis(rk, order, np.arange(1, k + 1)[None, :], axis=1)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, k),
+                    "cent_id": np.tile(ids_c, len(pdf)),
+                    "sim": sim.reshape(-1),
+                    "rk": rk.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.mapInPandas(score, "vec_id long, cent_id long, sim double, rk int")
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
