@@ -14,9 +14,13 @@ ANCHORS are excluded by design and listed as such in the output: their
 contract says they do not run at scale (enforced by guards), so their
 quadratic curve is not a finding.
 
-A ratio near 10 is linear scaling; below 10 means fixed overhead
-(session/scheduling) still dominates at this size; well above ~15
-(beyond machine noise) would flag a super-linear operator.
+A ratio near the data scale (10 for the 10x run) is linear scaling;
+below it means fixed overhead (session/scheduling) still dominates at
+this size. Each row also carries per_unit = ratio/scale: <= 1 is
+linear-or-better, and only per_unit well above 1 (beyond machine
+noise) flags a super-linear operator — the raw ratio cannot, because a
+linear query whose small-size time is half fixed overhead shows
+ratio ~= scale/2 (at 100x that reads as "48x" yet is linear).
 
 Usage: python tools/scale_curve.py [--reps 2] [--big DIR] [--merge-min]
                                    [--all | --queries n1,n2,...]
@@ -187,6 +191,16 @@ def main() -> int:
                 row["ratio"] = round(row["sec_10x"] / row["sec_sf0.1"], 2)
         for name, prev in old.items():  # chunked sweeps: keep other rows
             out.setdefault(name, prev)
+    # per_unit = big-size cost per unit of data, relative to the small
+    # size's TOTAL time (which includes ~0.3-0.5 s of fixed session/
+    # scheduling overhead). <= 1 is linear-or-better; only per_unit
+    # well above 1 flags super-linear work. The raw ratio alone cannot:
+    # a perfectly linear query whose small-size time is half overhead
+    # shows ratio ~= scale/2, which at 100x reads as "48x" yet is linear.
+    for row in out.values():
+        row["per_unit"] = (
+            round(row["ratio"] / scale, 3) if row.get("ratio") else None
+        )
     ratios = sorted(v["ratio"] for v in out.values() if v["ratio"])
     doc = {
         "method": (
@@ -200,11 +214,19 @@ def main() -> int:
         "queries": out,
         "median_ratio": ratios[len(ratios) // 2] if ratios else None,
         "max_ratio": ratios[-1] if ratios else None,
+        "median_per_unit": (
+            round(ratios[len(ratios) // 2] / scale, 3) if ratios else None
+        ),
+        "max_per_unit": round(ratios[-1] / scale, 3) if ratios else None,
         "excluded_anchors": EXCLUDED_ANCHORS,
         "note": (
-            "ratio ~= 10 is linear in data; < 10 means fixed overhead still "
-            "dominates at this size; >> 15 flags super-linear growth. "
-            "10x data generated by tools/make_scale_data.py (key cardinality "
+            f"ratio ~= {scale} is linear in data at this {scale}x size; "
+            "below that, fixed overhead still dominates. per_unit = "
+            f"ratio/{scale}: <= 1 is linear-or-better; only per_unit well "
+            "above 1 flags super-linear growth (the raw ratio alone "
+            "cannot — a linear query whose small-size time is half fixed "
+            "overhead shows ratio ~= scale/2). "
+            "Scaled data generated by tools/make_scale_data.py (key cardinality "
             "scales; dedup/ANN content redrawn per replica). Coverage: the "
             "FULL registry minus the 5 documented anchors, swept in "
             "--merge-min chunks. FINDINGS this curve caught (both fixed in "
