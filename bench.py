@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print the
+full per-query JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+followed by a compact one-line summary (same metric/value/unit keys,
+plus median/p90 vs_r01 and the top-5 slowest) as the LAST stdout line —
+the driver archives only a ~2000-char tail of stdout, so the summary is
+what survives in BENCH_r{N}.json; the full document is also written to
+BENCH_FULL_LATEST.json beside this script.
 
 Each query executes its full physical plan via a noop sink (no driver-side
 collect, so we measure engine throughput, not Arrow transfer). Before the
@@ -130,19 +136,61 @@ def main() -> None:
     except Exception:
         pass
 
+    doc = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "incomplete": incomplete,
+        "sf": sf,
+        "reps": reps,
+        "stat": "median_round_robin",
+        "noise": noise,
+        "vs_r01": vs_prev,
+    }
+    print(json.dumps(doc))
+
+    # The driver records only the last ~2000 chars of stdout; the full
+    # per-query line above is ~5 KB, so rounds r05-r07 archived a
+    # truncated fragment ("parsed": null). Persist the full document to
+    # a committed file, and make the LAST stdout line a compact
+    # self-contained summary that always fits inside the tail capture.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: summary line still works
+        print(f"BENCH NOTE: could not write {full_path}: {exc}", file=sys.stderr)
+
+    ratios = sorted(vs_prev.values())
+    slowest = sorted(
+        ((t, n) for n, t in timings.items() if t > 0), reverse=True
+    )[:5]
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "incomplete": incomplete,
                 "sf": sf,
                 "reps": reps,
-                "stat": "median_round_robin",
+                "queries_n": len(names),
+                "median_sec": round(median([t for t in timings.values() if t >= 0]), 3),
+                "median_vs_r01": (
+                    round(median(ratios), 3) if ratios else None
+                ),
+                "p90_vs_r01": (
+                    round(ratios[int(0.9 * (len(ratios) - 1))], 3)
+                    if ratios
+                    else None
+                ),
+                "top5_slowest": {n: t for t, n in slowest},
+                "incomplete": incomplete,
                 "noise": noise,
-                "vs_r01": vs_prev,
+                "full": "BENCH_FULL_LATEST.json",
             }
         )
     )

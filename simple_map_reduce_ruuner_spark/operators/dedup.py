@@ -742,12 +742,23 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARAMETER caveat (measured by tools/scale_curve.py): the banding
     here is FIXED (2 bands × 4 bits = 16 sub-buckets/band) for oracle
     parity, so expected candidates are ~N²/32 — sub-quadratic only by
-    a constant. Past ~10⁴ vectors use
-    :func:`neardup_embedding_lsh_auto`, which widens the codes with N
-    so candidate counts stay ~linear.
+    a constant (measured 175× growth on 100× data). That contract is
+    ENFORCED like the other anchors: above MAX_FIXED_BAND_VECTORS it
+    refuses and directs callers to :func:`neardup_embedding_lsh_auto`,
+    which widens the codes with N so candidate counts stay ~linear.
+    The check reads parquet footer row counts — zero Spark jobs.
     """
     from simple_map_reduce_ruuner_spark.operators.similarity import rh_lsh_buckets
 
+    n_vecs = _parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    if n_vecs > MAX_FIXED_BAND_VECTORS:
+        raise ValueError(
+            f"neardup_embedding_lsh uses FIXED 2x4-bit banding (~N²/32 "
+            f"candidates — quadratic by constant) and its input has "
+            f"{n_vecs} vectors (> {MAX_FIXED_BAND_VECTORS}). Use "
+            f"neardup_embedding_lsh_auto, which sizes bands x bits from "
+            f"N so candidate counts stay ~linear."
+        )
     banded = _banded(rh_lsh_buckets(spark, sf_dir), bands=2, bits=4)
     return _score_within_buckets(spark, sf_dir, banded)
 
@@ -783,6 +794,14 @@ TARGET_BUCKET_ROWS = 64
 RECALL_COSINE = 0.90
 RECALL_TARGET = 0.80
 
+# Hard ceiling for the FIXED-banding variant: its 2×4-bit code space is
+# constant, so candidates grow ~N²/32 regardless of input — past this it
+# refuses and points at the N-adaptive twin (same enforced-contract
+# pattern as MAX_ALLPAIRS_DOCS / MAX_BROADCAST_VECTORS). Sized so the
+# 10× scale sweep (20 k vectors, measured 2.3× growth) still admits the
+# contrast while the 100× regime (200 k, measured 175×) is fenced.
+MAX_FIXED_BAND_VECTORS = 100_000
+
 
 def _auto_lsh_params(n_vecs: int) -> tuple[int, int]:
     """(bands, bits) sized for ``n_vecs``: bits grows as log2(N) so
@@ -807,6 +826,11 @@ def _auto_lsh_params(n_vecs: int) -> tuple[int, int]:
     return bands, bits
 
 
+# Per-chunk scratch budget for the bucket-local matmul: chunk×n float64
+# elements (~64 MB at 8 M) — bounds a skewed bucket's task memory.
+_SCORE_CHUNK_ELEMS = 8_000_000
+
+
 def _score_within_buckets(
     spark: SparkSession, sf_dir: str, banded: DataFrame
 ) -> DataFrame:
@@ -828,13 +852,25 @@ def _score_within_buckets(
     the closing dedup groups on the PAIR KEY (max over the — in
     practice identical — per-band scores), not on the float, so a
     last-ulp BLAS blocking difference between different-sized buckets
-    can never leak a duplicate pair row."""
+    can never leak a duplicate pair row.
+
+    Memory contract: bucket sizing (TARGET_BUCKET_ROWS) bounds the mean
+    group, but a HOT bucket of near-identical vectors — exactly the
+    shape of heavy-duplicate dedup inputs — can put O(N) rows in one
+    group, and a single n×n score matrix would then be O(N²) bytes in
+    one task. The matmul therefore runs in row CHUNKS against the full
+    bucket matrix: per-chunk scratch is chunk×n ≤ _SCORE_CHUNK_ELEMS
+    float64s (~64 MB) no matter how skewed the buckets are, while the
+    bucket matrix itself stays O(n·d). Chunking never changes values —
+    each cosine is still one k=64 dot product; only the blocking of the
+    output matrix differs."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     coded = banded.join(emb, "vec_id")
     threshold = COSINE_DUP_THRESHOLD
+    chunk_elems = _SCORE_CHUNK_ELEMS
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -845,12 +881,23 @@ def _score_within_buckets(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
         nrm = np.sqrt((M * M).sum(axis=1))
-        denom = np.outer(nrm, nrm)
+        step = max(1, chunk_elems // n)
+        parts = []
         with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.where(denom == 0.0, 0.0, (M @ M.T) / denom)
-        ii, jj = np.nonzero((S >= threshold) & (ids[:, None] < ids[None, :]))
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                denom = np.outer(nrm[lo:hi], nrm)
+                S = np.where(denom == 0.0, 0.0, (M[lo:hi] @ M.T) / denom)
+                ii, jj = np.nonzero(
+                    (S >= threshold) & (ids[lo:hi, None] < ids[None, :])
+                )
+                parts.append((ids[lo + ii], ids[jj], np.round(S[ii, jj], 6)))
         return pd.DataFrame(
-            {"vec_a": ids[ii], "vec_b": ids[jj], "cos_sim": np.round(S[ii, jj], 6)}
+            {
+                "vec_a": np.concatenate([p[0] for p in parts]),
+                "vec_b": np.concatenate([p[1] for p in parts]),
+                "cos_sim": np.concatenate([p[2] for p in parts]),
+            }
         )
 
     pairs = coded.groupBy("band", "sub").applyInPandas(
@@ -930,6 +977,20 @@ WHERE CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
            ELSE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
       END >= {COSINE_DUP_THRESHOLD}
 """
+
+
+def _gate_embeddings_n(default: int = 500) -> int:
+    """Embeddings row count at the DRIVER GATE size (sf0.01 — the one
+    scale the registry oracle is compared at, see TESTDATA.md): the
+    N-adaptive operator derives (bands, bits) from its input's footer,
+    so its static registry oracle must be generated for that same N.
+    Read from the gate table's footer when present (zero Spark jobs);
+    the fallback is the committed sf0.01 count, so building the
+    registry never fails on a machine without the testdata tree."""
+    try:
+        return _parquet_row_count("/root/testdata/sf0.01/embeddings.parquet")
+    except OSError:
+        return default
 
 
 def _neardup_embedding_lsh_sql() -> str:
@@ -1105,6 +1166,13 @@ QUERIES: dict[str, Query] = {
     "neardup_embedding_lsh": Query(
         neardup_embedding_lsh,
         NEARDUP_EMBEDDING_LSH_SQL,
-        "banded hyperplane-LSH embedding near-dup (scale path)",
+        "banded hyperplane-LSH embedding near-dup (fixed-band contrast; "
+        "guarded past MAX_FIXED_BAND_VECTORS)",
+    ),
+    "neardup_embedding_lsh_auto": Query(
+        neardup_embedding_lsh_auto,
+        neardup_embedding_lsh_auto_sql(_gate_embeddings_n()),
+        "N-adaptive banded hyperplane-LSH embedding near-dup (the 100 TB "
+        "scale path; oracle generated for the sf0.01 gate N)",
     ),
 }

@@ -21,6 +21,8 @@ oracle — the approximation is in the *recall*, not in nondeterminism.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -419,29 +421,51 @@ def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-ins for k-means centroids (real deployments train
     them; the *plan shape* is identical: N × C broadcast scoring, argmin).
 
-    Scoring is an Arrow kernel against the broadcast centroid matrix:
-    the previous crossJoin × Catalyst-HOF cosine evaluated ~3.2 M
+    Scoring is an Arrow kernel against the centroid matrix: the
+    previous crossJoin × Catalyst-HOF cosine evaluated ~3.2 M
     interpreted zip_with/aggregate lambdas at the 100× sweep's 200 k
     vectors (≈ 100 s of the 118 s total); the kernel does the same
     left-to-right double accumulation (see :func:`_seq_dots`) in a few
     vectorized passes. Ranking happens in-kernel too — (sim desc,
     cent_id asc) via lexsort, exactly row_number's total order — so
-    the N×C exchange for the window disappears as well."""
+    the N×C exchange for the window disappears as well.
+
+    The centroid fetch is LAZY: each task reads the N_CELLS rows
+    straight from the parquet footprint with a pyarrow predicate
+    (vec_id < N_CELLS prunes to the matching row group(s)) the first
+    time its generator runs. The r7 form collected them at
+    DataFrame-CONSTRUCTION time, so merely building the plan (EXPLAIN,
+    plan-shape tests, registry sweeps) triggered a real Spark job and a
+    full embeddings scan (review-found). Per-task cost is one pruned
+    16-row read; values are bit-identical (parquet float32 → float64
+    widening either way)."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = sorted(
-        emb.where(F.col("vec_id") < N_CELLS).collect(),
-        key=lambda r: r.vec_id,
-    )
-    cent_ids = np.array([r.vec_id for r in cents], dtype=np.int64)
-    C = (
-        np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cents])
-        if cents
-        else np.zeros((0, DIM))
-    )
-    bc = spark.sparkContext.broadcast((cent_ids, C))
+    cent_path = os.path.join(sf_dir, "embeddings.parquet")
+    n_cells, dim = N_CELLS, DIM
+
+    def _load_centroids(path):
+        """(cent_ids, C) sorted by vec_id — exactly the rows the old
+        driver-side collect fetched, read executor-side instead."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_cells)],
+        )
+        ids = tbl.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order].astype(np.int64)
+        embs = tbl.column("embedding").to_pylist()
+        C = (
+            np.stack([np.asarray(embs[i], dtype=np.float64) for i in order])
+            if len(ids)
+            else np.zeros((0, dim))
+        )
+        return ids, C
 
     def _seq_dots(X, C):
         """Dot products + norms accumulated dim by dim IN ORDER (acc =
@@ -465,7 +489,7 @@ def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dots, np.sqrt(nx), np.sqrt(nc)
 
     def score(batches):
-        ids_c, Cm = bc.value
+        ids_c, Cm = _load_centroids(cent_path)
         k = len(ids_c)
         for pdf in batches:
             if not len(pdf) or k == 0:

@@ -121,14 +121,29 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PART_HIERARCHY_ROLLUP_SQL)
 
 
+# (baseline, value-we-last-set) per Spark application id. The bound
+# below is computed against the BASELINE (the value that was configured
+# before our last set), not the live conf value: max(current, …) would
+# ratchet monotonically across calls/sf_dirs and permanently weaken the
+# runaway-recursion guard for every other recursive query in the
+# session (review-found). If the live value differs from what we last
+# set, the user changed it — that becomes the new baseline, so an
+# externally raised limit is still never lowered.
+_RECURSION_LIMIT_STATE: dict[str, tuple[int, int]] = {}
+
+
 def _size_recursion_row_limit(spark: SparkSession, sf_dir: str) -> None:
-    """Raise ``spark.sql.cteRecursionRowLimit`` to the digit-walk's true
-    upper bound, |part| × 20 (19 int64 digits + the anchor row), read
-    from parquet FOOTER metadata — zero Spark jobs, same mechanism as
-    the dedup anchor guards. The default 10⁶ cap is a runaway-recursion
-    guard, and a tree walk bounded a priori deserves a bound, not the
-    default: at 10× sf0.1 the walk legitimately produces ~2×10⁶ rows
-    (found by tools/scale_curve.py). Never lowers the configured value."""
+    """Set ``spark.sql.cteRecursionRowLimit`` to the digit-walk's true
+    upper bound for THIS input, |part| × 20 (19 int64 digits + the
+    anchor row), read from parquet FOOTER metadata — zero Spark jobs,
+    same mechanism as the dedup anchor guards. The default 10⁶ cap is a
+    runaway-recursion guard, and a tree walk bounded a priori deserves
+    a bound, not the default: at 10× sf0.1 the walk legitimately
+    produces ~2×10⁶ rows (found by tools/scale_curve.py). Never lowers
+    a USER-configured value; our own earlier raises do not ratchet (a
+    later small-sf call sizes the cap back down). Set-then-restore is
+    not an option because the conf is read when the returned DataFrame
+    executes, after this call returns."""
     import os as _os
 
     from simple_map_reduce_ruuner_spark.operators.dedup import (
@@ -136,10 +151,14 @@ def _size_recursion_row_limit(spark: SparkSession, sf_dir: str) -> None:
     )
 
     n_parts = _parquet_row_count(_os.path.join(sf_dir, "part.parquet"))
-    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(current, n_parts * 20))
-    )
+    key = "spark.sql.cteRecursionRowLimit"
+    app = spark.sparkContext.applicationId
+    current = int(spark.conf.get(key, "1000000"))
+    state = _RECURSION_LIMIT_STATE.get(app)
+    baseline = state[0] if state and current == state[1] else current
+    value = max(baseline, n_parts * 20)
+    spark.conf.set(key, str(value))
+    _RECURSION_LIMIT_STATE[app] = (baseline, value)
 
 
 # --------------------------------------------------------------------------

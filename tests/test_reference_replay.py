@@ -180,6 +180,42 @@ def test_replay_peek_numbers_cpp(spark, tmp_path):
     assert all(0 < p < 200 for p in got.values())
 
 
+def test_replay_peek_numbers_is_chunk_size_invariant(spark, tmp_path):
+    """The reference's one physical knob is chunk_mb (Master.java:45,
+    93-95): it changes how many mapper chunks the input splits into, and
+    MUST NOT change the answer. peek-numbers is the adversarial case —
+    its per-chunk mapper output is per-second SETS whose merge is the
+    reducer's own set union, so a broken chunk-partial contract (e.g.
+    double-counting a number seen in two chunks) shows up immediately.
+    Pins the engine's partial-merge contract across 1 MB (many chunks)
+    and the default (one chunk at this size)."""
+    data = str(tmp_path / "calls.txt")
+    _write_calls(data, n_rows=20_000)
+
+    def peaks_at(chunk_mb: int) -> dict[str, int]:
+        result = run_job(
+            spark,
+            data_path=data,
+            mapper_src=_ref("finding_peek_numbers/mapper.cpp"),
+            reducer_src=_ref("finding_peek_numbers/reducer.cpp"),
+            lang="cpp",
+            chunk_mb=chunk_mb,
+            argv_files=True,
+        )
+        out = {}
+        for r in result.collect():
+            op, peak = r.line.split(": ")
+            out[op] = int(peak)
+        return out
+
+    from simple_map_reduce_ruuner_spark.engine import DEFAULT_CHUNK_MB
+
+    small = peaks_at(1)
+    assert small == peaks_at(DEFAULT_CHUNK_MB)
+    assert set(small) == {"mci", "mtn", "rtl"}
+    assert all(0 < p < 200 for p in small.values())
+
+
 # --------------------------------------------------------------------------
 # workload 4: finding_the_suspects — reference programs + reference input
 # + reference golden output (fully verbatim)

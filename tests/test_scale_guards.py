@@ -63,6 +63,37 @@ def test_guards_admit_in_contract_input(spark, tiny_sf):
     assert dedup.neardup_embedding(spark, tiny_sf).count() >= 1
 
 
+def test_fixed_band_lsh_refuses_oversized_input(spark, tiny_sf, monkeypatch):
+    """The fixed 2×4-bit banding is ~N²/32 — quadratic by constant
+    (measured 175× at 100× data) — so past MAX_FIXED_BAND_VECTORS it
+    must refuse and point at the N-adaptive twin."""
+    monkeypatch.setattr(dedup, "MAX_FIXED_BAND_VECTORS", 2)
+    with pytest.raises(ValueError, match="neardup_embedding_lsh_auto"):
+        dedup.neardup_embedding_lsh(spark, tiny_sf)
+
+
+def test_fixed_band_lsh_admits_in_contract_input(spark, tiny_sf):
+    assert dedup.neardup_embedding_lsh(spark, tiny_sf).count() >= 0
+
+
+def test_bucket_scoring_chunked_matmul_is_exact(spark, planted_sf, monkeypatch):
+    """The bucket-local scorer runs its matmul in row chunks so a skewed
+    hot bucket can never allocate O(N²) scratch in one task. Chunking
+    must not change a single pair or cosine: force a tiny chunk budget
+    (step=1 at any realistic bucket size) and compare against the
+    normal-budget run (the planted fixture guarantees ≥5 pairs)."""
+    big = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.neardup_embedding_lsh(spark, planted_sf).collect()
+    }
+    monkeypatch.setattr(dedup, "_SCORE_CHUNK_ELEMS", 1)
+    small = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.neardup_embedding_lsh(spark, planted_sf).collect()
+    }
+    assert small == big and len(big) >= 5
+
+
 # ---------------------------------------------------------------------------
 # N-adaptive LSH (the fix for the 68.9x super-linear growth the scale
 # curve measured on the fixed-parameter neardup_embedding_lsh)
@@ -118,6 +149,38 @@ def test_recursive_cte_row_cap_sized_from_footer(spark, sf_dir):
             "overwrite"
         ).save()
         assert int(spark.conf.get(key)) == 99999999
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_recursion_row_cap_does_not_ratchet(spark, sf_dir, tmp_path):
+    """Our OWN earlier raise must not become the floor for later calls
+    (review-found: max(current, …) ratcheted monotonically, silently
+    weakening the runaway-recursion guard session-wide). After sizing
+    for a big input, sizing for a small one must bring the cap back
+    down toward the pre-existing value — while a user-set value between
+    the two calls is still respected as the new baseline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_map_reduce_ruuner_spark.operators import sql4
+
+    key = "spark.sql.cteRecursionRowLimit"
+    saved = spark.conf.get(key)
+    big_dir = tmp_path / "big"
+    big_dir.mkdir()
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(range(200_000), pa.int64())}),
+        big_dir / "part.parquet",
+    )
+    try:
+        spark.conf.set(key, "1000000")
+        sql4._size_recursion_row_limit(spark, str(big_dir))
+        assert int(spark.conf.get(key)) == 200_000 * 20
+        # small input right after: cap returns to the pre-set baseline,
+        # not the 4M our big-input call set
+        sql4._size_recursion_row_limit(spark, sf_dir)
+        assert int(spark.conf.get(key)) == 1_000_000
     finally:
         spark.conf.set(key, saved)
 

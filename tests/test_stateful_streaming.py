@@ -86,6 +86,7 @@ def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir, tmp_path):
     saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     captured: list = []
+    q = None
     try:
         q = (
             stream_running_user_totals(spark, str(src_dir), EVENTS_DDL)
@@ -97,13 +98,20 @@ def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # on a False (timeout) return, lastProgress can be None and the
+        # metric lookup below would die as an opaque TypeError
+        finished = q.awaitTermination(180)
+        assert finished, "availableNow stream did not terminate within 180s"
         progress = q.lastProgress
     except Exception as e:  # pragma: no cover - environment-dependent
         if "rocksdb" in str(e).lower() or "UnsatisfiedLink" in str(e):
             pytest.skip(f"RocksDB native library unavailable: {e}")
         raise
     finally:
+        # stop the query even on timeout/failure so a live stream can't
+        # leak into (and destabilize) the rest of the suite
+        if q is not None and q.isActive:
+            q.stop()
         if saved is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
