@@ -39,6 +39,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from simple_map_reduce_ruuner_spark.sources.tables import ckpt
+
 
 def pipe_map_reduce(
     df: DataFrame,
@@ -180,5 +182,5 @@ def map_reduce_in_pandas(
     # localCheckpoint (eager) keeps the map phase parallel: coalescing
     # the un-materialized frame would narrow the mapper into the single
     # reduce task (same defect as pipe_map_reduce's, review-found).
-    mapped = df.mapInPandas(mapper, schema=map_schema).localCheckpoint()
+    mapped = ckpt(df.mapInPandas(mapper, schema=map_schema))
     return mapped.coalesce(1).mapInPandas(reducer, schema=out_schema)

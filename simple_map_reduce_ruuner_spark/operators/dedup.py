@@ -36,7 +36,7 @@ from simple_map_reduce_ruuner_spark.functions.hashing import (
 )
 from simple_map_reduce_ruuner_spark.functions.text import norm_text, word_shingles
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
+from simple_map_reduce_ruuner_spark.sources.tables import ckpt, load_table, spread_scan
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.20
@@ -150,7 +150,7 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage-pool leak across gate+bench reps), while checkpoint blocks
     # are reference-counted and freed by the ContextCleaner once the
     # result is consumed. Same materialize-once effect for the 3 reads.
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    sh = ckpt(_doc_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -498,24 +498,25 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Da
     """
     pairs = neardup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.unionAll(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    edges = ckpt(
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    )
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    labels = ckpt(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import ckpt, load_table
 
 PR_ITERS = 5
 SCALE_FEMTO = 10**15  # rank unit = 1e-15
@@ -59,7 +59,7 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neardup_clusters): every iteration joins against edges, and the
     # checkpoint guarantees the orders ⋈ lineitem ⋈ distinct subtree runs
     # once with bounded lineage instead of relying on exchange reuse
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    edges = ckpt(_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"), "outdeg")
     n_nodes = nodes.select(F.count(F.lit(1)).alias("n"))

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import ckpt, load_table
 
 K_BIN_WIDTH = 10
 
@@ -195,13 +195,12 @@ def script_rich_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log range × |customer|), fact-scan-free (a first cut re-ran the
     orders aggregate per probe: ~0.5 s × probes at sf0.1).
     """
-    totals = (
+    totals = ckpt(
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("total")
         )
-        .localCheckpoint()
     )
     totals.createOrReplaceTempView("smrr_script_totals")
     return spark.sql(f"""

@@ -36,6 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ckpt(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with SERIALIZED memory+disk block storage.
+
+    Spark's default checkpoint level keeps blocks DESERIALIZED in
+    memory, and — worse for scale — re-inflates disk-spilled blocks
+    back into deserialized cache on every read
+    (``BlockManager.maybeCacheDiskValuesInMemory`` →
+    ``DeserializedValuesHolder``). With 32 tasks concurrently
+    re-inflating large partitions that is an OOM machine: measured at
+    the 100× sweep (60 M-row lineitem), `pagerank_trading`'s edge
+    checkpoint killed an 8 GiB JVM this exact way. The serialized
+    MEMORY_AND_DISK level stores compact bytes, unrolls incrementally,
+    and degrades to disk streaming under pressure instead of OOM —
+    blocks that fit stay in memory, so the small-scale fast path is
+    unchanged. Use for every iterative/replayed checkpoint whose size
+    scales with the data."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Repartition an under-split scan so CPU-heavy per-row work uses
     every core — a NO-OP whenever the scan already has enough splits.
