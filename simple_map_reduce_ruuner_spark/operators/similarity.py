@@ -807,44 +807,64 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is therefore EXACT on the codes themselves, not just on a rounded
     error metric. mae folds sequentially left-to-right (the
     deterministic, engine-portable float order — see
-    ``embedding_outliers``). Pure map-side: no shuffle, no UDF; the
-    codes stay inside the executor and only per-vector scalars come out.
+    ``embedding_outliers``). Pure map-side: no shuffle; the codes stay
+    inside the executor and only per-vector scalars come out.
+
+    Since r8 the per-element math is an Arrow kernel: the
+    transform/zip_with/aggregate formulation is Catalyst-INTERPRETED
+    (HOFs don't enter codegen) and evaluated the ``codes`` lambda three
+    times per element — 139 s at the 100× sweep's 200 k vectors. The
+    kernel does the same elementwise IEEE ops in vectorized passes,
+    with the mae fold accumulated dim by dim IN ORDER (the
+    `_seq_dots` discipline) and the final ROUND/÷DIM left as JVM
+    expressions so rounding semantics are byte-identical to before.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding")
-    mn = F.array_min(x).cast("double")
-    mx = F.array_max(x).cast("double")
-    span = mx - mn
+    import numpy as np
+    import pandas as pd
 
-    def code(v):
-        return F.when(span == 0, F.lit(0).cast("long")).otherwise(
-            F.floor((v.cast("double") - mn) * F.lit(255.0) / span).cast("long")
-        )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = DIM
 
-    codes = F.transform(x, code)
-    checksum = F.aggregate(
-        F.zip_with(codes, F.sequence(F.lit(1), F.lit(DIM)), lambda q, i: q * i),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    def quantize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            mn = X.min(axis=1)
+            mx = X.max(axis=1)
+            span = mx - mn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.floor((X - mn[:, None]) * 255.0 / span[:, None])
+            C = np.where(span[:, None] == 0.0, 0.0, C).astype(np.int64)
+            checksum = (C * np.arange(1, dim + 1, dtype=np.int64)).sum(axis=1)
+            # abs error, then the sequential left-to-right fold: one
+            # vectorized pass per dimension, exactly acc = acc + t_d
+            T = np.abs(X - (mn[:, None] + (C.astype(np.float64) * span[:, None]) / 255.0))
+            err = np.zeros(len(X))
+            for j in range(dim):
+                err = err + T[:, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "code_checksum": checksum,
+                    "err_sum": err,
+                    "mn": mn,
+                    "mx": mx,
+                }
+            )
+
+    scalars = emb.mapInPandas(
+        quantize,
+        "vec_id long, code_checksum long, err_sum double, mn double, mx double",
     )
-    recon_err = F.aggregate(
-        F.zip_with(
-            x,
-            codes,
-            lambda v, q: F.abs(
-                v.cast("double")
-                - (mn + q.cast("double") * span / F.lit(255.0))
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return emb.select(
+    return scalars.select(
         "vec_id",
-        checksum.alias("code_checksum"),
-        F.round(recon_err / F.lit(float(DIM)), 6).alias("mae"),
-        F.round(mn, 6).alias("vmin"),
-        F.round(mx, 6).alias("vmax"),
+        "code_checksum",
+        F.round(F.col("err_sum") / F.lit(float(DIM)), 6).alias("mae"),
+        F.round(F.col("mn"), 6).alias("vmin"),
+        F.round(F.col("mx"), 6).alias("vmax"),
     )
 
 
