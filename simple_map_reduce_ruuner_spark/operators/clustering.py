@@ -37,9 +37,12 @@ is sized for the 500-2000-vector test corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_map_reduce_ruuner_spark.operators import dedup as _dedup
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 
@@ -64,12 +67,17 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dist2(a: str, b: str) -> Column:
-    """Exact integer squared-L2 between two quantized vector columns."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    """Exact integer squared-L2 between two quantized vector columns.
+
+    Unrolled over the fixed DIM (functions.vectors.unrolled_dist2)
+    instead of a zip_with/aggregate fold: higher-order functions are
+    interpreted per element, and this expression sits on the corpus ×
+    K crossJoin hot path (the same interpreted-HOF cost the r7 IVF
+    rebuild removed). Integer sums are order-insensitive, so the
+    rewrite is unconditionally value-identical."""
+    from simple_map_reduce_ruuner_spark.functions.vectors import unrolled_dist2
+
+    return unrolled_dist2(F.col(a), F.col(b), DIM, integer=True)
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -112,9 +120,11 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _two_round_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _two_round_assignment(
+    spark: SparkSession, sf_dir: str, k: int = K
+) -> DataFrame:
     qv = _quantized(spark, sf_dir)
-    seeds = qv.where(F.col("vec_id") < K).select(
+    seeds = qv.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("c")
     )
     first = _assign(qv, seeds)
@@ -136,13 +146,18 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DIMS_CTE = f"""
+def _pipeline_cte(k: int) -> str:
+    """The full quantize → seed-assign → Lloyd-update → re-assign
+    pipeline as a DuckDB WITH-fragment ending in ``b2(vec_id, cid,
+    dist2)``, parameterized by the cluster count so the N-adaptive
+    SemDeDup twin can generate its oracle for the gate N."""
+    return f"""
 dims AS (
     SELECT vec_id, i AS dim,
            CAST(floor(CAST(embedding[i] AS DOUBLE) * {QSCALE}) AS BIGINT) AS q
     FROM embeddings, range(1, {DIM + 1}) t(i)
 ), seeds AS (
-    SELECT vec_id AS cid, dim, q FROM dims WHERE vec_id < {K}
+    SELECT vec_id AS cid, dim, q FROM dims WHERE vec_id < {k}
 ), a1 AS (
     SELECT d.vec_id, s.cid, sum((d.q - s.q) * (d.q - s.q)) AS dist2
     FROM dims d JOIN seeds s USING (dim)
@@ -164,6 +179,9 @@ dims AS (
 )"""
 
 
+_DIMS_CTE = _pipeline_cte(K)
+
+
 KMEANS_CLUSTERS_SQL = f"""
 WITH {_DIMS_CTE}
 SELECT CAST(cid AS BIGINT) AS cluster_id,
@@ -174,14 +192,31 @@ GROUP BY 1
 """
 
 
-def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_a, vec_b, dist2): semantically-near pairs found ONLY within
-    trained k-means clusters — the SemDeDup candidate generation. The
-    all-pairs comparison never happens: vectors shuffle once on their
-    cluster id and pair up inside the cluster, so total pair work is
-    Σ|cluster|², held ~linear by scaling K with corpus size.
-    """
-    a2 = _two_round_assignment(spark, sf_dir)
+# Fixed-K fence: at K=16 the within-cluster pair stage is N²/(2·16) —
+# fine through the 10× sweep's 20 k vectors, quadratic death beyond it.
+# Same enforced-contract pattern as dedup.MAX_ALLPAIRS_DOCS /
+# MAX_BROADCAST_VECTORS: refuse from footer metadata, point at the
+# N-adaptive twin.
+MAX_FIXED_K_VECTORS = 100_000
+
+
+def _k_auto(n_vecs: int) -> int:
+    """√N-adaptive cluster count, floored at the fixed K.
+
+    SemDeDup's two stages pull K in opposite directions: assignment
+    costs N·K distance evaluations, within-cluster pairing costs
+    ~N²/(2K). K = √(N/2) balances them at Θ(N^1.5) total — the
+    standard choice when cluster count must grow with corpus size.
+    The floor keeps K == 16 at every driver-gate size (N ≤ 512), so
+    the adaptive twin is value-identical to the fixed form exactly
+    where the gate hash-compares both."""
+    from math import isqrt
+
+    return max(K, isqrt(n_vecs // 2))
+
+
+def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    a2 = _two_round_assignment(spark, sf_dir, k)
     left = a2.select("cid", F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
     right = a2.select("cid", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
     pairs = left.join(right, "cid").where(F.col("vec_a") < F.col("vec_b"))
@@ -191,8 +226,52 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_PAIRS_SQL = f"""
-WITH {_DIMS_CTE}, pd AS (
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, dist2): semantically-near pairs found ONLY within
+    trained k-means clusters — the SemDeDup candidate generation. The
+    all-pairs comparison never happens: vectors shuffle once on their
+    cluster id and pair up inside the cluster.
+
+    FIXED K=16 — the oracle-exact contrast anchor. With K constant the
+    pair stage is N²/32 (measured 250 s at the 10× sweep's 20 k
+    vectors), so inputs beyond MAX_FIXED_K_VECTORS refuse and point at
+    :func:`semdedup_pairs_auto`, whose √N cluster count holds total
+    work at Θ(N^1.5).
+    """
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+    )
+
+    n_vecs = _parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    if n_vecs > MAX_FIXED_K_VECTORS:
+        raise ValueError(
+            f"semdedup_pairs keeps the cluster count FIXED at K={K} and "
+            f"its input has {n_vecs} vectors (> {MAX_FIXED_K_VECTORS}), "
+            f"making the within-cluster pair stage quadratic. Use "
+            f"semdedup_pairs_auto, which grows K as √N and stays "
+            f"sub-quadratic."
+        )
+    return _semdedup(spark, sf_dir, K)
+
+
+def semdedup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the √N-adaptive cluster count (see :func:`_k_auto`)
+    — the 100 TB scale path. K comes from the input's parquet footer
+    (zero Spark jobs), so the same callable self-tunes at every scale;
+    at driver-gate sizes K floors to 16 and the result is value-
+    identical to :func:`semdedup_pairs` (parity-tested at two sizes in
+    tests/test_scale_guards.py)."""
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+    )
+
+    n_vecs = _parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    return _semdedup(spark, sf_dir, _k_auto(n_vecs))
+
+
+def _semdedup_sql(k: int) -> str:
+    return f"""
+WITH {_pipeline_cte(k)}, pd AS (
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
            sum((dx.q - dy.q) * (dx.q - dy.q)) AS dist2
     FROM b2 x
@@ -207,6 +286,17 @@ WHERE dist2 <= {DIST2_MAX}
 """
 
 
+SEMDEDUP_PAIRS_SQL = _semdedup_sql(K)
+
+
+def semdedup_pairs_auto_sql(n_vecs: int) -> str:
+    """DuckDB oracle for :func:`semdedup_pairs_auto` at a GIVEN table
+    size — K must be pinned to the N the gate runs at because the
+    operator derives it from the input file's footer (same generated-
+    oracle pattern as dedup.neardup_embedding_lsh_auto_sql)."""
+    return _semdedup_sql(_k_auto(n_vecs))
+
+
 QUERIES: dict[str, Query] = {
     "kmeans_clusters": Query(
         kmeans_clusters,
@@ -217,5 +307,13 @@ QUERIES: dict[str, Query] = {
         semdedup_pairs,
         SEMDEDUP_PAIRS_SQL,
         "SemDeDup: near-dup pairs within trained k-means clusters only",
+    ),
+    "semdedup_pairs_auto": Query(
+        semdedup_pairs_auto,
+        # K depends on the gate table's N → oracle generated for it,
+        # same pattern as dedup's neardup_embedding_lsh_auto entry
+        semdedup_pairs_auto_sql(_dedup._gate_embeddings_n()),
+        "SemDeDup with √N-adaptive cluster count (the 100 TB scale "
+        "path; oracle generated for the sf0.01 gate N)",
     ),
 }

@@ -439,7 +439,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its md5 does).
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
+    # materialize the token array as a COLUMN before the position
+    # transform: a lambda that closes over the raw tokens(text)
+    # expression re-tokenizes the document per position (interpreted
+    # HOF bodies get no subexpression reuse) — O(tokens²) per doc;
+    # an attribute reference is a plain value lookup (same fix as
+    # functions.text.word_shingles, measured 8× there).
+    tokd = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     structs = F.when(n >= 1, F.transform(
         F.sequence(F.lit(1), n),
@@ -459,7 +466,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bnd"),
         ),
     )).otherwise(F.array())
-    rows = docs.select("doc_id", F.explode(structs).alias("s")).select(
+    rows = tokd.select("doc_id", F.explode(structs).alias("s")).select(
         "doc_id", "s.pos", "s.token", "s.bnd"
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(

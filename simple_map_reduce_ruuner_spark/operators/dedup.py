@@ -34,7 +34,11 @@ from simple_map_reduce_ruuner_spark.functions.hashing import (
     minhash_perm,
     minhash_perm_sql,
 )
-from simple_map_reduce_ruuner_spark.functions.text import norm_text, word_shingles
+from simple_map_reduce_ruuner_spark.functions.text import (
+    explode_tokens,
+    norm_text,
+    word_shingles,
+)
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import ckpt, load_table, spread_scan
 
@@ -414,11 +418,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash 0 rather than vanishing.
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    from simple_map_reduce_ruuner_spark.functions.text import tokens
-
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
+    tok = explode_tokens(docs, keep=("doc_id",))
     tok_counts = (
         tok.select("doc_id", hash60(F.col("token")).alias("h"))
         .groupBy("doc_id", "h")
@@ -498,13 +498,25 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Da
     """
     pairs = neardup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # checkpoint AFTER repartition+sort on the per-round join key:
+    # localCheckpoint preserves physical partitioning and ordering, so
+    # every round's edges⋈labels sort-merge join reads the cached edge
+    # blocks in place — no |E|-sized exchange OR sort per iteration
+    # (same discipline as pagerank_trading's edge checkpoint).
     edges = ckpt(
         pairs.unionAll(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        )
+        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        .repartition("dst")
+        .sortWithinPartitions("dst")
     )
 
-    labels = ckpt(docs.select("doc_id", F.col("doc_id").alias("label")))
+    labels = ckpt(
+        docs.select("doc_id", F.col("doc_id").alias("label"))
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)

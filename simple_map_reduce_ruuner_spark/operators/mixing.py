@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
-from simple_map_reduce_ruuner_spark.functions.text import chars, tokens, word_shingles
+from simple_map_reduce_ruuner_spark.functions.text import (
+    chars,
+    explode_tokens,
+    tokens,
+    word_shingles,
+)
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
@@ -141,7 +146,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     counts = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        explode_tokens(docs)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

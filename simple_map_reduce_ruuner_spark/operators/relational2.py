@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.functions.text import explode_tokens
 from simple_map_reduce_ruuner_spark.operators.relational import as_money, dsum, dsum_sql
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
@@ -40,7 +40,7 @@ def union_all_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def partial(df: DataFrame) -> DataFrame:
         return (
-            df.select(F.explode(tokens(F.col("text"))).alias("word"))
+            explode_tokens(df, out="word")
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("partial_cnt"))
         )

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
-from simple_map_reduce_ruuner_spark.functions.vectors import cosine, dot, l2_norm
+from simple_map_reduce_ruuner_spark.functions.vectors import (
+    unrolled_cosine,
+    unrolled_l2_norm,
+)
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 
@@ -42,7 +45,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(unrolled_l2_norm(F.col("embedding"), DIM), 6).alias("l2_norm"),
     )
 
 
@@ -67,7 +70,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score"),
+            unrolled_cosine(F.col("q_emb"), F.col("embedding"), DIM).alias(
+                "raw_score"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -358,7 +363,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score"),
+            unrolled_cosine(F.col("q_emb"), F.col("embedding"), DIM).alias(
+                "raw_score"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
@@ -549,7 +556,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score"),
+            unrolled_cosine(F.col("q_emb"), F.col("embedding"), DIM).alias(
+                "raw_score"
+            ),
         )
         # a vector probed via two cells must score once
         .distinct()
@@ -669,11 +678,13 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes :func:`label_centroids` (the verified per-(label, dim)
     aggregate), re-assembled into centroid ARRAYS (sort_array over
-    collected (pos, mean) structs — deterministic), broadcast, and folded
-    against each embedding with ``zip_with`` + ``aggregate``. Both folds
-    are sequential left-to-right over the array — the one float-summation
-    order that is deterministic and engine-portable (a groupBy SUM of
-    doubles is not), matching DuckDB's list_sum over the same list.
+    collected (pos, mean) structs — deterministic), broadcast, and
+    summed against each embedding with the UNROLLED left-associated
+    chain (functions.vectors.unrolled_dist2) — the same sequential
+    left-to-right summation order the previous zip_with/aggregate fold
+    used (deterministic, engine-portable, matches DuckDB's list_sum
+    over the same list, bit for bit) but inside whole-stage codegen
+    instead of the per-element HOF interpreter.
     """
     cent = (
         label_centroids(spark, sf_dir)
@@ -686,16 +697,10 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("cm"), lambda s: s.mean_val).alias("centroid"),
         )
     )
+    from simple_map_reduce_ruuner_spark.functions.vectors import unrolled_dist2
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("centroid"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist2 = unrolled_dist2(F.col("embedding"), F.col("centroid"), DIM)
     return emb.join(F.broadcast(cent), "label").select(
         "vec_id",
         F.col("label").cast("long").alias("label"),

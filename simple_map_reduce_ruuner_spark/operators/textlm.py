@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
-from simple_map_reduce_ruuner_spark.functions.text import norm_text, tokens, word_shingles
+from simple_map_reduce_ruuner_spark.functions.text import (
+    explode_tokens,
+    norm_text,
+    tokens,
+    word_shingles,
+)
 from simple_map_reduce_ruuner_spark.operators.dedup import SIMHASH_BITS
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
@@ -82,7 +87,7 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative, so DIV (truncating) == floor division on both engines.
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = explode_tokens(docs, keep=("doc_id",))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     per_doc = (
@@ -178,7 +183,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     d = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        explode_tokens(docs, keep=("doc_id",))
         .distinct()
     )
     df_t = d.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -404,20 +409,26 @@ def token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     material even when no single earlier document is a near-duplicate —
     the case pairwise near-dup detection structurally misses.
 
-    Plan: distinct (doc, bigram) pairs → min-doc per bigram (partial→
-    final agg on the bigram key) → join back on the same key (sort-merge
-    on co-partitioned exchanges) → per-doc conditional aggregate. Every
-    stage is keyed by bigram or doc_id; nothing is quadratic and nothing
-    broadcasts corpus-sized state.
+    Plan: distinct (doc, bigram) pairs → per-bigram window MIN (the
+    first-occurrence doc) → per-doc conditional aggregate. The window
+    replaces the previous agg + join-back formulation: both label each
+    pair with min(doc_id) over its bigram, but the window does it on
+    the distinct's OWN bigram-keyed exchange with one sort — no second
+    sorted side and no merge join. Every stage is keyed by bigram or
+    doc_id; nothing is quadratic and nothing broadcasts corpus-sized
+    state.
     """
+    from pyspark.sql import Window
+
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pairs = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
     ).distinct()
-    first = pairs.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    labeled = pairs.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("bigram"))
+    )
     return (
-        pairs.join(first, "bigram")
-        .groupBy("doc_id")
+        labeled.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum(

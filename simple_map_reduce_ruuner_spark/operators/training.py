@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
-from simple_map_reduce_ruuner_spark.functions.text import tokens
+from simple_map_reduce_ruuner_spark.functions.text import explode_tokens, tokens
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
@@ -51,7 +51,7 @@ PACK_CAPACITY = 2048  # tokens per packed bin
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     counts = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        explode_tokens(docs)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

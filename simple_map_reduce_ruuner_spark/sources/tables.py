@@ -36,8 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def ckpt(df: DataFrame) -> DataFrame:
+def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` with SERIALIZED memory+disk block storage.
+
+    ``eager=False`` defers materialization to the first action so that
+    building the DataFrame (EXPLAIN, plan tests, registry sweeps) stays
+    side-effect-free; use it when the checkpoint exists to dedupe
+    multiple references *within one query* rather than across iterations.
 
     Spark's default checkpoint level keeps blocks DESERIALIZED in
     memory, and — worse for scale — re-inflates disk-spilled blocks
@@ -55,7 +60,7 @@ def ckpt(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     return df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
 
 

@@ -255,3 +255,56 @@ def test_auto_lsh_finds_planted_dups_and_scores_exactly(spark, planted_sf):
     }
     assert set(got) <= set(anchor)
     assert all(anchor[k] == v for k, v in got.items())
+
+
+# ---- SemDeDup adaptive-K twin (clustering.py) ----
+
+
+def test_semdedup_fixed_k_refuses_oversized_input(spark, tiny_sf, monkeypatch):
+    from simple_map_reduce_ruuner_spark.operators import clustering
+
+    monkeypatch.setattr(clustering, "MAX_FIXED_K_VECTORS", 2)
+    with pytest.raises(ValueError, match="semdedup_pairs_auto"):
+        clustering.semdedup_pairs(spark, tiny_sf)
+
+
+def test_semdedup_fixed_k_admits_in_contract_input(spark, tiny_sf):
+    from simple_map_reduce_ruuner_spark.operators import clustering
+
+    # 3 vectors is far inside the fence — construction must succeed
+    clustering.semdedup_pairs(spark, tiny_sf)
+
+
+def test_semdedup_k_auto_floors_at_gate_sizes():
+    """K must stay 16 for every driver-gate N (the twin is value-
+    identical to the fixed form exactly where the gate hash-compares
+    both) and grow ~√N beyond."""
+    from simple_map_reduce_ruuner_spark.operators.clustering import K, _k_auto
+
+    assert _k_auto(50) == K and _k_auto(500) == K and _k_auto(512) == K
+    assert _k_auto(20_000) == 100
+    assert _k_auto(200_000) == 316
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_semdedup_auto_matches_generated_oracle(spark, sf):
+    """Driver-style parity for the adaptive twin at both local gate
+    sizes (the registration pre-check, mirroring the lsh_auto one)."""
+    from tests._oracle import compare, duck_connect
+
+    from simple_map_reduce_ruuner_spark.operators.clustering import (
+        semdedup_pairs_auto,
+        semdedup_pairs_auto_sql,
+    )
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+    )
+
+    n = _parquet_row_count(f"{sf}/embeddings.parquet")
+    got = compare(
+        semdedup_pairs_auto(spark, sf),
+        duck_connect(sf).execute(semdedup_pairs_auto_sql(n)).df(),
+    )
+    assert got["cols_match"] and got["values_match"], got
