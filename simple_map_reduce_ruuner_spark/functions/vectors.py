@@ -20,6 +20,16 @@ Two tiers, same bit-exact results:
   identical to the fold's and to DuckDB's ``list_sum`` over the same
   list; swapping tiers can never flip a hashed digit. Use on every
   fixed-DIM hot path (the embeddings table is DIM=64 throughout).
+
+The unrolled tier takes SQL FRAGMENTS (column names or any parenthesized
+expression), not Column objects, and assembles the whole chain as ONE
+``F.expr`` string: building the same tree through the Column API costs
+~3 Py4J round-trips per term — ~200 driver↔JVM hops, ≈0.8 s of
+DataFrame-CONSTRUCTION latency per kernel (measured; ann queries build
+several, turning a 0.15 s query into a 3 s one) — while one ``F.expr``
+is a single hop and the parse is sub-millisecond. The parsed tree is
+operator-for-operator the tree the Column loop built (SQL ``+`` is
+left-associative, ``*`` binds tighter), so results are bit-identical.
 """
 
 from __future__ import annotations
@@ -54,44 +64,91 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 # ---- fixed-dimension unrolled tier (codegen; see module docstring) ----
+#
+# ``a``/``b`` are SQL fragments (column names), not Columns — see the
+# module docstring for why construction goes through one F.expr.
+
+_ZERO_D = "CAST(0 AS DOUBLE)"
 
 
-def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a[i].cast("double") * b[i].cast("double")
-    return acc
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"({_ZERO_D} + {terms})"
 
 
-def unrolled_sq_norm(a: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a[i].cast("double") * a[i].cast("double")
-    return acc
+def unrolled_dot(a: str, b: str, dim: int) -> Column:
+    return F.expr(_dot_sql(a, b, dim))
 
 
-def unrolled_l2_norm(a: Column, dim: int) -> Column:
-    return F.sqrt(unrolled_sq_norm(a, dim))
+def unrolled_sq_norm(a: str, dim: int) -> Column:
+    return F.expr(_dot_sql(a, a, dim))
 
 
-def unrolled_cosine(a: Column, b: Column, dim: int) -> Column:
-    denom = unrolled_l2_norm(a, dim) * unrolled_l2_norm(b, dim)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        unrolled_dot(a, b, dim) / denom
+def unrolled_l2_norm(a: str, dim: int) -> Column:
+    return F.expr(f"SQRT{_dot_sql(a, a, dim)}")
+
+
+def unrolled_cosine(a: str, b: str, dim: int) -> Column:
+    """0.0 for zero-norm inputs, like :func:`cosine`. The denominator
+    fragment appears twice (predicate + else-branch), exactly as the
+    Column form's tree did; codegen's subexpression elimination computes
+    it once. Prefer :func:`with_unrolled_cosine` on scoring hot paths —
+    the single-expression form packs 3 × dim terms into one generated
+    method, which HotSpot refuses to JIT past ~8 KB of bytecode."""
+    denom = f"(SQRT{_dot_sql(a, a, dim)} * SQRT{_dot_sql(b, b, dim)})"
+    return F.expr(
+        f"CASE WHEN {denom} = {_ZERO_D} THEN {_ZERO_D} "
+        f"ELSE {_dot_sql(a, b, dim)} / {denom} END"
     )
 
 
-def unrolled_dist2(a: Column, b: Column, dim: int, integer: bool = False) -> Column:
+def with_unrolled_cosine(df, a: str, b: str, dim: int, out: str):
+    """``df`` plus a cosine column ``out``, with dot and the two norms
+    projected as (dropped) intermediate columns instead of one giant
+    CASE expression.
+
+    Same values as :func:`unrolled_cosine` — the intermediates hold the
+    exact IEEE doubles the inlined subtrees produced, and dividing them
+    is the same final operation — but each chain becomes its own
+    generated method, small enough for HotSpot to JIT (a single 3×dim
+    expression compiles fine in Janino yet exceeds the JVM's
+    huge-method bytecode limit, silently falling back to bytecode
+    interpretation). Measured on a 1M-pair scoring stage: fold 24 s,
+    one-expression 15 s, this split 9.7 s. The norm columns are
+    referenced twice (zero-guard + denominator), so CollapseProject
+    keeps them materialized rather than re-inlining."""
+    dot_c, na, nb = f"__{out}_dot", f"__{out}_na", f"__{out}_nb"
+    return (
+        df.withColumn(dot_c, F.expr(_dot_sql(a, b, dim)))
+        .withColumn(na, F.expr(f"SQRT{_dot_sql(a, a, dim)}"))
+        .withColumn(nb, F.expr(f"SQRT{_dot_sql(b, b, dim)}"))
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN ({na} * {nb}) = {_ZERO_D} THEN {_ZERO_D} "
+                f"ELSE {dot_c} / ({na} * {nb}) END"
+            ),
+        )
+        .drop(dot_c, na, nb)
+    )
+
+
+def unrolled_dist2(a: str, b: str, dim: int, integer: bool = False) -> Column:
     """Squared L2 over a fixed dim; ``integer=True`` keeps the exact
     BIGINT arithmetic of the quantized k-means path (integer sums are
     order-insensitive, so parity there is unconditional)."""
     if integer:
-        acc = F.lit(0).cast("long")
-        for i in range(dim):
-            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
-        return acc
-    acc = F.lit(0.0)
-    for i in range(dim):
-        d = a[i].cast("double") - b[i].cast("double")
-        acc = acc + d * d
-    return acc
+        terms = " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(dim)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * "
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr(f"{_ZERO_D} + {terms}")

@@ -77,7 +77,7 @@ def _dist2(a: str, b: str) -> Column:
     rewrite is unconditionally value-identical."""
     from simple_map_reduce_ruuner_spark.functions.vectors import unrolled_dist2
 
-    return unrolled_dist2(F.col(a), F.col(b), DIM, integer=True)
+    return unrolled_dist2(a, b, DIM, integer=True)
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:

@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
 from simple_map_reduce_ruuner_spark.functions.vectors import (
-    unrolled_cosine,
     unrolled_l2_norm,
+    with_unrolled_cosine,
 )
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
@@ -45,7 +45,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.round(unrolled_l2_norm(F.col("embedding"), DIM), 6).alias("l2_norm"),
+        F.round(unrolled_l2_norm("embedding", DIM), 6).alias("l2_norm"),
     )
 
 
@@ -67,13 +67,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            unrolled_cosine(F.col("q_emb"), F.col("embedding"), DIM).alias(
-                "raw_score"
-            ),
+        .transform(
+            lambda d: with_unrolled_cosine(d, "q_emb", "embedding", DIM, "raw_score")
         )
+        .select("query_id", "vec_id", "raw_score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("raw_score"), F.asc("vec_id")
@@ -360,13 +357,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     scored = (
         vecs.join(F.broadcast(queries), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            unrolled_cosine(F.col("q_emb"), F.col("embedding"), DIM).alias(
-                "raw_score"
-            ),
+        .transform(
+            lambda d: with_unrolled_cosine(d, "q_emb", "embedding", DIM, "raw_score")
         )
+        .select("query_id", "vec_id", "raw_score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_score"), F.asc("vec_id"))
     return (
@@ -553,13 +547,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         vecs.join(F.broadcast(probes), "cell")
         .join(F.broadcast(q_emb), "query_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            unrolled_cosine(F.col("q_emb"), F.col("embedding"), DIM).alias(
-                "raw_score"
-            ),
+        .transform(
+            lambda d: with_unrolled_cosine(d, "q_emb", "embedding", DIM, "raw_score")
         )
+        .select("query_id", "vec_id", "raw_score")
         # a vector probed via two cells must score once
         .distinct()
     )
@@ -700,7 +691,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.functions.vectors import unrolled_dist2
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dist2 = unrolled_dist2(F.col("embedding"), F.col("centroid"), DIM)
+    dist2 = unrolled_dist2("embedding", "centroid", DIM)
     return emb.join(F.broadcast(cent), "label").select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
