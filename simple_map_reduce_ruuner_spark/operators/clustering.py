@@ -66,35 +66,89 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dist2(a: str, b: str) -> Column:
-    """Exact integer squared-L2 between two quantized vector columns.
-
-    Unrolled over the fixed DIM (functions.vectors.unrolled_dist2)
-    instead of a zip_with/aggregate fold: higher-order functions are
-    interpreted per element, and this expression sits on the corpus ×
-    K crossJoin hot path (the same interpreted-HOF cost the r7 IVF
-    rebuild removed). Integer sums are order-insensitive, so the
-    rewrite is unconditionally value-identical."""
-    from simple_map_reduce_ruuner_spark.functions.vectors import unrolled_dist2
-
-    return unrolled_dist2(a, b, DIM, integer=True)
+# vectors per assignment cogroup task — bounds per-task memory
+# (group matrix ≤ _ASSIGN_GROUP_ROWS × DIM int64 ≈ 26 MB)
+_ASSIGN_GROUP_ROWS = 50_000
+# cap on numpy scratch elements per chunked matmul (≈ 64 MB of int64),
+# same contract as dedup._SCORE_CHUNK_ELEMS
+_CHUNK_ELEMS = 8_000_000
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(spark: SparkSession, vecs: DataFrame, cents: DataFrame, n_groups: int) -> DataFrame:
     """(vec_id, q, cid, dist2): nearest centroid per vector, ties to the
-    smaller cid (min(struct) lexicographic — mirrored by the oracle's
-    ORDER BY dist2, cid rank)."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cid", _dist2("q", "c").alias("dist2")
+    smaller cid — exactly min over lexicographic (dist2, cid), mirrored
+    by the oracle's ORDER BY dist2, cid rank.
+
+    Arrow cogroup kernel, not a crossJoin×expression plan: the N×K
+    distance evaluation is the hot loop, and any 64-term arithmetic
+    chain Catalyst inlines into the consuming stage's generated method
+    blows past HotSpot's ~8 KB JIT bytecode limit, silently running the
+    whole loop as interpreted bytecode (Spark only falls back to
+    non-codegen above 64 KB) — jstack'd as single tasks burning 950 s
+    inside hashAgg_doAggregateWithKeys on the 100× semdedup sweep, for
+    BOTH the (a−b)² chain and a chunked-struct variant (CollapseProject
+    + SimplifyExtractValueOps re-inline the chunks). numpy int64 ops
+    are exact (no IEEE rounding anywhere: |dist2| ≤ DIM·(2·QSCALE·|x|)²
+    ≪ 2⁶³), so values are unconditionally identical to the SQL
+    formulation the oracle keeps.
+
+    Distribution contract: vectors are salted into ``n_groups`` cogroup
+    tasks of ≤ _ASSIGN_GROUP_ROWS rows (derived from the parquet
+    footer, zero Spark jobs); the K centroid rows are replicated to
+    every group via a K×n_groups crossJoin (tiny — centroids are always
+    small data, the same shape MLlib's KMeans broadcasts per
+    iteration). Everything stays lazy: no driver collect, no
+    construction-time job. Per-task scratch for the distance matrix is
+    chunk-capped at _CHUNK_ELEMS regardless of K."""
+    import numpy as np
+    import pandas as pd
+
+    chunk_elems = _CHUNK_ELEMS
+    out_schema = "vec_id long, q array<long>, cid long, dist2 long"
+
+    def assign_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "q": [], "cid": [], "dist2": []}
+            ).astype({"vec_id": "int64", "cid": "int64", "dist2": "int64"})
+        Q = np.stack([np.asarray(x, dtype=np.int64) for x in left["q"]])
+        C = np.stack([np.asarray(x, dtype=np.int64) for x in right["c"]])
+        cids = right["cid"].to_numpy(dtype=np.int64)
+        qn = (Q * Q).sum(axis=1)
+        cn = (C * C).sum(axis=1)
+        n, k = len(Q), len(C)
+        step = max(1, chunk_elems // max(k, 1))
+        cid_out = np.empty(n, dtype=np.int64)
+        d_out = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            # |a|² + |b|² − 2·a·b: exact int64, identical to (a−b)²
+            D = qn[lo:hi, None] + cn[None, :] - 2 * (Q[lo:hi] @ C.T)
+            # lexicographic (dist2, cid) min via one packed key —
+            # cid < 2²⁴ (K = √(N/2) would need N > 2⁴⁹ to exceed it)
+            packed = (D << 24) + cids[None, :]
+            best = packed.min(axis=1)
+            cid_out[lo:hi] = best & ((1 << 24) - 1)
+            d_out[lo:hi] = best >> 24
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].to_numpy(dtype=np.int64),
+                "q": left["q"],
+                "cid": cid_out,
+                "dist2": d_out,
+            }
+        )
+
+    vg = vecs.withColumn(
+        "g", F.pmod(F.col("vec_id"), F.lit(n_groups)).cast("int")
     )
-    best = scored.groupBy("vec_id", "q").agg(
-        F.min(F.struct("dist2", "cid")).alias("best")
+    cg = cents.crossJoin(
+        spark.range(n_groups).select(F.col("id").cast("int").alias("g"))
     )
-    return best.select(
-        "vec_id",
-        "q",
-        F.col("best.cid").alias("cid"),
-        F.col("best.dist2").alias("dist2"),
+    return (
+        vg.groupby("g")
+        .cogroup(cg.groupby("g"))
+        .applyInPandas(assign_group, out_schema)
     )
 
 
@@ -123,13 +177,21 @@ def _update(assigned: DataFrame) -> DataFrame:
 def _two_round_assignment(
     spark: SparkSession, sf_dir: str, k: int = K
 ) -> DataFrame:
+    from math import ceil
+
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+    )
+
+    n_vecs = _parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    n_groups = max(1, ceil(n_vecs / _ASSIGN_GROUP_ROWS))
     qv = _quantized(spark, sf_dir)
     seeds = qv.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("c")
     )
-    first = _assign(qv, seeds)
+    first = _assign(spark, qv, seeds, n_groups)
     trained = _update(first)
-    return _assign(qv, trained)
+    return _assign(spark, qv, trained, n_groups)
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,13 +278,53 @@ def _k_auto(n_vecs: int) -> int:
 
 
 def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    a2 = _two_round_assignment(spark, sf_dir, k)
-    left = a2.select("cid", F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
-    right = a2.select("cid", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    pairs = left.join(right, "cid").where(F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.select("vec_a", "vec_b", _dist2("qa", "qb").alias("dist2"))
-        .where(F.col("dist2") <= DIST2_MAX)
+    """Within-cluster pair scoring as ONE Arrow kernel per cluster
+    (applyInPandas over the cluster id), not a cid self-join: the join
+    materializes and shuffles every candidate pair with BOTH quantized
+    arrays attached (~1 KB/row — tens of GB at the 100× sweep) and
+    evaluates a 64-term chain per pair inside a fused generated method
+    (the huge-method JIT fallback — see :func:`_assign`). Here the only
+    exchange is the N-row assignment keyed on cid, and the quadratic
+    work is exact int64 numpy arithmetic with the same chunk-capped
+    scratch contract as dedup._score_within_buckets (a HOT cluster of
+    near-identical vectors gets O(n) rows in one group; chunking keeps
+    per-task scratch ≤ _CHUNK_ELEMS regardless)."""
+    import numpy as np
+    import pandas as pd
+
+    dist2_max = DIST2_MAX
+    chunk_elems = _CHUNK_ELEMS
+
+    def pair_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "dist2": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "dist2": "int64"})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["q"]])
+        qn = (Q * Q).sum(axis=1)
+        step = max(1, chunk_elems // n)
+        parts = []
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            # |a|² + |b|² − 2·a·b: exact int64, identical to Σ(a−b)²
+            D = qn[lo:hi, None] + qn[None, :] - 2 * (Q[lo:hi] @ Q.T)
+            ii, jj = np.nonzero(
+                (D <= dist2_max) & (ids[lo:hi, None] < ids[None, :])
+            )
+            parts.append((ids[lo + ii], ids[jj], D[ii, jj]))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate([p[0] for p in parts]),
+                "vec_b": np.concatenate([p[1] for p in parts]),
+                "dist2": np.concatenate([p[2] for p in parts]),
+            }
+        )
+
+    a2 = _two_round_assignment(spark, sf_dir, k).select("cid", "vec_id", "q")
+    return a2.groupBy("cid").applyInPandas(
+        pair_cluster, "vec_a long, vec_b long, dist2 long"
     )
 
 

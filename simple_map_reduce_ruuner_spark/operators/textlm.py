@@ -269,15 +269,38 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "band_val"
     )
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
+    # Dedup across bands WITHOUT a distinct: a pair colliding on k bands
+    # appears k times in the join, but which bands match is a pure
+    # function of xor(ha, hb) (a band matches iff its 15-bit window is
+    # all zeros), so keeping a row only when its join band IS the pair's
+    # first matching band emits every pair exactly once. The previous
+    # `.distinct()` re-shuffled the ENTIRE pre-verification candidate
+    # volume — the dominant exchange at 100× (hot 15-bit buckets make
+    # candidates ≫ verified pairs); this filter and the Hamming cut now
+    # both run inside the join's own projection, so nothing after the
+    # band join moves more than the final result set.
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_band = F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, b * BAND_BITS).bitwiseAND(
+                    F.lit((1 << BAND_BITS) - 1)
+                )
+                == 0,
+                F.lit(b),
+            )
+            for b in range(SIMHASH_BITS // BAND_BITS)
+        ]
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(hamming <= HAMMING_MAX).select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (hamming <= HAMMING_MAX)
+            & (F.col("band") == first_band)
+        )
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
 
 
