@@ -38,6 +38,23 @@ def explode_tokens(df, text_col: str = "text", out: str = "token", keep=()):
     ).where(F.col(out) != "")
 
 
+def explode_chars(df, text_col: str = "text", out: str = "ch", keep=()):
+    """``df`` → one row per character of ``text_col`` (newlines excluded
+    — the reference char_count semantics, char_count/mapper.py:8-15),
+    named ``out``, with ``keep`` columns carried along.
+
+    Chars analogue of :func:`explode_tokens`, same codegen rationale:
+    newlines are stripped string-side (translate), then split → explode
+    → WHERE-empty runs as one whole-stage-codegen span instead of an
+    interpreted array-HOF filter."""
+    return df.select(
+        *keep,
+        F.explode(F.split(F.translate(F.col(text_col), "\n", ""), "")).alias(
+            out
+        ),
+    ).where(F.col(out) != "")
+
+
 def tokens(col: Column, lowercase: bool = True) -> Column:
     """Array of whitespace-delimited tokens (empty tokens removed).
     DuckDB twin: :data:`TOKS_SQL`.

@@ -12,8 +12,8 @@ Two tiers, same bit-exact results:
   INTERPRETED — per element, outside whole-stage codegen — so they cost
   real CPU on corpus-sized scans (the r7 100× sweep measured the IVF
   centroid crossJoin×HOF at 100 s of a 118 s run).
-- ``unrolled_dot``/``unrolled_sq_norm``/``unrolled_cosine``/
-  ``unrolled_dist2``: the same computation unrolled over a FIXED
+- ``unrolled_l2_norm``/``unrolled_dist2``/``with_unrolled_cosine``:
+  the same computation unrolled over a FIXED
   dimension into one left-associated arithmetic chain, which codegens.
   The chain replays the fold's exact operation sequence —
   ``((0.0 + t0) + t1) + …`` — so every intermediate IEEE rounding is
@@ -79,30 +79,8 @@ def _dot_sql(a: str, b: str, dim: int) -> str:
     return f"({_ZERO_D} + {terms})"
 
 
-def unrolled_dot(a: str, b: str, dim: int) -> Column:
-    return F.expr(_dot_sql(a, b, dim))
-
-
-def unrolled_sq_norm(a: str, dim: int) -> Column:
-    return F.expr(_dot_sql(a, a, dim))
-
-
 def unrolled_l2_norm(a: str, dim: int) -> Column:
     return F.expr(f"SQRT{_dot_sql(a, a, dim)}")
-
-
-def unrolled_cosine(a: str, b: str, dim: int) -> Column:
-    """0.0 for zero-norm inputs, like :func:`cosine`. The denominator
-    fragment appears twice (predicate + else-branch), exactly as the
-    Column form's tree did; codegen's subexpression elimination computes
-    it once. Prefer :func:`with_unrolled_cosine` on scoring hot paths —
-    the single-expression form packs 3 × dim terms into one generated
-    method, which HotSpot refuses to JIT past ~8 KB of bytecode."""
-    denom = f"(SQRT{_dot_sql(a, a, dim)} * SQRT{_dot_sql(b, b, dim)})"
-    return F.expr(
-        f"CASE WHEN {denom} = {_ZERO_D} THEN {_ZERO_D} "
-        f"ELSE {_dot_sql(a, b, dim)} / {denom} END"
-    )
 
 
 def with_unrolled_cosine(df, a: str, b: str, dim: int, out: str):
@@ -136,16 +114,12 @@ def with_unrolled_cosine(df, a: str, b: str, dim: int, out: str):
     )
 
 
-def unrolled_dist2(a: str, b: str, dim: int, integer: bool = False) -> Column:
-    """Squared L2 over a fixed dim; ``integer=True`` keeps the exact
-    BIGINT arithmetic of the quantized k-means path (integer sums are
-    order-insensitive, so parity there is unconditional)."""
-    if integer:
-        terms = " + ".join(
-            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
-            for i in range(dim)
-        )
-        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+def unrolled_dist2(a: str, b: str, dim: int) -> Column:
+    """Squared L2 over a fixed dim, accumulated in double.
+
+    (A former ``integer=True`` branch served the quantized k-means
+    path; that path moved to the exact int64 Arrow kernel in
+    operators/clustering.py and the branch was removed with it.)"""
     terms = " + ".join(
         f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * "
         f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"

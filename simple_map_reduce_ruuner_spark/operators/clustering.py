@@ -126,6 +126,18 @@ def _assign(spark: SparkSession, vecs: DataFrame, cents: DataFrame, n_groups: in
             D = qn[lo:hi, None] + cn[None, :] - 2 * (Q[lo:hi] @ C.T)
             # lexicographic (dist2, cid) min via one packed key —
             # cid < 2²⁴ (K = √(N/2) would need N > 2⁴⁹ to exceed it)
+            # and dist2 < 2³⁹ (shift headroom: 39 + 24 = 63 bits).
+            # Today's margin is wide — measured dist2 < 2²⁷ at
+            # QSCALE=1000, DIM=64 on [-0.53, 0.46] embeddings — but a
+            # QSCALE/DIM/embedding-scale change could silently corrupt
+            # BOTH lanes, so refuse loudly instead (cheap: D is already
+            # materialized for this chunk).
+            if D.max(initial=0) >= (1 << 39):
+                raise ValueError(
+                    "packed (dist2, cid) argmin needs dist2 < 2^39; got "
+                    f"max dist2 = {int(D.max())}. Lower QSCALE or widen "
+                    "the packing in clustering._assign."
+                )
             packed = (D << 24) + cids[None, :]
             best = packed.min(axis=1)
             cid_out[lo:hi] = best & ((1 << 24) - 1)

@@ -407,16 +407,34 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over token hashes.
 
     Order of operations is the scale design: FIRST collapse occurrences
-    to per-(doc, token-hash) counts (vocabulary-bounded), THEN explode
-    the 60 bit positions of those collapsed rows for the vote sums — the
-    bit explosion multiplies vocab-sized rows, never the corpus token
-    table. This formulation also keeps the plan at a handful of
-    expressions; the previous 60-wide-column aggregate computed the same
-    votes but its 120-expression plan cost ~1 s of driver-side analysis
-    per call (measured — execution was fine, planning wasn't). The
-    reassembly is total: a doc whose votes are all negative emits
-    simhash 0 rather than vanishing.
+    to per-(doc, token-hash) counts (vocabulary-bounded), THEN take the
+    60-bit vote fold per doc. The vote fold is an exact int64 Arrow
+    kernel over doc_id-partitioned counts (``repartition("doc_id")`` →
+    ``mapInPandas``), not a bit-position explode: the explode form
+    multiplied the vocab-bounded rows ×60 and pushed ~6 B (doc, bit,
+    vote) rows through TWO more hash shuffles — 70 s of the r8 100×
+    sweep (per_unit 0.40, the heaviest remaining interpreted-ish path).
+    This is the same fixed-width-arithmetic rule the k-means/SemDeDup
+    kernels encode (clustering.py): wide per-row bit arithmetic belongs
+    in numpy, where the whole (rows × 60) vote matrix is three
+    vectorized int64 ops. Integer sums are order-insensitive, so the
+    kernel is unconditionally value-identical to the explode/SQL
+    formulation (the oracle keeps the latter). A mid-size wide-column
+    SQL aggregate variant was also rejected earlier: 60 SUM buffers
+    inline into one generated hashAgg method — the HotSpot huge-method
+    JIT fallback semdedup was jstack'd hitting.
+
+    The reassembly is total: a doc whose votes are all negative emits
+    simhash 0 rather than vanishing — np.where keeps the row with no
+    set bits, and every (doc_id, h) group survives the groupBy, so doc
+    coverage is exactly the explode form's.
+
+    100× measured (SCALE_CURVE_100X_r09): 70.3 → 11.5 s, and
+    simhash_band_pairs (which consumes these signatures) 101.9 → 43.9 s.
     """
+    import numpy as np
+    import pandas as pd
+
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     tok = explode_tokens(docs, keep=("doc_id",))
     tok_counts = (
@@ -424,29 +442,35 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    votes = (
-        tok_counts.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+
+    n_bits = SIMHASH_BITS
+
+    def vote_fold(batches):
+        shifts = np.arange(n_bits, dtype=np.int64)
+        parts = []
+        for b in batches:
+            h = b["h"].to_numpy(dtype=np.int64)
+            cnt = b["cnt"].to_numpy(dtype=np.int64)
+            # (rows × 60) vote matrix: +cnt where the hash bit is set,
+            # −cnt where clear — exact int64 throughout
+            bits = (h[:, None] >> shifts[None, :]) & np.int64(1)
+            votes = (2 * bits - 1) * cnt[:, None]
+            vdf = pd.DataFrame(votes)
+            vdf.insert(0, "doc_id", b["doc_id"].to_numpy(dtype=np.int64))
+            # collapse within the batch so the carried state is
+            # docs-per-partition-sized, never token-row-sized
+            parts.append(vdf.groupby("doc_id", as_index=False).sum())
+        if not parts:
+            return
+        g = pd.concat(parts).groupby("doc_id", as_index=False).sum()
+        v = g.iloc[:, 1:].to_numpy(dtype=np.int64)
+        sim = np.where(v > 0, np.int64(1) << shifts[None, :], np.int64(0)).sum(
+            axis=1
         )
-        .select(
-            "doc_id",
-            "bit",
-            F.expr(
-                "cnt * (CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END)"
-            ).alias("v"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(SUM(CASE WHEN vote > 0"
-            " THEN shiftleft(CAST(1 AS BIGINT), bit)"
-            " ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
-        ).alias("simhash")
+        yield pd.DataFrame({"doc_id": g["doc_id"], "simhash": sim})
+
+    return tok_counts.repartition("doc_id").mapInPandas(
+        vote_fold, "doc_id long, simhash long"
     )
 
 

@@ -20,43 +20,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_map_reduce_ruuner_spark.functions.text import WS
+from simple_map_reduce_ruuner_spark.functions.text import (
+    explode_chars,
+    explode_tokens,
+)
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 
 
 def word_count_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) frequency of whitespace tokens, lowercased.
 
-    Same semantics as ``explode(tokens(...))`` but the empty-token
-    filter runs as a post-explode WHERE instead of the array
-    higher-order ``filter``: HOFs are evaluated interpreted (outside
-    whole-stage codegen) per array element, while split → explode →
-    Filter → partial HashAggregate is one codegen span — on the
-    per-character/per-token hot paths that interpreter hop is the
-    dominant cost (char_count was the worst per_unit in the 100× curve
-    before this change)."""
+    Tokenization rides :func:`explode_tokens` (the one canonical
+    split → explode → WHERE-empty codegen span — see its docstring for
+    why the HOF ``filter`` form is avoided on hot paths)."""
     return (
-        df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), WS)).alias("word")
-        )
-        .where(F.col("word") != "")
+        explode_tokens(df, text_col, out="word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def char_count_df(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(ch, cnt) frequency of characters (newline excluded).
-
-    ``translate`` strips newlines string-side, then split/explode/WHERE
-    keep the whole pipeline in one codegen span (see word_count_df)."""
+    """(ch, cnt) frequency of characters (newline excluded), via the
+    chars analogue :func:`explode_chars` (same codegen-span rationale)."""
     return (
-        df.select(
-            F.explode(
-                F.split(F.translate(F.col(text_col), "\n", ""), "")
-            ).alias("ch")
-        )
-        .where(F.col("ch") != "")
+        explode_chars(df, text_col, out="ch")
         .groupBy("ch")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -103,8 +91,6 @@ def salted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.plans.skew import salted_aggregate
 
     docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), WS)).alias("word")
-    ).where(F.col("word") != "")
+    exploded = explode_tokens(docs, out="word")
     out = salted_aggregate(exploded, ["word"], {"cnt": "count(1)"})
     return out.select("word", F.col("cnt").cast("long").alias("cnt"))
