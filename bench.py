@@ -93,6 +93,18 @@ def main() -> None:
     timings = {
         n: (round(median(samples[n]), 3) if samples[n] else -1.0) for n in names
     }
+    # Per-query rep trace, in execution order. samples[n][0] is the
+    # query's FIRST timed execution at this scale (codegen pre-warmed at
+    # sf0.001, data/caches cold-ish) — the closest thing a single bench
+    # process has to an isolated rep — while the median folds in the
+    # warmth later round-robin passes accumulate. Publishing both lets
+    # a reader mechanically separate "query regressed" (first AND
+    # median high) from "bench-order warmth" (first high, median low):
+    # doc_fingerprint spent r7+r8 looking regressed in driver benches
+    # at ~0.97 vs_r01 while isolated runs said 0.50 — this column is
+    # the receipt that closes that class of question per query.
+    rep_trace = {n: [round(x, 3) for x in samples[n]] for n in names}
+    first_rep = {n: xs[0] for n, xs in rep_trace.items() if xs}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # failures must be visible IN the JSON: a fully-failed query would
     # otherwise just shrink the headline total (reads as a speedup), and
@@ -141,6 +153,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "first_rep": first_rep,
+        "rep_trace": rep_trace,
         "incomplete": incomplete,
         "sf": sf,
         "reps": reps,
@@ -188,6 +202,21 @@ def main() -> None:
                     else None
                 ),
                 "top5_slowest": {n: t for t, n in slowest},
+                # p90 of first-rep/median per query: how much slower a
+                # query's first (cold-ish) execution runs vs its
+                # round-robin median — the order-warmth signal; the
+                # full per-query columns are in BENCH_FULL_LATEST.json
+                "first_vs_median_p90": (
+                    lambda rs: round(rs[int(0.9 * (len(rs) - 1))], 3)
+                    if rs
+                    else None
+                )(
+                    sorted(
+                        first_rep[n] / timings[n]
+                        for n in first_rep
+                        if timings[n] > 0
+                    )
+                ),
                 "incomplete": incomplete,
                 "noise": noise,
                 "full": "BENCH_FULL_LATEST.json",

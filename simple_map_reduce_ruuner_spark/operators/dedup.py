@@ -90,17 +90,30 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles per document.
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sharr) — the DISTINCT k-word shingles of each document
+    as a per-doc array.
+
+    ``array_distinct`` dedups within the row, so the corpus-wide
+    ``.distinct()`` shuffle the old exploded form needed is gone — the
+    (doc_id, shingle) set is identical (shingles are only ever compared
+    within/joined across docs, and duplicates only arise within a doc).
+    Kept as the ARRAY (not exploded) so callers can lazily checkpoint
+    the compact per-doc rows and read both ``size(sharr)`` (the exact
+    distinct-shingle count, no aggregation needed) and the exploded
+    form off the materialized blocks — the interpreted shingle
+    transform then runs exactly once per document no matter how many
+    times the plan references it (CollapseProject would otherwise
+    re-inline the HOF into every consuming expression).
+
     spread_scan: the shingle transform is interpreted (HOF), so the
     under-split local scan would serialize it on one core."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("shingle"),
-        )
-        .distinct()
+    return docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)).alias(
+            "sharr"
+        ),
     )
 
 
@@ -153,34 +166,51 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned DataFrame (nothing ever unpersisted them — review-found
     # storage-pool leak across gate+bench reps), while checkpoint blocks
     # are reference-counted and freed by the ContextCleaner once the
-    # result is consumed. Same materialize-once effect for the 3 reads.
-    sh = ckpt(_doc_shingles(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # result is consumed. eager=False keeps construction job-free; the
+    # first action materializes the compact per-doc arrays once and
+    # both join sides explode off the blocks. Carrying size(sharr)
+    # through the pair join (two extra ints per candidate row) replaces
+    # the old sizes groupBy AND its two post-agg joins — the r9 rework
+    # that took this query from six exchanges to two (isolated sf0.1
+    # reps: 2.8/2.5/2.3 s before → 2.3/1.8/1.6/1.4 s after; the old
+    # form had drifted to vs_r01 1.31, the only tracked ratio rising
+    # two rounds straight).
+    arr = ckpt(_doc_shingle_arrays(spark, sf_dir), eager=False)
+    sh = arr.select(
+        "doc_id",
+        F.size("sharr").alias("n_shingles"),
+        F.explode("sharr").alias("shingle"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("size_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("size_b"),
+        "shingle",
+    )
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # constant per doc — max() just carries it through the agg
+            F.max("size_a").alias("size_a"),
+            F.max("size_b").alias("size_b"),
+        )
     )
     raw_jaccard = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         # filter on the RAW ratio (like the oracle), round only for output —
         # filtering on the rounded value would disagree at the boundary
-        .where(raw_jaccard >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(raw_jaccard, 6).alias("jaccard"))
+        inter.where(raw_jaccard >= JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b", F.round(raw_jaccard, 6).alias("jaccard")
+        )
     )
 
 
@@ -429,8 +459,8 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     set bits, and every (doc_id, h) group survives the groupBy, so doc
     coverage is exactly the explode form's.
 
-    100× measured (SCALE_CURVE_100X_r09): 70.3 → 11.5 s, and
-    simhash_band_pairs (which consumes these signatures) 101.9 → 43.9 s.
+    Measured sf0.1 (bench, median): 1.98 → 1.49 s; see
+    SCALE_CURVE_100X_r09.json for the 100× row (r8: 70.3 s).
     """
     import numpy as np
     import pandas as pd

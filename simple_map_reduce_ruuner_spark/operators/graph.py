@@ -259,9 +259,10 @@ def supplier_cotrading_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The projection itself comes from the session-scoped shared
     checkpoint (see _COTRADING_CACHE): whichever of this query and
     cotrading_triangles executes first in a session materializes it;
-    the other rides the blocks. r8 100×: 108 s / 118 s each re-running
-    the projection; r9 with the shared checkpoint: 107 s first +
-    ~2 s second (see SCALE_CURVE_100X)."""
+    the other rides the blocks. Measured sf0.1 (bench rep trace): the
+    first executing query pays ~3.9 s, after which BOTH run in
+    0.15-0.55 s/rep (r8: 2.7 + 3.0 s every rep, no sharing); see
+    SCALE_CURVE_100X_r09.json for the 100× rows (r8: 108 s / 118 s)."""
     return (
         _cotrading_counts(spark, sf_dir)
         .orderBy(F.col("shared_customers").desc(), "s1", "s2")

@@ -73,6 +73,33 @@ def test_registry_md_census_is_current():
     )
 
 
+def test_registry_md_last_green_column_not_older_than_artifacts():
+    """The census header stamps which CORRECTNESS_r*.json set its
+    last-green column was derived from; that stamp must cite the NEWEST
+    committed artifact. r8 shipped a census whose header said 152
+    queries but whose last-green column predated the r8 gate rows —
+    cosmetic, but it made the census lie about two green queries.
+    Regenerate with `python tools/registry_census.py --write` after
+    driver artifacts land."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    newest = max(
+        int(re.search(r"r(\d+)", p.name).group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+    )
+    m = re.search(
+        r"artifacts through r(\d+)", (root / "REGISTRY.md").read_text()
+    )
+    assert m, "REGISTRY.md lost its 'artifacts through rNN' stamp"
+    assert int(m.group(1)) == newest, (
+        f"REGISTRY.md derived from r{m.group(1)} artifacts but "
+        f"CORRECTNESS_r{newest:02d}.json is committed — regenerate with "
+        "tools/registry_census.py --write"
+    )
+
+
 def test_tokenizer_literal_matches_spark_twin_and_never_drifts(spark):
     """The canonical DuckDB tokenizer literal (functions.text.TOKS_SQL)
     must (a) produce exactly what the Spark tokens() helper produces,

@@ -23,7 +23,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# sf0.01/sf0.1 are the driver fixtures; the 10x dir is the same
+# deterministic scale-up the scale curves measure (tools/make_scale_data.py,
+# gitignored — regenerate if absent). Including it gives the two
+# rows-only sketch queries the same 10x scale evidence every
+# oracle-backed query carries in SCALE_CURVE_r*.json.
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SCALE_10X = "/root/repo/.scaledata/sf1"
 GK_ACCURACY = 10000
 HLL_REL_BOUND = 0.05
 
@@ -97,8 +103,14 @@ def main() -> int:
         "gk_accuracy": GK_ACCURACY,
     }
     ok = True
-    for sf_dir in SF_DIRS:
-        key = os.path.basename(sf_dir.rstrip("/"))
+    dirs = list(SF_DIRS)
+    if os.path.isdir(SCALE_10X):
+        dirs.append(SCALE_10X)
+    else:
+        print(f"NOTE: {SCALE_10X} absent — regenerate with "
+              "tools/make_scale_data.py for the 10x section", file=sys.stderr)
+    for sf_dir in dirs:
+        key = "10x" if sf_dir == SCALE_10X else os.path.basename(sf_dir.rstrip("/"))
         out[key] = measure(spark, sf_dir)
         ok = ok and all(v["within_bound"] for v in out[key].values())
     path = os.path.join(REPO, "APPROX_BOUNDS.json")
