@@ -433,75 +433,106 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 SIMHASH_BITS = 60  # our portable hash has 60 usable bits
 
 
+# simhash signatures are consumed twice per session (the `simhash`
+# registry query and `simhash_band_pairs`, textlm.py) — same
+# keyed-lazy-checkpoint sharing as graph._COTRADING_CACHE: whichever
+# query EXECUTES first materializes the (doc_id, simhash) blocks
+# (n_docs × 16 B — tiny), the sibling rides them. eager=False keeps
+# construction job-free for EXPLAIN/plan tests/registry sweeps.
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is None:
+        cached = ckpt(_simhash_plan(spark, sf_dir), eager=False)
+        _SIMHASH_CACHE[key] = cached
+    return cached
+
+
+simhash.__doc__ = """(doc_id, simhash): per-bit majority vote over token
+    hashes — session-cached checkpoint of :func:`_simhash_plan`."""
+
+
+def _simhash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over token hashes.
 
-    Order of operations is the scale design: FIRST collapse occurrences
-    to per-(doc, token-hash) counts (vocabulary-bounded), THEN take the
-    60-bit vote fold per doc. The vote fold is an exact int64 Arrow
-    kernel over doc_id-partitioned counts (``repartition("doc_id")`` →
-    ``mapInPandas``), not a bit-position explode: the explode form
-    multiplied the vocab-bounded rows ×60 and pushed ~6 B (doc, bit,
-    vote) rows through TWO more hash shuffles — 70 s of the r8 100×
-    sweep (per_unit 0.40, the heaviest remaining interpreted-ish path).
-    This is the same fixed-width-arithmetic rule the k-means/SemDeDup
-    kernels encode (clustering.py): wide per-row bit arithmetic belongs
-    in numpy, where the whole (rows × 60) vote matrix is three
-    vectorized int64 ops. Integer sums are order-insensitive, so the
-    kernel is unconditionally value-identical to the explode/SQL
-    formulation (the oracle keeps the latter). A mid-size wide-column
-    SQL aggregate variant was also rejected earlier: 60 SUM buffers
-    inline into one generated hashAgg method — the HotSpot huge-method
-    JIT fallback semdedup was jstack'd hitting.
+    ZERO-shuffle formulation: tokenize + the md5-derived 60-bit hash
+    stay JVM-side (one codegen span, bit-identical to the oracle), and
+    the 60-bit vote fold runs as an exact int64 Arrow kernel directly
+    on each scan partition's token rows — no exchange anywhere in the
+    plan. The partition-local fold is TOTAL because the lineage from
+    the row-granular scan (spread_scan's repartition moves whole rows)
+    through split/explode/WHERE/project is narrow: every token row of a
+    document lives in the partition that held the document row, so each
+    doc_id's votes are summed exactly once, in one task. Evolution:
+    r8's bit-position explode pushed ~6 B (doc, bit, vote) rows through
+    two hash shuffles (70 s at 100×); the first kernel form collapsed
+    to per-(doc, h) counts but still paid a groupBy shuffle plus a
+    repartition("doc_id") of the vocab-bounded rows (47 s at 100×);
+    this form deletes both exchanges and folds raw token rows — the
+    ×60 vote matrix is three vectorized int64 numpy ops either way,
+    and integer sums are order-insensitive, so every formulation is
+    unconditionally value-identical (the oracle keeps the explode SQL).
+    A wide-column SQL aggregate variant was also rejected earlier: 60
+    SUM buffers inline into one generated hashAgg method — the HotSpot
+    huge-method JIT fallback semdedup was jstack'd hitting.
 
     The reassembly is total: a doc whose votes are all negative emits
     simhash 0 rather than vanishing — np.where keeps the row with no
-    set bits, and every (doc_id, h) group survives the groupBy, so doc
+    set bits, and every doc with ≥1 token reaches the fold, so doc
     coverage is exactly the explode form's.
 
-    Measured sf0.1 (bench, median): 1.98 → 1.49 s; see
-    SCALE_CURVE_100X_r09.json for the 100× row (r8: 70.3 s).
+    Measured 100× (SCALE_CURVE_100X_r09.json; cold session, the row
+    carries the signature-checkpoint materialization): r8 explode
+    70.3 s → two-shuffle kernel 47.4 s → this form 6.5 s, with
+    simhash_band_pairs riding the shared signatures 62.8 → 17.6 s —
+    family total 110 → 24 s.
     """
     import numpy as np
     import pandas as pd
 
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    tok = explode_tokens(docs, keep=("doc_id",))
-    tok_counts = (
-        tok.select("doc_id", hash60(F.col("token")).alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = explode_tokens(docs, keep=("doc_id",)).select(
+        "doc_id", hash60(F.col("token")).alias("h")
     )
 
     n_bits = SIMHASH_BITS
 
     def vote_fold(batches):
         shifts = np.arange(n_bits, dtype=np.int64)
-        parts = []
+        run_ids, run_votes = [], []
         for b in batches:
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
             h = b["h"].to_numpy(dtype=np.int64)
-            cnt = b["cnt"].to_numpy(dtype=np.int64)
-            # (rows × 60) vote matrix: +cnt where the hash bit is set,
-            # −cnt where clear — exact int64 throughout
+            # Tokens arrive in row order, so each doc is ONE contiguous
+            # run per batch (a doc split across batches yields two runs
+            # — merged by the final groupby). Segment-summing the
+            # (rows × 60) bit matrix with reduceat beats a 61-column
+            # pandas groupby over token rows by the sort/hash it skips:
+            # votes_j = 2·(set bits at j) − tokens, exact int64.
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            lens = np.diff(np.r_[starts, len(ids)])
             bits = (h[:, None] >> shifts[None, :]) & np.int64(1)
-            votes = (2 * bits - 1) * cnt[:, None]
-            vdf = pd.DataFrame(votes)
-            vdf.insert(0, "doc_id", b["doc_id"].to_numpy(dtype=np.int64))
-            # collapse within the batch so the carried state is
-            # docs-per-partition-sized, never token-row-sized
-            parts.append(vdf.groupby("doc_id", as_index=False).sum())
-        if not parts:
+            sums = np.add.reduceat(bits, starts, axis=0)
+            run_ids.append(ids[starts])
+            run_votes.append(2 * sums - lens[:, None])
+        if not run_ids:
             return
-        g = pd.concat(parts).groupby("doc_id", as_index=False).sum()
+        # one runs-sized (≈ docs-per-partition) collapse, never token-sized
+        g = pd.DataFrame(np.vstack(run_votes))
+        g.insert(0, "doc_id", np.concatenate(run_ids))
+        g = g.groupby("doc_id", as_index=False).sum()
         v = g.iloc[:, 1:].to_numpy(dtype=np.int64)
         sim = np.where(v > 0, np.int64(1) << shifts[None, :], np.int64(0)).sum(
             axis=1
         )
         yield pd.DataFrame({"doc_id": g["doc_id"], "simhash": sim})
 
-    return tok_counts.repartition("doc_id").mapInPandas(
-        vote_fold, "doc_id long, simhash long"
-    )
+    return hashed.mapInPandas(vote_fold, "doc_id long, simhash long")
 
 
 SIMHASH_SQL = f"""

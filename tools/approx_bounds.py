@@ -63,8 +63,16 @@ def measure(spark, sf_dir: str) -> dict:
         n = len(group)
         n_min = n if n_min is None else min(n_min, n)
         for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
-            cdf = np.searchsorted(group, getattr(a, col), side="right") / n
-            rank_errs[f"{k}.{col}"] = abs(cdf - q)
+            # A value with ties occupies the whole rank interval
+            # [count(<v), count(<=v)] / n; its rank error is the distance
+            # from q to that interval (0 if it straddles q). The earlier
+            # side="right"-only form overstated error by up to the tie
+            # mass — at 10x (verbatim value replicas → 10-way ties) it
+            # read 0.000277 where the interval error is exactly 0.
+            v = getattr(a, col)
+            cdf_l = np.searchsorted(group, v, side="left") / n
+            cdf_r = np.searchsorted(group, v, side="right") / n
+            rank_errs[f"{k}.{col}"] = max(0.0, q - cdf_r, cdf_l - q)
 
     return {
         "approx_distinct_users": {
@@ -97,7 +105,8 @@ def main() -> int:
             "Error of the two oracle-less sketch queries vs their exact "
             "anchors; invariants mirrored from tests/test_approx_and_stubs.py. "
             "HLL bound is relative error on distinct counts; GK bound is in "
-            "RANK space (|empirical_cdf(answer) - q| <= 1/accuracy + 2/n)."
+            "RANK space (distance from q to the answer's tie interval "
+            "[cdf_left(v), cdf_right(v)] <= 1/accuracy + 2/n)."
         ),
         "hll_rsd": 0.02,
         "gk_accuracy": GK_ACCURACY,
