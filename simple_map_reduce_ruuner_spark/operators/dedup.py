@@ -40,7 +40,12 @@ from simple_map_reduce_ruuner_spark.functions.text import (
     word_shingles,
 )
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import ckpt, load_table, spread_scan
+from simple_map_reduce_ruuner_spark.sources.tables import (
+    ckpt,
+    load_table,
+    session_cache,
+    spread_scan,
+)
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.20
@@ -236,15 +241,42 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 
 
+# The LSH dedup pipeline is a chain of shared subtrees, each consumed
+# by several registry queries: distinct shingle hashes feed
+# minhash_signatures, neardup_minhash_lsh, and the lsh_verified scorer;
+# the candidate pairs feed lsh_verified, neardup_editdist, and
+# neardup_shared_span; the verified pairs feed neardup_clusters, which
+# feeds corpus_clean. Before r9 each of those seven queries recomputed
+# its whole chain from the corpus (100× curve: 325 s family total).
+# Session-scoped lazy checkpoints at every level (sources.tables.
+# session_cache — the co-trading/simhash pattern) make the first
+# EXECUTED query of the family materialize each subtree it touches once
+# per session+dataset; the rest ride the blocks.
+_SHINGLE_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_CAND_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_cache(
+        _SHINGLE_HASH_CACHE,
+        spark,
+        sf_dir,
+        lambda: _doc_shingle_hashes_plan(spark, sf_dir),
+    )
+
+
+def _doc_shingle_hashes_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h): distinct 60-bit shingle hashes per document.
 
     Shingles are hashed BEFORE the distinct: dedup shuffles 8-byte
     hashes instead of shingle strings. The distinct hash multiset equals
     the hash multiset of distinct shingles (up to 60-bit collisions,
     which the oracle's md5 reproduces identically). Shared subtree of
-    MinHash signature building AND LSH-verify scoring — identical
-    subplans let Spark reuse the exchange instead of recomputing.
+    MinHash signature building AND LSH-verify scoring; the session
+    cache stores the post-distinct rows (~16 B/shingle), so sibling
+    queries skip the corpus re-shingle AND its shuffle entirely.
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return (
@@ -305,6 +337,15 @@ MINHASH_SIGNATURES_SQL = _minhash_sql()
 
 
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs, session-cached (see _LSH_CAND_CACHE block):
+    consumed by neardup_lsh_verified, neardup_editdist, and
+    neardup_shared_span besides its own registry entry."""
+    return session_cache(
+        _LSH_CAND_CACHE, spark, sf_dir, lambda: _neardup_minhash_lsh_plan(spark, sf_dir)
+    )
+
+
+def _neardup_minhash_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash-LSH.
 
     Signature is split into N_BANDS bands of N_PERMS/N_BANDS values; a
@@ -364,6 +405,17 @@ NEARDUP_MINHASH_LSH_SQL = _lsh_sql()
 
 
 def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs, session-cached (see _LSH_VERIFIED_CACHE block):
+    consumed by neardup_clusters besides its own registry entry."""
+    return session_cache(
+        _LSH_VERIFIED_CACHE,
+        spark,
+        sf_dir,
+        lambda: _neardup_lsh_verified_plan(spark, sf_dir),
+    )
+
+
+def _neardup_lsh_verified_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with EXACT Jaccard — the production
     near-dedup pipeline: sub-quadratic candidate generation (banded
     MinHash-LSH), then exact shingle-set scoring of candidates only.
@@ -443,12 +495,9 @@ _SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    cached = _SIMHASH_CACHE.get(key)
-    if cached is None:
-        cached = ckpt(_simhash_plan(spark, sf_dir), eager=False)
-        _SIMHASH_CACHE[key] = cached
-    return cached
+    return session_cache(
+        _SIMHASH_CACHE, spark, sf_dir, lambda: _simhash_plan(spark, sf_dir)
+    )
 
 
 simhash.__doc__ = """(doc_id, simhash): per-bit majority vote over token
@@ -562,6 +611,25 @@ GROUP BY doc_id
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
+    """Session-cached (default max_iter only; see _CLUSTERS_CACHE
+    block): the fixpoint loop below runs EAGERLY at call time, so
+    without the memo corpus_clean re-runs the whole iteration. The
+    result is already a localCheckpoint — memoized as-is
+    (checkpoint=False)."""
+    if max_iter != 25:
+        return _neardup_clusters_fixpoint(spark, sf_dir, max_iter)
+    return session_cache(
+        _CLUSTERS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _neardup_clusters_fixpoint(spark, sf_dir, 25),
+        checkpoint=False,
+    )
+
+
+def _neardup_clusters_fixpoint(
+    spark: SparkSession, sf_dir: str, max_iter: int
+) -> DataFrame:
     """(doc_id, cluster_id): connected components of the near-dup graph,
     cluster_id = min doc_id in the component; singletons keep their own id.
 

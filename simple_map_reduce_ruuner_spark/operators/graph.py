@@ -25,13 +25,16 @@ if the node set fits.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import ckpt, load_table
+from simple_map_reduce_ruuner_spark.sources.tables import (
+    ckpt,
+    load_table,
+    session_cache,
+)
 
 PR_ITERS = 5
 SCALE_FEMTO = 10**15  # rank unit = 1e-15
@@ -200,12 +203,9 @@ _COTRADING_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cotrading_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    cached = _COTRADING_CACHE.get(key)
-    if cached is None:
-        cached = ckpt(_cotrading_counts_plan(spark, sf_dir), eager=False)
-        _COTRADING_CACHE[key] = cached
-    return cached
+    return session_cache(
+        _COTRADING_CACHE, spark, sf_dir, lambda: _cotrading_counts_plan(spark, sf_dir)
+    )
 
 
 def _cotrading_counts_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

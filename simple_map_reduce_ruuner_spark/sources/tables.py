@@ -64,6 +64,35 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     )
 
 
+def session_cache(
+    cache: dict, spark: SparkSession, sf_dir: str, build, checkpoint: bool = True
+) -> DataFrame:
+    """Session-scoped memo of a per-dataset DataFrame, keyed by
+    (applicationId, resolved sf_dir) — the shared-subtree pattern behind
+    graph._COTRADING_CACHE and dedup's LSH-pipeline caches.
+
+    ``build()`` runs once per (session, dataset); with ``checkpoint``
+    the result is wrapped in a LAZY localCheckpoint (``ckpt(eager=
+    False)``), so construction stays job-free (EXPLAIN, plan tests,
+    registry sweeps), the first query that EXECUTES materializes the
+    blocks (serialized MEMORY_AND_DISK — spills, never OOMs), and every
+    later execution in the session — sibling queries of the same
+    family, later bench reps — reads the blocks. ``checkpoint=False``
+    memoizes the DataFrame as-is, for builders that already return
+    checkpointed/eagerly-computed results (e.g. the connected-
+    components fixpoint). The applicationId key makes a restarted
+    session rebuild instead of touching dead block-manager state.
+    """
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    got = cache.get(key)
+    if got is None:
+        got = build()
+        if checkpoint:
+            got = ckpt(got, eager=False)
+        cache[key] = got
+    return got
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Repartition an under-split scan so CPU-heavy per-row work uses
     every core — a NO-OP whenever the scan already has enough splits.

@@ -90,7 +90,9 @@ def test_lsh_verified_scores_candidates_with_partial_aggs(spark, sf_dir):
     cartesian product sneaks into candidate generation or verify."""
     from simple_map_reduce_ruuner_spark.operators import dedup
 
-    plan = plan_of(dedup.neardup_lsh_verified(spark, sf_dir))
+    # assert on the underlying plan builder: the public fn returns the
+    # session-cached lazy checkpoint, whose plan is an opaque ExistingRDD
+    plan = plan_of(dedup._neardup_lsh_verified_plan(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # band-bucket + intersection counts
 
