@@ -438,21 +438,33 @@ def token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     material even when no single earlier document is a near-duplicate —
     the case pairwise near-dup detection structurally misses.
 
-    Plan: distinct (doc, bigram) pairs → per-bigram window MIN (the
-    first-occurrence doc) → per-doc conditional aggregate. The window
-    replaces the previous agg + join-back formulation: both label each
-    pair with min(doc_id) over its bigram, but the window does it on
-    the distinct's OWN bigram-keyed exchange with one sort — no second
-    sorted side and no merge join. Every stage is keyed by bigram or
-    doc_id; nothing is quadratic and nothing broadcasts corpus-sized
-    state.
+    Plan: per-doc-distinct (doc, bigram-hash) pairs → per-bigram window
+    MIN (the first-occurrence doc) → per-doc conditional aggregate.
+    Two scale moves over the r8 form (same pair as the neardup_jaccard
+    rework): (1) a (doc, bigram) duplicate can only arise WITHIN a
+    document, so ``array_distinct`` before the explode replaces the
+    corpus-wide ``.distinct()`` — one whole exchange of exploded rows
+    deleted, value-identical; (2) bigrams are hashed to the portable
+    60-bit hash BEFORE the window, so the surviving bigram-keyed
+    exchange and its sort move 8-byte longs instead of strings. The
+    oracle hashes with the bit-identical md5 formulation, so even the
+    ~2⁻⁶¹-probability collision behavior matches exactly. The output
+    carries no bigram text, only per-doc counts. Every stage is keyed
+    by bigram-hash or doc_id; nothing is quadratic and nothing
+    broadcasts corpus-sized state. 100×: 39.6 s (r8 string-distinct
+    form) → see SCALE_CURVE_100X_r09.json.
     """
     from pyspark.sql import Window
 
+    from simple_map_reduce_ruuner_spark.functions.hashing import hash60
+
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pairs = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 2))).alias(
+            "bigram"
+        ),
+    ).select("doc_id", hash60(F.col("bigram")).alias("bigram"))
     labeled = pairs.withColumn(
         "first_doc", F.min("doc_id").over(Window.partitionBy("bigram"))
     )
@@ -479,14 +491,15 @@ def token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_NOVELTY_SQL = rf"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-big AS (
+big0 AS (
     SELECT DISTINCT doc_id,
            unnest([
                array_to_string(t[i : i + 1], ' ')
                for i in range(1, greatest(len(t) - 1, 1) + 1)
-           ]) AS bigram
+           ]) AS bigram_s
     FROM toks
 ),
+big AS (SELECT doc_id, {hash60_sql('bigram_s')} AS bigram FROM big0),
 first AS (SELECT bigram, min(doc_id) AS first_doc FROM big GROUP BY 1)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,

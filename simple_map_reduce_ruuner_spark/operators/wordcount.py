@@ -50,6 +50,50 @@ def char_count_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_count_kernel_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(ch, cnt) — value-identical to :func:`char_count_df`, computed as
+    a per-partition Arrow kernel instead of a corpus×chars explode.
+
+    The explode form pushes one ROW PER CHARACTER through codegen and a
+    partial aggregate — ~4.5 B rows at the 100× sweep, 31.2 s, and the
+    highest per_unit (0.59) of the curve's top rows. Counting
+    characters is a bincount: each task joins its batch's strings,
+    reinterprets them as UTF-32 code points, and accumulates one
+    np.bincount per batch into a partition-local 0x110000-slot int64
+    array (8.9 MB). What crosses the wire afterwards is one
+    alphabet-sized (ch, cnt) partial per partition — the same
+    mapper-combiner → reducer-merge contract as the explode plan
+    (char_count/mapper.py:8-15, reduce.py:9-15), with the combine in
+    numpy instead of a generated HashAggregate. Code points ARE Python
+    chars and ARE Spark's split('') units, so counts are exact; the
+    newline exclusion drops slot 10 at emit instead of rewriting every
+    string. Parity with the explode form is pinned by
+    tests/test_mapreduce.py::test_char_count_kernel_matches_explode;
+    the oracle keeps the unnest SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def count_chars(batches):
+        acc = np.zeros(0x110000, dtype=np.int64)
+        for b in batches:
+            txt = "".join(b[text_col].dropna().tolist())
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+            acc += np.bincount(cp, minlength=0x110000)
+        acc[10] = 0  # newline excluded (char_count/mapper.py:8-15)
+        nz = np.flatnonzero(acc)
+        if not len(nz):
+            return
+        yield pd.DataFrame(
+            {"ch": [chr(int(c)) for c in nz], "cnt": acc[nz]}
+        )
+
+    partials = df.select(text_col).mapInPandas(count_chars, "ch string, cnt long")
+    return partials.groupBy("ch").agg(F.sum("cnt").alias("cnt"))
+
+
 # ---- queries() bindings over the driver tables ----
 
 
@@ -58,7 +102,9 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return char_count_df(load_table(spark, sf_dir, "documents"))
+    from simple_map_reduce_ruuner_spark.sources.tables import spread_scan
+
+    return char_count_kernel_df(spread_scan(load_table(spark, sf_dir, "documents")))
 
 
 WORD_COUNT_SQL = r"""

@@ -119,3 +119,26 @@ def test_suspects_golden_replay(spark):
             golden.add((toks[0], frozenset(toks[1:])))
 
     assert result == golden
+
+
+def test_char_count_kernel_matches_explode(spark, sf_dir):
+    """The Arrow bincount kernel behind the char_count registry query is
+    value-identical to the explode/groupBy reference formulation
+    (char_count_df) — including newline exclusion, multi-byte chars,
+    and empty/null text rows."""
+    from simple_map_reduce_ruuner_spark.operators.wordcount import (
+        char_count_df,
+        char_count_kernel_df,
+    )
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {(r.ch, r.cnt) for r in char_count_df(docs).collect()}
+    got = {(r.ch, r.cnt) for r in char_count_kernel_df(docs).collect()}
+    assert got == want
+    extra = spark.createDataFrame(
+        [(1, "a\nb\nß €€ a"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    want2 = {(r.ch, r.cnt) for r in char_count_df(extra).collect()}
+    got2 = {(r.ch, r.cnt) for r in char_count_kernel_df(extra).collect()}
+    assert got2 == want2 and ("\n", 2) not in got2 and got2
