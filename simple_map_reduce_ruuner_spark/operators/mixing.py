@@ -55,12 +55,22 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join key is the 60-bit shingle hash, so the broadcast build side
     carries 8-byte keys, not text.
+
+    No corpus-wide ``.distinct()``: a duplicate (doc, shingle) can only
+    arise WITHIN a document, so per-doc ``array_distinct`` before the
+    explode dedupes exactly — and the residual case (two different
+    shingles of one doc colliding in hash60) is harmless because both
+    aggregates are count_distinct and the join side dedupes through
+    them too. Deletes the pair-table exchange outright; the only
+    shuffle left is the final doc_id groupBy.
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
-        F.explode(word_shingles(F.col("text"), CONTAM_K)).alias("shingle"),
-    ).select("doc_id", hash60(F.col("shingle")).alias("sh")).distinct()
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), CONTAM_K))
+        ).alias("shingle"),
+    ).select("doc_id", hash60(F.col("shingle")).alias("sh"))
     ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
         F.col("sh").alias("ev_sh"), F.col("doc_id").alias("eval_doc")
     )
