@@ -18,6 +18,16 @@ timed run, the same plan shape is executed once at sf0.001: whole-stage
 codegen classes are compiled and cached on that run, so the timed number
 measures data-proportional work (scan/shuffle/agg), not Janino compile
 latency — the component that actually scales to 100 TB.
+
+Statistics (r10): every query gets 3 round-robin passes; queries whose
+provisional median is sub-second (or whose reps spread > 1.5x under a
+5 s median) get 2 extra passes, so their published median is over 5
+samples — a CPU-steal burst can then poison at most 2 of them. The doc
+also carries `value_first_rep` (sum of each query's FIRST timed rep:
+the uncached single-pass bound, since session caches legitimately
+amortize shared subtrees across reps) and `cache_families`
+(registry.CACHE_FAMILIES cold/rider tags, so per-query medians of
+cache-sharing queries are read with the right semantics).
 """
 
 from __future__ import annotations
@@ -30,8 +40,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from simple_map_reduce_ruuner_spark.registry import all_queries
+from simple_map_reduce_ruuner_spark.registry import CACHE_FAMILIES, all_queries
 from simple_map_reduce_ruuner_spark.session import get_spark
+from simple_map_reduce_ruuner_spark.sources.tables import clear_session_caches
 
 
 def main() -> None:
@@ -71,8 +82,13 @@ def main() -> None:
             # the query from the benchmarked total (review-found); only
             # failures AT THE BENCHMARKED SCALE exclude a query
             print(f"BENCH WARMUP ERROR {name}: {exc}", file=sys.stderr)
-    for _ in range(reps):
-        for name in names:
+    # Drop the warm-up pass's session-cache checkpoints: sf0.001 blocks
+    # would otherwise stay pinned in the storage pool for the whole
+    # timed run (they are keyed per sf_dir and never touched again).
+    clear_session_caches(warm_dir)
+
+    def timed_pass(run_names) -> None:
+        for name in run_names:
             if name in failed:
                 continue
             try:
@@ -85,10 +101,38 @@ def main() -> None:
                 failed.add(name)
                 print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
 
+    for _ in range(reps):
+        timed_pass(names)
+
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # Adaptive extra reps (r10): sub-second queries' 3-rep medians are
+    # dominated by this VM's CPU-steal bursts (r9: a burst hitting 2 of
+    # neardup_embedding's 3 reps published a 2.23 vs_r01 that isolated
+    # runs put at ~1.0). Queries whose provisional median is < 1 s, or
+    # whose rep spread exceeds 1.5x with a median under 5 s, get extra
+    # round-robin passes so the final median is over 5 samples — a
+    # burst can then poison at most 2 of them. Cost: ~2 min on top of a
+    # ~9-min run (sub-1s queries sum to ~55 s/pass at sf0.1).
+    extra_passes = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2"))
+    noisy = [
+        n
+        for n in names
+        if n not in failed
+        and samples[n]
+        and (
+            median(samples[n]) < 1.0
+            or (
+                max(samples[n]) / max(min(samples[n]), 1e-9) > 1.5
+                and median(samples[n]) < 5.0
+            )
+        )
+    ]
+    for _ in range(extra_passes):
+        timed_pass(noisy)
 
     timings = {
         n: (round(median(samples[n]), 3) if samples[n] else -1.0) for n in names
@@ -106,6 +150,13 @@ def main() -> None:
     rep_trace = {n: [round(x, 3) for x in samples[n]] for n in names}
     first_rep = {n: xs[0] for n, xs in rep_trace.items() if xs}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Sum of FIRST reps alongside the median total: the session caches
+    # (registry.CACHE_FAMILIES) legitimately amortize shared subtrees
+    # across reps and sibling queries, so the median total measures the
+    # warm engine; the first-rep total bounds what an uncached
+    # single-pass run pays. Publishing both keeps round-over-round
+    # comparisons honest about which number benefits from cache warmth.
+    total_first = round(sum(first_rep.get(n, 0.0) for n in names), 3)
     # failures must be visible IN the JSON: a fully-failed query would
     # otherwise just shrink the headline total (reads as a speedup), and
     # a partially-failed one would look like a clean run (review-found)
@@ -113,23 +164,46 @@ def main() -> None:
         n for n in names if len(samples[n]) < reps or n in failed
     )
 
-    # Noise calibration: per-query max/min rep ratio. This VM shows 2-10x
+    # Noise calibration: per-query rep-spread ratio. This VM shows 2-10x
     # CPU-steal bursts (r03 vs r04 ran identical code ±20%); publishing
     # the observed spread lets a reader separate real regressions from
-    # machine noise when comparing rounds.
+    # machine noise when comparing rounds. The spread is TRIMMED for
+    # queries with >= 5 samples (drop one high + one low before max/min)
+    # so it reflects the stability of the published median, which a
+    # single burst rep cannot move at that sample count; raw reps stay
+    # visible in rep_trace.
+    def spread(xs: list[float]) -> float:
+        s = sorted(xs)
+        if len(s) >= 5:
+            s = s[1:-1]
+        return s[-1] / s[0]
+
     spreads = sorted(
-        max(xs) / min(xs)
-        for xs in samples.values()
-        if len(xs) >= 2 and min(xs) > 0
+        spread(xs) for xs in samples.values() if len(xs) >= 2 and min(xs) > 0
     )
     noise = (
         {
             "median_rep_spread": round(median(spreads), 3),
             "p90_rep_spread": round(spreads[int(0.9 * (len(spreads) - 1))], 3),
+            "spread_def": "max/min of reps, one high+one low trimmed when n>=5",
         }
         if spreads
         else {}
     )
+
+    # Session-cache family tags (registry.CACHE_FAMILIES): within a
+    # family, the first member to execute at sf_dir ("cold", first in
+    # the sorted round-robin order) pays the shared materialization and
+    # the rest ride the checkpoint blocks — so a rider's low median is
+    # real engine time only while some family member keeps the blocks
+    # warm, and the cold member's first_rep carries the build cost.
+    families = {
+        fam: {
+            "members": sorted(m for m in members if m in queries),
+            "cold": min((m for m in members if m in queries), default=None),
+        }
+        for fam, members in CACHE_FAMILIES.items()
+    }
 
     # per-query ratio vs the previous round's recorded bench (>1 slower,
     # <1 faster); new queries have no entry
@@ -154,11 +228,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "first_rep": first_rep,
+        "value_first_rep": total_first,
         "rep_trace": rep_trace,
+        "cache_families": families,
         "incomplete": incomplete,
         "sf": sf,
         "reps": reps,
-        "stat": "median_round_robin",
+        "extra_passes": extra_passes,
+        "stat": "median_round_robin_adaptive",
         "noise": noise,
         "vs_r01": vs_prev,
     }
@@ -188,9 +265,11 @@ def main() -> None:
             {
                 "metric": "total_query_seconds",
                 "value": total,
+                "value_first_rep": total_first,
                 "unit": "sec",
                 "sf": sf,
                 "reps": reps,
+                "extra_passes": extra_passes,
                 "queries_n": len(names),
                 "median_sec": round(median([t for t in timings.values() if t >= 0]), 3),
                 "median_vs_r01": (

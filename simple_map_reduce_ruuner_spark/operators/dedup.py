@@ -43,6 +43,7 @@ from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import (
     ckpt,
     load_table,
+    register_cache_clear_hook,
     session_cache,
     spread_scan,
 )
@@ -539,13 +540,20 @@ def _simhash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_band_pairs riding the shared signatures 62.8 → 17.6 s —
     family total 110 → 24 s.
     """
-    import numpy as np
-    import pandas as pd
-
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     hashed = explode_tokens(docs, keep=("doc_id",)).select(
         "doc_id", hash60(F.col("token")).alias("h")
     )
+    return hashed.mapInPandas(_simhash_vote_fold(), "doc_id long, simhash long")
+
+
+def _simhash_vote_fold():
+    """The partition-local 60-bit vote-fold kernel behind
+    :func:`_simhash_plan` — exposed as a factory so
+    tests/test_simhash_kernel.py can drive the exact production code
+    path on synthetic frames."""
+    import numpy as np
+    import pandas as pd
 
     n_bits = SIMHASH_BITS
 
@@ -581,7 +589,7 @@ def _simhash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         yield pd.DataFrame({"doc_id": g["doc_id"], "simhash": sim})
 
-    return hashed.mapInPandas(vote_fold, "doc_id long, simhash long")
+    return vote_fold
 
 
 SIMHASH_SQL = f"""
@@ -610,19 +618,29 @@ GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
+DEFAULT_CLUSTER_MAX_ITER = 25
+
+
+def neardup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int | None = None
+) -> DataFrame:
     """Session-cached (default max_iter only; see _CLUSTERS_CACHE
     block): the fixpoint loop below runs EAGERLY at call time, so
     without the memo corpus_clean re-runs the whole iteration. The
     result is already a localCheckpoint — memoized as-is
-    (checkpoint=False)."""
-    if max_iter != 25:
+    (checkpoint=False). Only the ``max_iter=None`` default path is
+    memoized (a single DEFAULT_CLUSTER_MAX_ITER constant, so the memo
+    guard can't drift from the default); an explicit budget always
+    computes fresh."""
+    if max_iter is not None:
         return _neardup_clusters_fixpoint(spark, sf_dir, max_iter)
     return session_cache(
         _CLUSTERS_CACHE,
         spark,
         sf_dir,
-        lambda: _neardup_clusters_fixpoint(spark, sf_dir, 25),
+        lambda: _neardup_clusters_fixpoint(
+            spark, sf_dir, DEFAULT_CLUSTER_MAX_ITER
+        ),
         checkpoint=False,
     )
 
@@ -743,6 +761,27 @@ MAX_BROADCAST_VECTORS = 2_000_000
 # (applicationId, parquet fingerprint) -> Broadcast[(ids, matrix, norms)];
 # see neardup_embedding. At most one live entry per SparkContext.
 _EMB_BUILD_CACHE: dict[tuple, object] = {}
+
+
+def _clear_emb_build_cache(sf_dir: str | None) -> None:
+    """clear_session_caches() hook: the broadcast cache is keyed by
+    (app, parquet file fingerprint) rather than (app, sf_dir), and its
+    values need an explicit Broadcast.unpersist — the generic dict
+    sweep can't do either."""
+    real = os.path.realpath(sf_dir) + os.sep if sf_dir is not None else None
+    victims = [
+        k
+        for k in _EMB_BUILD_CACHE
+        if real is None or any(f.startswith(real) for f, _, _ in k[1])
+    ]
+    for k in victims:
+        try:
+            _EMB_BUILD_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # context already stopped; nothing to free
+
+
+register_cache_clear_hook(_clear_emb_build_cache)
 
 
 def _parquet_file_stats(path: str) -> tuple[tuple[str, int, int], ...]:

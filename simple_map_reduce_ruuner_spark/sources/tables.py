@@ -64,6 +64,57 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     )
 
 
+# Every dict handed to session_cache(), so clear_session_caches() can
+# find them without each operator module exporting its private cache.
+_REGISTERED_CACHES: list[dict] = []
+# Clear hooks for caches with non-(app, sf_dir) keys or non-DataFrame
+# values (the embedding broadcast); called with the sf_dir filter.
+_CLEAR_HOOKS: list = []
+
+
+def register_cache_clear_hook(hook) -> None:
+    """Register ``hook(sf_dir: str | None)`` to run inside
+    :func:`clear_session_caches` — for caches that need custom teardown
+    (e.g. ``Broadcast.unpersist``) or use non-standard keys."""
+    if not any(h is hook for h in _CLEAR_HOOKS):
+        _CLEAR_HOOKS.append(hook)
+
+
+def clear_session_caches(sf_dir: str | None = None) -> int:
+    """Drop session-scoped memoized DataFrames so their localCheckpoint
+    blocks become ContextCleaner-collectable (the module-level dicts
+    otherwise hold strong references for the application's lifetime —
+    a multi-dataset session accumulates pinned MEMORY_AND_DISK blocks
+    per (app, sf_dir) key with no eviction). With ``sf_dir``, only that
+    dataset's keys are dropped — what bench.py does after its sf0.001
+    warm-up pass so stale warm-up blocks don't occupy the storage pool
+    during the timed run. Returns the number of evicted entries.
+
+    NOT called automatically on dataset switch: tools/scale_curve.py
+    interleaves small/big dirs per rep BY DESIGN (cold/rider family
+    semantics), and auto-eviction would thrash those caches."""
+    import gc
+
+    real = os.path.realpath(sf_dir) if sf_dir is not None else None
+    n = 0
+    for cache in _REGISTERED_CACHES:
+        victims = [
+            k
+            for k in cache
+            if real is None
+            or (isinstance(k, tuple) and len(k) == 2 and k[1] == real)
+        ]
+        for k in victims:
+            cache.pop(k, None)
+            n += 1
+    for hook in _CLEAR_HOOKS:
+        hook(sf_dir)
+    # The checkpoint RDDs are now unreferenced on the Python side; a GC
+    # cycle lets py4j drop the JVM refs so ContextCleaner frees blocks.
+    gc.collect()
+    return n
+
+
 def session_cache(
     cache: dict, spark: SparkSession, sf_dir: str, build, checkpoint: bool = True
 ) -> DataFrame:
@@ -83,6 +134,8 @@ def session_cache(
     components fixpoint). The applicationId key makes a restarted
     session rebuild instead of touching dead block-manager state.
     """
+    if not any(c is cache for c in _REGISTERED_CACHES):
+        _REGISTERED_CACHES.append(cache)
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     got = cache.get(key)
     if got is None:

@@ -136,9 +136,15 @@ def test_char_count_kernel_matches_explode(spark, sf_dir):
     want = {(r.ch, r.cnt) for r in char_count_df(docs).collect()}
     got = {(r.ch, r.cnt) for r in char_count_kernel_df(docs).collect()}
     assert got == want
+    # \U0001F600 exercises the supplementary plane: the kernel counts
+    # UTF-32 code points while the explode form relies on Spark/Java
+    # split('') not splitting surrogate pairs — the one Unicode regime
+    # where the two formulations could plausibly diverge.
     extra = spark.createDataFrame(
-        [(1, "a\nb\nß €€ a"), (2, ""), (3, None)], "doc_id long, text string"
+        [(1, "a\nb\nß €€ a"), (2, ""), (3, None), (4, "\U0001F600x\U0001F600")],
+        "doc_id long, text string",
     )
     want2 = {(r.ch, r.cnt) for r in char_count_df(extra).collect()}
     got2 = {(r.ch, r.cnt) for r in char_count_kernel_df(extra).collect()}
     assert got2 == want2 and ("\n", 2) not in got2 and got2
+    assert ("\U0001F600", 2) in got2

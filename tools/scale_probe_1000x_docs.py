@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""1000x probe for the text-side heavies.
+
+The r9 1000x probe covered the two N-adaptive embedding operators; this
+one closes the scale story for the heaviest 100x TEXT rows the same way:
+``cdc_chunk_dedup`` (40.7 s at 100x) and ``neardup_lsh_verified``
+(31.5 s cold at 100x — it materializes the whole shingle->minhash->band
+->verify ladder), plus ``simhash`` (the zero-shuffle vote-fold kernel,
+6.5 s at 100x).
+
+Only the documents table is generated: 1000 key-offset replicas of
+sf0.1 documents with per-replica word-shuffled text, via
+make_scale_data._replica — same deterministic scheme as the 10x/100x
+dirs. Word-shuffling preserves each doc's token MULTISET but redraws
+its k=3 shingle set, so MinHash-LSH candidate selectivity scales
+realistically. ``simhash_band_pairs`` is deliberately NOT probed: the
+signature is word-order-insensitive, so all 1000 replicas of a doc
+share one simhash by construction and every band bucket holds >= 1000
+true dups — the pair output would be ~N^2/replica quadratic because of
+the synthetic data's design, not an engine cliff (the signatures
+themselves, probed here, stay linear).
+
+~600 MB on disk, gitignored like the other .scaledata dirs. per_unit
+uses the tools/scale_curve.py definition (ratio/scale, <= 1 is
+linear-or-better).
+
+Usage: python tools/scale_probe_1000x_docs.py [--out SCALE_CURVE_1000X_DOCS_r10.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+SMALL = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.001"
+PROBE_DIR = REPO / ".scaledata" / "docs1000"
+K = 1000
+PROBE_QUERIES = ["cdc_chunk_dedup", "neardup_lsh_verified", "simhash"]
+
+
+def ensure_probe_data() -> None:
+    dst = PROBE_DIR / "documents.parquet"
+    if dst.exists():
+        print(f"{dst} present, reusing")
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from make_scale_data import _replica
+
+    PROBE_DIR.mkdir(parents=True, exist_ok=True)
+    src = pq.read_table(os.path.join(SMALL, "documents.parquet"))
+    t0 = time.perf_counter()
+    # Stream replica batches straight to the writer: 1000 concat'd
+    # replicas held at once would be ~5 GB of python string churn.
+    with pq.ParquetWriter(dst, src.schema) as writer:
+        for i in range(K):
+            writer.write_table(_replica("documents", src, i))
+    n = pq.ParquetFile(dst).metadata.num_rows
+    assert n == src.num_rows * K
+    print(
+        f"wrote {dst}: {src.num_rows} -> {n} rows "
+        f"({time.perf_counter() - t0:.1f}s)"
+    )
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out_name = (
+        args[args.index("--out") + 1]
+        if "--out" in args
+        else "SCALE_CURVE_1000X_DOCS_r10.json"
+    )
+    ensure_probe_data()
+
+    from simple_map_reduce_ruuner_spark.registry import all_queries
+    from simple_map_reduce_ruuner_spark.session import get_spark
+    from simple_map_reduce_ruuner_spark.sources.tables import (
+        clear_session_caches,
+    )
+
+    spark = get_spark(
+        app_name="smrr-1000x-docs-probe",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = {n: q.fn for n, q in all_queries().items() if n in PROBE_QUERIES}
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for name in PROBE_QUERIES:  # codegen warm-up
+        run(name, WARM)
+    clear_session_caches(WARM)
+
+    out = {}
+    for name in PROBE_QUERIES:
+        # COLD at both sizes: drop this dataset's session-cache entries
+        # before EVERY timed rep so each row measures the full ladder
+        # (shingle hashes -> candidates -> verify), not a rider read.
+        def cold(sf_dir: str) -> float:
+            clear_session_caches(sf_dir)
+            return run(name, sf_dir)
+
+        t_small = min(cold(SMALL) for _ in range(2))
+        t_big = cold(str(PROBE_DIR))
+        ratio = round(t_big / t_small, 2)
+        out[name] = {
+            "sec_small": round(t_small, 3),
+            "sec_big": round(t_big, 3),
+            "ratio": ratio,
+            "per_unit": round(ratio / K, 3),
+        }
+        print(name, out[name])
+
+    doc = {
+        "method": (
+            "single big rep (min-of-2 at small), noop sink, codegen "
+            "pre-warmed; documents-only 1000x dir (the probe queries "
+            "read no other table); session caches cleared per rep so "
+            "every row is COLD (full-ladder cost, no rider reads)"
+        ),
+        "small_dir": SMALL,
+        "big_dir": str(PROBE_DIR),
+        "data_scale": K,
+        "queries": out,
+        "note": (
+            "Text-side heavies at the decade beyond the 100x curve. "
+            "simhash_band_pairs excluded by design: word-shuffled "
+            "replicas share simhashes, so its pair output is quadratic "
+            "in the SYNTHETIC data (1000 true dups per doc), not an "
+            "engine property; the signature kernel probed here is the "
+            "scale-bearing stage."
+        ),
+    }
+    path = REPO / out_name
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
