@@ -87,14 +87,30 @@ def main() -> int:
         clear_session_caches,
     )
 
+    # 5M docs -> ~500M shingle-hash rows: at the bench default (8g heap,
+    # 32 shuffle partitions) the minhash aggregate's per-task sort
+    # buffers OOM'd the single local JVM. A 1000-executor cluster sizes
+    # both up with the data; the local probe does the same — this is
+    # capacity provisioning, not a plan change (the plan is identical
+    # at every scale).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name="smrr-1000x-docs-probe",
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    BIG_SHUFFLE = os.environ.get("SPARK_GRAFT_1000X_SHUFFLE", "256")
     fns = {n: q.fn for n, q in all_queries().items() if n in PROBE_QUERIES}
 
     def run(name: str, sf_dir: str) -> float:
+        # Partition count sized to the dataset, like a cluster would be:
+        # 256 for the 5M-doc dir (smaller per-task sort buffers), the
+        # bench default 32 everywhere else. Runtime-settable conf; AQE
+        # coalesces whatever ends up oversplit.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            BIG_SHUFFLE if sf_dir == str(PROBE_DIR) else "32",
+        )
         t0 = time.perf_counter()
         fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -128,7 +144,9 @@ def main() -> int:
             "single big rep (min-of-2 at small), noop sink, codegen "
             "pre-warmed; documents-only 1000x dir (the probe queries "
             "read no other table); session caches cleared per rep so "
-            "every row is COLD (full-ladder cost, no rider reads)"
+            "every row is COLD (full-ladder cost, no rider reads); "
+            "capacity sized to the dataset like a cluster would be "
+            "(48g heap, shuffle partitions 32 small / 256 big)"
         ),
         "small_dir": SMALL,
         "big_dir": str(PROBE_DIR),
