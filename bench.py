@@ -45,6 +45,40 @@ from simple_map_reduce_ruuner_spark.session import get_spark
 from simple_map_reduce_ruuner_spark.sources.tables import clear_session_caches
 
 
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def rep_spread(xs: list[float]) -> float:
+    """max/min rep ratio, TRIMMED (one high + one low dropped) when the
+    query has >= 5 samples — at that count a single burst rep cannot
+    move the published median, so the noise stat shouldn't count it
+    either; raw reps stay visible in rep_trace."""
+    s = sorted(xs)
+    if len(s) >= 5:
+        s = s[1:-1]
+    return s[-1] / s[0]
+
+
+def pick_noisy(samples: dict[str, list[float]], failed: set[str]) -> list[str]:
+    """Queries that get extra round-robin passes: provisional median
+    sub-second (pure scheduling jitter territory), or rep spread > 1.5x
+    with a median under 5 s (a burst likely hit a rep; bounded so a
+    noisy 30 s query can't quadruple the bench wall time)."""
+    return [
+        n
+        for n, xs in samples.items()
+        if n not in failed
+        and xs
+        and (
+            median(xs) < 1.0
+            or (max(xs) / max(min(xs), 1e-9) > 1.5 and median(xs) < 5.0)
+        )
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -104,33 +138,15 @@ def main() -> None:
     for _ in range(reps):
         timed_pass(names)
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
-
     # Adaptive extra reps (r10): sub-second queries' 3-rep medians are
     # dominated by this VM's CPU-steal bursts (r9: a burst hitting 2 of
     # neardup_embedding's 3 reps published a 2.23 vs_r01 that isolated
-    # runs put at ~1.0). Queries whose provisional median is < 1 s, or
-    # whose rep spread exceeds 1.5x with a median under 5 s, get extra
-    # round-robin passes so the final median is over 5 samples — a
-    # burst can then poison at most 2 of them. Cost: ~2 min on top of a
-    # ~9-min run (sub-1s queries sum to ~55 s/pass at sf0.1).
+    # runs put at ~1.0). pick_noisy()'s selections get extra round-robin
+    # passes so the final median is over 5 samples — a burst can then
+    # poison at most 2 of them. Cost: ~2 min on top of a ~9-min run
+    # (sub-1s queries sum to ~55 s/pass at sf0.1).
     extra_passes = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2"))
-    noisy = [
-        n
-        for n in names
-        if n not in failed
-        and samples[n]
-        and (
-            median(samples[n]) < 1.0
-            or (
-                max(samples[n]) / max(min(samples[n]), 1e-9) > 1.5
-                and median(samples[n]) < 5.0
-            )
-        )
-    ]
+    noisy = [n for n in names if n in set(pick_noisy(samples, failed))]
     for _ in range(extra_passes):
         timed_pass(noisy)
 
@@ -164,22 +180,15 @@ def main() -> None:
         n for n in names if len(samples[n]) < reps or n in failed
     )
 
-    # Noise calibration: per-query rep-spread ratio. This VM shows 2-10x
-    # CPU-steal bursts (r03 vs r04 ran identical code ±20%); publishing
-    # the observed spread lets a reader separate real regressions from
-    # machine noise when comparing rounds. The spread is TRIMMED for
-    # queries with >= 5 samples (drop one high + one low before max/min)
-    # so it reflects the stability of the published median, which a
-    # single burst rep cannot move at that sample count; raw reps stay
-    # visible in rep_trace.
-    def spread(xs: list[float]) -> float:
-        s = sorted(xs)
-        if len(s) >= 5:
-            s = s[1:-1]
-        return s[-1] / s[0]
-
+    # Noise calibration: per-query rep-spread ratio (rep_spread: trimmed
+    # at n>=5 so it reflects the stability of the published median).
+    # This VM shows 2-10x CPU-steal bursts (r03 vs r04 ran identical
+    # code ±20%); publishing the observed spread lets a reader separate
+    # real regressions from machine noise when comparing rounds.
     spreads = sorted(
-        spread(xs) for xs in samples.values() if len(xs) >= 2 and min(xs) > 0
+        rep_spread(xs)
+        for xs in samples.values()
+        if len(xs) >= 2 and min(xs) > 0
     )
     noise = (
         {
