@@ -772,7 +772,8 @@ def _clear_emb_build_cache(sf_dir: str | None) -> None:
     victims = [
         k
         for k in _EMB_BUILD_CACHE
-        if real is None or any(f.startswith(real) for f, _, _ in k[1])
+        if real is None
+        or any(os.path.realpath(f).startswith(real) for f, _, _ in k[1])
     ]
     for k in victims:
         try:
