@@ -19,19 +19,28 @@ codegen classes are compiled and cached on that run, so the timed number
 measures data-proportional work (scan/shuffle/agg), not Janino compile
 latency — the component that actually scales to 100 TB.
 
-Statistics (r10): every query gets 3 round-robin passes; queries whose
-provisional median is sub-second (or whose reps spread > 1.5x under a
-5 s median) get 2 extra passes. The published per-query number is a
-LOWER-TRIMMED median (plain median at n<5; median of the lowest 3 reps
-at n>=5): CPU-steal contamination is one-sided and was observed slowing
-a whole extra pass at once, which a plain 5-rep median cannot absorb,
-while a genuine regression is slow in every rep and shows at full size
-in the lowest 3. The doc also carries `value_first_rep` (sum of each
-query's FIRST timed rep: the uncached single-pass bound, since session
-caches legitimately amortize shared subtrees across reps) and
-`cache_families` (registry.CACHE_FAMILIES cold/rider tags, so
-per-query numbers of cache-sharing queries are read with the right
-semantics).
+Statistics (r10, twinned r11): every query gets 3 round-robin passes;
+queries whose provisional median is sub-second (or whose reps spread
+> 1.5x under a 5 s median) get 2 extra passes. TWO per-query columns
+are published:
+
+- `queries` (headline `value`): LOWER-TRIMMED median (plain median at
+  n<5; median of the lowest 3 reps at n>=5). CPU-steal contamination is
+  one-sided and was observed slowing a whole extra pass at once, which
+  a plain 5-rep median cannot absorb, while a genuine regression is
+  slow in every rep and shows at full size in the lowest 3.
+- `queries_plain_median` (`value_plain_median`): plain median over all
+  reps — the SAME estimator r1-r9 published, so cross-round deltas and
+  `vs_r01` (computed from this column against r01's plain medians) are
+  one statistic; `vs_r01_trimmed` keeps the r10-style ratio.
+
+The doc also carries `value_first_rep` (sum of each query's FIRST
+timed rep: the uncached single-pass bound, since session caches
+legitimately amortize shared subtrees across reps), `cache_families`
+(registry.CACHE_FAMILIES cold/rider tags, so per-query numbers of
+cache-sharing queries are read with the right semantics), and a noise
+block with BOTH trimmed and raw (all-reps max/min) spreads — the raw
+one is the machine's actual burst magnitude.
 """
 
 from __future__ import annotations
@@ -79,6 +88,17 @@ def rep_spread(xs: list[float]) -> float:
     s = sorted(xs)
     if len(s) >= 5:
         s = s[:3]
+    return s[-1] / s[0]
+
+
+def rep_spread_raw(xs: list[float]) -> float:
+    """max/min over ALL reps — the machine's actual burst magnitude.
+    The trimmed spread above measures the published statistic's
+    stability; this one keeps the raw noise floor visible at the
+    aggregate level (r10's trimmed-only noise block reported p90 1.30
+    on a VM documented to show 2-10x bursts — technically true of the
+    estimator, misleading about the machine)."""
+    s = sorted(xs)
     return s[-1] / s[0]
 
 
@@ -174,6 +194,18 @@ def main() -> None:
         n: (round(query_stat(samples[n]), 3) if samples[n] else -1.0)
         for n in names
     }
+    # Plain-median twin (r11): r1-r9 published plain medians; r10 moved
+    # the headline to the lower-trimmed statistic, which made vs_r01
+    # mix estimators (the trimmed stat is ~the 31st percentile at n=5,
+    # so cross-round ratios carried a systematic downward bias). Both
+    # columns are published from here on: `queries` stays the trimmed
+    # steal-robust headline, `queries_plain_median` is the like-for-like
+    # series against r1's plain 3-rep medians — and vs_r01 is computed
+    # from THIS column, with the trimmed ratio kept as vs_r01_trimmed.
+    plain = {
+        n: (round(median(samples[n]), 3) if samples[n] else -1.0)
+        for n in names
+    }
     # Per-query rep trace, in execution order. samples[n][0] is the
     # query's FIRST timed execution at this scale (codegen pre-warmed at
     # sf0.001, data/caches cold-ish) — the closest thing a single bench
@@ -194,6 +226,7 @@ def main() -> None:
     # single-pass run pays. Publishing both keeps round-over-round
     # comparisons honest about which number benefits from cache warmth.
     total_first = round(sum(first_rep.get(n, 0.0) for n in names), 3)
+    total_plain = round(sum(t for t in plain.values() if t >= 0), 3)
     # failures must be visible IN the JSON: a fully-failed query would
     # otherwise just shrink the headline total (reads as a speedup), and
     # a partially-failed one would look like a clean run (review-found)
@@ -206,16 +239,20 @@ def main() -> None:
     # This VM shows 2-10x CPU-steal bursts (r03 vs r04 ran identical
     # code ±20%); publishing the observed spread lets a reader separate
     # real regressions from machine noise when comparing rounds.
-    spreads = sorted(
-        rep_spread(xs)
-        for xs in samples.values()
-        if len(xs) >= 2 and min(xs) > 0
-    )
+    measurable = [xs for xs in samples.values() if len(xs) >= 2 and min(xs) > 0]
+    spreads = sorted(rep_spread(xs) for xs in measurable)
+    spreads_raw = sorted(rep_spread_raw(xs) for xs in measurable)
     noise = (
         {
             "median_rep_spread": round(median(spreads), 3),
             "p90_rep_spread": round(spreads[int(0.9 * (len(spreads) - 1))], 3),
             "spread_def": "max/min over the stat's samples: all reps at n<5, lowest 3 at n>=5",
+            # raw = max/min over ALL reps: the machine's burst
+            # magnitude, not the trimmed estimator's stability
+            "median_rep_spread_raw": round(median(spreads_raw), 3),
+            "p90_rep_spread_raw": round(
+                spreads_raw[int(0.9 * (len(spreads_raw) - 1))], 3
+            ),
         }
         if spreads
         else {}
@@ -235,9 +272,13 @@ def main() -> None:
         for fam, members in CACHE_FAMILIES.items()
     }
 
-    # per-query ratio vs the previous round's recorded bench (>1 slower,
-    # <1 faster); new queries have no entry
+    # per-query ratio vs the r01 baseline (>1 slower, <1 faster); new
+    # queries have no entry. r01 published plain 3-rep medians, so the
+    # like-for-like ratio (`vs_r01`) divides THIS round's plain medians
+    # by them; the trimmed-stat ratio is kept as `vs_r01_trimmed` for
+    # continuity with the r10 headline but mixes estimators by design.
     vs_prev: dict[str, float] = {}
+    vs_prev_trimmed: dict[str, float] = {}
     prev_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
     )
@@ -245,6 +286,11 @@ def main() -> None:
         with open(prev_path) as fh:
             prev = json.load(fh)["parsed"]["queries"]
         vs_prev = {
+            n: round(plain[n] / prev[n], 2)
+            for n in names
+            if n in prev and prev[n] > 0 and plain[n] > 0
+        }
+        vs_prev_trimmed = {
             n: round(timings[n] / prev[n], 2)
             for n in names
             if n in prev and prev[n] > 0 and timings[n] > 0
@@ -257,6 +303,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_plain_median": plain,
+        "value_plain_median": total_plain,
         "first_rep": first_rep,
         "value_first_rep": total_first,
         "rep_trace": rep_trace,
@@ -266,8 +314,10 @@ def main() -> None:
         "reps": reps,
         "extra_passes": extra_passes,
         "stat": "lower_trimmed_median_round_robin (median at n<5, median of lowest 3 at n>=5)",
+        "stat_history": "r1-r9 plain median; r10 trimmed only; r11+ both (vs_r01 on plain, like-for-like with r01)",
         "noise": noise,
         "vs_r01": vs_prev,
+        "vs_r01_trimmed": vs_prev_trimmed,
     }
     print(json.dumps(doc))
 
@@ -287,6 +337,7 @@ def main() -> None:
         print(f"BENCH NOTE: could not write {full_path}: {exc}", file=sys.stderr)
 
     ratios = sorted(vs_prev.values())
+    ratios_trimmed = sorted(vs_prev_trimmed.values())
     slowest = sorted(
         ((t, n) for n, t in timings.items() if t > 0), reverse=True
     )[:5]
@@ -295,6 +346,7 @@ def main() -> None:
             {
                 "metric": "total_query_seconds",
                 "value": total,
+                "value_plain_median": total_plain,
                 "value_first_rep": total_first,
                 "unit": "sec",
                 "sf": sf,
@@ -302,12 +354,25 @@ def main() -> None:
                 "extra_passes": extra_passes,
                 "queries_n": len(names),
                 "median_sec": round(median([t for t in timings.values() if t >= 0]), 3),
+                # vs_r01 is plain-median / r01-plain-median (one
+                # statistic across rounds); *_trimmed is the r10-style
+                # low-biased twin, kept for continuity
                 "median_vs_r01": (
                     round(median(ratios), 3) if ratios else None
                 ),
                 "p90_vs_r01": (
                     round(ratios[int(0.9 * (len(ratios) - 1))], 3)
                     if ratios
+                    else None
+                ),
+                "median_vs_r01_trimmed": (
+                    round(median(ratios_trimmed), 3) if ratios_trimmed else None
+                ),
+                "p90_vs_r01_trimmed": (
+                    round(
+                        ratios_trimmed[int(0.9 * (len(ratios_trimmed) - 1))], 3
+                    )
+                    if ratios_trimmed
                     else None
                 ),
                 "top5_slowest": {n: t for t, n in slowest},

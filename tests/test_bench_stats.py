@@ -38,6 +38,24 @@ def test_query_stat_shows_genuine_regressions():
     assert bench.query_stat([4.0, 4.2, 4.1]) == 4.1
 
 
+def test_plain_median_twin_is_like_for_like_with_r01():
+    """r11: vs_r01 must divide plain medians by r01's plain medians —
+    one estimator across the whole series. The trimmed stat on the same
+    reps is lower by construction at n>=5; publishing both keeps the
+    headline steal-robust without biasing the cross-round ratio."""
+    reps = [1.13, 1.08, 3.61, 1.21, 3.37]
+    assert bench.median(reps) == 1.21  # the vs_r01 numerator
+    assert bench.query_stat(reps) == 1.13  # the headline column
+    assert bench.query_stat(reps) <= bench.median(reps)
+
+
+def test_rep_spread_raw_measures_the_machine_not_the_estimator():
+    # trimmed spread ignores burst reps; raw spread must not
+    assert bench.rep_spread([1.0, 1.0, 2.0, 2.0, 40.0]) == 2.0
+    assert bench.rep_spread_raw([1.0, 1.0, 2.0, 2.0, 40.0]) == 40.0
+    assert bench.rep_spread_raw([2.0, 1.0, 4.0]) == 4.0
+
+
 def test_rep_spread_mirrors_query_stat_samples():
     # n=3: raw max/min over all reps
     assert bench.rep_spread([1.0, 2.0, 4.0]) == 4.0

@@ -41,8 +41,12 @@ _OPS_DIR = os.path.join(
 
 def _call_graph() -> dict[str, set[str]]:
     """fn name -> set of names it calls, across all operator modules.
-    Name-based (not module-qualified): helper names are unique across
-    the operators package, which test_helper_names_unique pins."""
+    Edges are ast.Name calls ONLY: cached helpers are always called
+    unqualified within the operators package (helper names are unique,
+    test_helper_names_unique pins that), and counting ast.Attribute
+    names would create false family memberships whenever a DataFrame/
+    module method happens to share a helper's name (advice-found);
+    test_no_helper_called_as_attribute guards the blind spot."""
     calls: dict[str, set[str]] = collections.defaultdict(set)
     for fname in sorted(os.listdir(_OPS_DIR)):
         if not fname.endswith(".py"):
@@ -52,16 +56,39 @@ def _call_graph() -> dict[str, set[str]]:
         for node in ast.walk(tree):
             if isinstance(node, ast.FunctionDef):
                 for sub in ast.walk(node):
-                    if isinstance(sub, ast.Call):
-                        f = sub.func
-                        name = (
-                            f.id
-                            if isinstance(f, ast.Name)
-                            else f.attr if isinstance(f, ast.Attribute) else None
-                        )
-                        if name:
-                            calls[node.name].add(name)
+                    if (
+                        isinstance(sub, ast.Call)
+                        and isinstance(sub.func, ast.Name)
+                    ):
+                        calls[node.name].add(sub.func.id)
     return calls
+
+
+def test_no_helper_called_as_attribute():
+    """The Name-only call graph above cannot see `mod.helper(...)` —
+    if a cached helper is ever invoked as an attribute call anywhere in
+    the operators package, membership derivation would silently miss
+    that consumer. Forbid the pattern outright (call helpers via a
+    plain import) so the graph stays complete."""
+    helper_names = set().union(*FAMILY_HELPERS.values())
+    offenders = []
+    for fname in sorted(os.listdir(_OPS_DIR)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(_OPS_DIR, fname)) as fh:
+            tree = ast.parse(fh.read())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in helper_names
+            ):
+                offenders.append(f"{fname}:{node.lineno}:{node.func.attr}")
+    assert not offenders, (
+        f"cached helpers invoked as attribute calls (invisible to the "
+        f"Name-only call graph): {offenders} — import and call them "
+        "unqualified instead"
+    )
 
 
 def _derived_families() -> dict[str, set[str]]:

@@ -79,13 +79,17 @@ def test_registry_md_last_green_column_not_older_than_artifacts():
     artifact the BUILDER could have seen. The driver writes the current
     round's CORRECTNESS_r{N}.json AFTER the builder's final commit, so
     at judge time the newest file is legitimately one round ahead of the
-    stamp — r9's guard demanded strict equality and therefore failed at
-    every judge run by construction. Epoch rule: stamp == newest is
-    current; stamp == newest - 1 is the driver's own in-flight gate for
-    this round (green); anything older is a real staleness bug —
-    regenerate with `python tools/registry_census.py --write`."""
+    stamp — but ONLY while that newest artifact is not yet committed
+    (r10 accepted newest-1 unconditionally, which made a genuinely
+    one-round-stale census indistinguishable from the in-flight-gate
+    case; advice-found). Epoch rule: stamp == newest is current;
+    stamp == newest - 1 is green iff CORRECTNESS_r{newest}.json is
+    untracked/dirty in git (the driver's own in-flight gate for this
+    round); anything else is a real staleness bug — regenerate with
+    `python tools/registry_census.py --write`."""
     import pathlib
     import re
+    import subprocess
 
     root = pathlib.Path(__file__).resolve().parent.parent
     newest = max(
@@ -97,11 +101,33 @@ def test_registry_md_last_green_column_not_older_than_artifacts():
     )
     assert m, "REGISTRY.md lost its 'artifacts through rNN' stamp"
     stamped = int(m.group(1))
-    assert stamped in (newest, newest - 1), (
-        f"REGISTRY.md derived from r{stamped} artifacts but "
-        f"CORRECTNESS_r{newest:02d}.json is committed (gap > 1 round) — "
-        "regenerate with tools/registry_census.py --write"
-    )
+    if stamped == newest - 1:
+        # legitimate only while the newest artifact postdates the
+        # builder's last commit: untracked, or tracked-but-modified
+        # (the driver overwrites in place on re-runs). `git status
+        # --porcelain` covers both; empty output = clean+committed.
+        name = f"CORRECTNESS_r{newest:02d}.json"
+        try:
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain", "--", name],
+                cwd=root,
+                capture_output=True,
+                text=True,
+                timeout=30,
+            ).stdout.strip()
+        except (OSError, subprocess.TimeoutExpired):
+            dirty = "git-unavailable"  # can't verify: don't fail the suite
+        assert dirty, (
+            f"REGISTRY.md derived from r{stamped} artifacts but "
+            f"{name} is committed clean — the census is genuinely one "
+            "round stale; regenerate with tools/registry_census.py --write"
+        )
+    else:
+        assert stamped == newest, (
+            f"REGISTRY.md derived from r{stamped} artifacts but "
+            f"CORRECTNESS_r{newest:02d}.json exists (gap > 1 round) — "
+            "regenerate with tools/registry_census.py --write"
+        )
 
 
 def test_tokenizer_literal_matches_spark_twin_and_never_drifts(spark):
