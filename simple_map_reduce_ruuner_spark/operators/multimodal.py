@@ -6,13 +6,15 @@ Arrow-batched Pandas functions (``mapInPandas``) so bytes cross the
 Python boundary in columnar batches, never row-at-a-time.
 
 The driver tables carry no real media, so the binary column is
-synthesized deterministically (UTF-8 payload of the document text). What
-is REAL and tested here is the Spark-side plumbing the judge cares about:
-binary column handling, metadata projection, the mapInPandas batch
-signature, and schema/partition behavior. The actual image/audio codecs
-are stubbed (no media libs in this container) behind
-:func:`decode_media_stub`, which raises ``NotImplementedError`` exactly
-where a real decoder (PIL/ffmpeg) would plug in.
+synthesized deterministically (UTF-8 payload of the document text).
+REAL here: the Spark-side plumbing (binary column handling, metadata
+projection, mapInPandas batch signature, schema/partition behavior) AND
+one full public-format codec — :func:`decode_image_ppm` encodes valid
+binary Netpbm P6 images and decodes them with an actual header parser
+(r11; no image library needed, the format is bytes + arithmetic).
+Library-dependent codecs (JPEG/PNG/webp, audio/video) remain behind
+:func:`decode_media_stub` / :func:`decode_image_pil`, which raise
+``NotImplementedError`` exactly where PIL/ffmpeg would plug in.
 
 - multimodal_meta     — metadata projection over the binary column
                         (size, sha256 digest, synthetic format tag).
@@ -157,55 +159,166 @@ FROM s
 """
 
 
-IMG_SIDE = 8  # fake decoder: first 64 payload bytes as an 8x8 gray image
+IMG_SIDE = 8  # resize stage: first 64 payload bytes as an 8x8 gray image
 IMG_PIXELS = IMG_SIDE * IMG_SIDE
 EDGE_THRESHOLD = 16
 
 
-def decode_image_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Executable deterministic stand-in for the media decoder: the first
-    64 payload bytes (zero-padded) ARE an 8x8 grayscale image; decode
-    and feature-extract run exactly the way a real decoder would —
-    Arrow batch in, numpy tensor ops, typed feature frame out — but on
-    synthetic pixels, so the whole path is runnable and oracle-checked
-    in this container. Swap the body for PIL/ffmpeg and the plumbing
-    (schema, batching, partitioning) is unchanged; `decode_media_stub`
-    below still marks that real-codec seam.
+def _ppm_encode_fn():
+    """Factory for the P6 encode kernel (module-level so tests drive the
+    production code path; the RETURNED closure is self-contained and
+    pickled by value, so executors never import this package)."""
 
-    Features are integer-exact: mean in millipixel units, total
-    adjacent-pixel contrast, and an edge count at a fixed threshold.
-    """
-    df = _with_payload(spark, sf_dir)
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = 4 + doc_id % 5
+                h = 3 + doc_id % 7
+                need = int(w * h * 3)
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                px = (
+                    np.resize(t, need)  # cycles the source bytes
+                    if t.size
+                    else np.zeros(need, dtype=np.uint8)
+                )
+                blobs.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppm": blobs})
+
+    return encode
+
+
+def _ppm_decode_fn():
+    """Factory for the P6 decode kernel: a REAL Netpbm parser (magic,
+    '#'-comments, whitespace-tokenized width/height/maxval, one
+    whitespace byte before the raster), then numpy per-channel integer
+    means. Rejects non-P6 and truncated input. Self-contained closure —
+    see _ppm_encode_fn for the pickling contract."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def parse_header(b: bytes) -> tuple[int, int, int, int]:
+            """(width, height, maxval, raster_offset) per the Netpbm
+            spec: 'P6', then whitespace-separated width/height/maxval
+            (with '#'-to-newline comments allowed anywhere whitespace
+            is), then exactly one whitespace byte before the raster."""
+            if b[:2] != b"P6":
+                raise ValueError("not a binary PPM (P6) payload")
+            pos, end, fields = 2, len(b), []
+            while len(fields) < 3:
+                while pos < end and (
+                    b[pos : pos + 1].isspace() or b[pos] == 0x23  # '#'
+                ):
+                    if b[pos] == 0x23:  # comment runs to end of line
+                        while pos < end and b[pos] != 0x0A:
+                            pos += 1
+                    else:
+                        pos += 1
+                start = pos
+                while pos < end and not b[pos : pos + 1].isspace():
+                    pos += 1
+                if start == pos:
+                    raise ValueError("truncated PPM header")
+                fields.append(int(b[start:pos]))
+            return fields[0], fields[1], fields[2], pos + 1
+
         for pdf in batches:
-            n = len(pdf)
-            img = np.zeros((n, IMG_PIXELS), dtype=np.int64)
-            for i, b in enumerate(pdf["payload"]):
-                v = np.frombuffer(b[:IMG_PIXELS], dtype=np.uint8)
-                img[i, : v.size] = v
-            diffs = np.abs(np.diff(img, axis=1))
+            ids, ws, hs, means = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["ppm"]):
+                b = bytes(blob)
+                w, h, maxval, off = parse_header(b)
+                if maxval != 255:
+                    raise ValueError("8-bit raster expected")
+                px = np.frombuffer(
+                    b, dtype=np.uint8, offset=off, count=h * w * 3
+                ).reshape(h * w, 3)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                means.append(px.sum(axis=0, dtype=np.int64) * 1000 // (w * h))
+            m = (
+                np.stack(means)
+                if means
+                else np.empty((0, 3), dtype=np.int64)
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "mean_milli": img.sum(axis=1) * 1000 // IMG_PIXELS,
-                    "contrast": diffs.sum(axis=1),
-                    "n_edges": (diffs > EDGE_THRESHOLD).sum(axis=1),
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_r_milli": m[:, 0],
+                    "mean_g_milli": m[:, 1],
+                    "mean_b_milli": m[:, 2],
                 }
             )
 
-    return df.mapInPandas(
-        decode, "doc_id long, mean_milli long, contrast long, n_edges long"
+    return decode
+
+
+def decode_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip over a public format: encode each doc
+    as a valid binary Netpbm P6 (PPM) image, then decode it with an
+    actual header parser — no synthetic pixel shortcut on the decode
+    side (replaces r1-r10's ``decode_image_fake``, which skipped the
+    format and read raw payload bytes; the ``NotImplementedError`` seam
+    now covers only genuinely-absent codecs: JPEG/PNG/webp/ffmpeg).
+
+    Encode stage (mapInPandas): ``P6\\n{w} {h}\\n255\\n`` header + w*h*3
+    RGB bytes, pixels drawn by cycling the doc's UTF-8 text bytes
+    (zero-filled for empty docs). Dimensions vary per doc
+    (w = 4 + doc_id % 5, h = 3 + doc_id % 7) so the decoder must
+    genuinely parse the header — a fixed-size crop could fake it.
+
+    Decode stage (second mapInPandas): _ppm_decode_fn's spec parser,
+    then per-channel integer means. The DuckDB oracle recomputes the
+    features straight from the text bytes and the dimension formula —
+    agreement proves the encode->parse->extract round trip is lossless.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_ppm_encode_fn(), "doc_id long, ppm binary")
+    return encoded.mapInPandas(
+        _ppm_decode_fn(),
+        "doc_id long, width long, height long, "
+        "mean_r_milli long, mean_g_milli long, mean_b_milli long",
     )
 
 
-# Oracle byte extraction: the Spark path reads the first 64 BYTES of
-# the UTF-8 payload (np.frombuffer), so the oracle must index bytes,
-# not characters — substr/ascii would diverge on any non-ASCII code
-# point (review-found, latent on the ASCII driver corpus). hex() of
-# the encoded blob gives two hex digits per byte; strpos decodes them.
+# Oracle: recompute the features straight from the text BYTES (hex() of
+# the UTF-8 blob, two hex digits per byte — character indexing would
+# diverge on non-ASCII) and the dimension formula; byte i of the raster
+# cycles the n source bytes via ((i-1) % n) + 1.
+DECODE_IMAGE_PPM_SQL = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n,
+           (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 7)::BIGINT AS ht
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, ht,
+      [ CASE WHEN n = 0 THEN 0 ELSE
+          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
+          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
+        END for i in range(1, w*ht*3 + 1) ] AS p
+    FROM b
+)
+SELECT doc_id, w AS width, ht AS height,
+  CAST(list_sum([p[3*k+1] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_r_milli,
+  CAST(list_sum([p[3*k+2] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_g_milli,
+  CAST(list_sum([p[3*k+3] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_b_milli
+FROM px
+"""
+
+
+# Oracle byte extraction for the resize stage: the Spark path reads the
+# first 64 BYTES of the UTF-8 payload (np.frombuffer), so the oracle
+# must index bytes, not characters — substr/ascii would diverge on any
+# non-ASCII code point (review-found, latent on the ASCII driver
+# corpus). hex() of the encoded blob gives two hex digits per byte;
+# strpos decodes them.
 _HEX = "0123456789ABCDEF"
 
 
@@ -231,23 +344,6 @@ px AS (
 )"""
 
 
-DECODE_IMAGE_FAKE_SQL = f"""
-WITH {_PX_CTE},
-d AS (
-    SELECT doc_id, p,
-           [abs(p[i + 1] - p[i]) for i in range(1, {IMG_PIXELS})] AS diffs
-    FROM px
-)
-SELECT doc_id,
-       CAST(list_sum(p) * 1000 // {IMG_PIXELS} AS BIGINT) AS mean_milli,
-       CAST(list_sum(diffs) AS BIGINT) AS contrast,
-       CAST(len(list_filter(diffs, x -> x > {EDGE_THRESHOLD})) AS BIGINT)
-           AS n_edges
-FROM d
-"""
-
-
-
 RESIZE_FACTOR = 4  # 8x8 -> 2x2 via 4x4 integer block means
 RESIZE_SIDE = IMG_SIDE // RESIZE_FACTOR
 
@@ -256,7 +352,7 @@ def resize_image_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, q00, q01, q10, q11): the fake 8×8 image downsampled to
     2×2 by exact integer 4×4 block means — the RESIZE stage of the
     multimodal pipeline, same Arrow-batch numpy path as
-    ``decode_image_fake`` (swap the block-mean for cv2/PIL thumbnailing
+    ``decode_image_ppm`` (swap the block-mean for cv2/PIL thumbnailing
     and the plumbing is unchanged). Block means are floor divisions of
     16-pixel integer sums, so the oracle replays them exactly.
     """
@@ -354,8 +450,8 @@ def decode_image_pil(df: DataFrame, media_col: str = "payload") -> DataFrame:
         except ImportError as exc:  # container ships no codecs
             raise NotImplementedError(
                 "decode_image_pil requires Pillow on the executors; "
-                "pip install pillow or use decode_image_fake for the "
-                "codec-free deterministic path"
+                "pip install pillow or use decode_image_ppm for the "
+                "library-free real-codec (Netpbm P6) path"
             ) from exc
         import io
 
@@ -460,10 +556,10 @@ QUERIES: dict[str, Query] = {
         PAYLOAD_BYTE_STATS_SQL,
         "Arrow-batched mapInPandas byte stats over binary payloads",
     ),
-    "decode_image_fake": Query(
-        decode_image_fake,
-        DECODE_IMAGE_FAKE_SQL,
-        "executable deterministic decode: 8x8 gray image features via mapInPandas",
+    "decode_image_ppm": Query(
+        decode_image_ppm,
+        DECODE_IMAGE_PPM_SQL,
+        "real Netpbm P6 codec round trip: encode + header-parse decode via mapInPandas",
     ),
     "resize_image_fake": Query(
         resize_image_fake,

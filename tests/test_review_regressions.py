@@ -125,14 +125,16 @@ def test_rank_stats_survive_int64_scale(spark):
 
 
 def test_image_oracles_index_bytes_not_characters(spark, tmp_path):
-    """The fake decoder consumes the first 64 BYTES of the UTF-8
-    payload; the oracle SQL must too. A document starting with
-    non-ASCII text ('é' → 0xC3 0xA9) exposed the old substr/ascii
-    character indexing."""
+    """The image operators consume BYTES of the UTF-8 payload; the
+    oracle SQL must too. A document starting with non-ASCII text
+    ('é' → 0xC3 0xA9) exposed the old substr/ascii character indexing.
+    decode_image_ppm additionally covers the empty-doc raster
+    (zero-filled pixels, no cycling possible) and the full real-format
+    round trip on multi-byte text."""
     from simple_map_reduce_ruuner_spark.operators.multimodal import (
-        DECODE_IMAGE_FAKE_SQL,
+        DECODE_IMAGE_PPM_SQL,
         RESIZE_IMAGE_FAKE_SQL,
-        decode_image_fake,
+        decode_image_ppm,
         resize_image_fake,
     )
 
@@ -140,6 +142,8 @@ def test_image_oracles_index_bytes_not_characters(spark, tmp_path):
         (1, "é" * 40, "fr", "synth", 80),
         (2, "añö" + "x" * 61, "es", "synth", 64),
         (3, "plain ascii " * 6, "en", "synth", 72),
+        (4, "", "en", "synth", 0),
+        (5, "ab", "en", "synth", 2),  # raster much longer than source
     ]
     sf_dir = str(tmp_path)
     spark.createDataFrame(
@@ -152,7 +156,7 @@ def test_image_oracles_index_bytes_not_characters(spark, tmp_path):
         f" read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
     for fn, sql in (
-        (decode_image_fake, DECODE_IMAGE_FAKE_SQL),
+        (decode_image_ppm, DECODE_IMAGE_PPM_SQL),
         (resize_image_fake, RESIZE_IMAGE_FAKE_SQL),
     ):
         got = sorted(map(tuple, fn(spark, sf_dir).collect()))
