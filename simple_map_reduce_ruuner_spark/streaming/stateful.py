@@ -26,7 +26,10 @@ STATE_SCHEMA = "n long, total double"
 
 
 def stream_running_user_totals(
-    spark: SparkSession, input_dir: str, events_ddl: str
+    spark: SparkSession,
+    input_dir: str,
+    events_ddl: str,
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """readStream → groupBy(user) → applyInPandasWithState running totals.
 
@@ -55,7 +58,11 @@ def stream_running_user_totals(
             {"user_id": [user_id], "n_events": [n], "total_value": [total]}
         )
 
-    src = spark.readStream.schema(events_ddl).parquet(input_dir)
+    src = (
+        spark.readStream.schema(events_ddl)
+        .options(**(reader_options or {}))  # e.g. maxFilesPerTrigger
+        .parquet(input_dir)
+    )
     return (
         src.groupBy("user_id")
         .applyInPandasWithState(

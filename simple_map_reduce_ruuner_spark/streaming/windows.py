@@ -137,12 +137,19 @@ EVENTS_DDL = (
 
 
 def stream_tumbling_counts(
-    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "10 minutes",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """readStream → watermark → tumbling-window agg. Append-safe: the
     watermark lets Spark finalize windows and bound state; late rows past
     the watermark are dropped — the standard late-data policy."""
-    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    src = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**(reader_options or {}))  # e.g. maxFilesPerTrigger
+        .parquet(input_dir)
+    )
     # Spark watermarks require a zoned TIMESTAMP event-time column
     # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ): cast in, cast back out.
     # With the session timezone at its UTC default this is lossless.
@@ -161,12 +168,19 @@ def stream_tumbling_counts(
 
 
 def stream_sliding_counts(
-    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "10 minutes",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`sliding_counts` — overlapping windows via
     the same ``F.window(duration, step)``; each event updates 2 windows'
     state, watermark bounds how long a window stays open."""
-    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    src = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**(reader_options or {}))  # e.g. maxFilesPerTrigger
+        .parquet(input_dir)
+    )
     return (
         src.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -181,13 +195,20 @@ def stream_sliding_counts(
 
 
 def stream_session_windows(
-    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "10 minutes",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`session_windows` — ``F.session_window``
     merges overlapping per-key windows in the state store; the watermark
     finalizes a session once no event can extend it (gap + watermark past
     its end), which is what bounds state at 100 TB."""
-    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    src = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**(reader_options or {}))  # e.g. maxFilesPerTrigger
+        .parquet(input_dir)
+    )
     return (
         src.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -234,13 +255,21 @@ GROUP BY 1, 2
 
 
 def stream_segment_counts(
-    spark: SparkSession, input_dir: str, sf_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    input_dir: str,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Stream-static enrichment: the event stream joins a STATIC dim
     table (re-read per micro-batch, broadcast) before the windowed agg —
     the standard pattern for enriching a fact stream with slowly-changing
     reference data without a stream-stream join's state."""
-    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    src = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**(reader_options or {}))  # e.g. maxFilesPerTrigger
+        .parquet(input_dir)
+    )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

@@ -73,19 +73,36 @@ def main() -> int:
     ev.repartition(N_SOURCE_FILES).write.parquet(str(src_dir))
     print(f"staged {n_rows:,} events into {N_SOURCE_FILES} files at {src_dir}")
 
+    # maxFilesPerTrigger is a SOURCE option — it must reach the
+    # readStream builder (on the sink it is silently ignored and the
+    # whole input collapses into one micro-batch, which would make this
+    # a batch benchmark in disguise)
+    opts = {"maxFilesPerTrigger": str(FILES_PER_TRIGGER)}
+    # (builder, sink output mode): session-window aggregation does not
+    # support update mode — complete is its contract (same as the test
+    # suite); the other two emit per-key updates.
     streams = {
-        "stream_tumbling_counts": lambda: stream_tumbling_counts(
-            spark, str(src_dir), watermark="10 minutes"
+        "stream_tumbling_counts": (
+            lambda: stream_tumbling_counts(
+                spark, str(src_dir), watermark="10 minutes", reader_options=opts
+            ),
+            "update",
         ),
-        "stream_session_windows": lambda: stream_session_windows(
-            spark, str(src_dir), watermark="10 minutes"
+        "stream_session_windows": (
+            lambda: stream_session_windows(
+                spark, str(src_dir), watermark="10 minutes", reader_options=opts
+            ),
+            "complete",
         ),
-        "stream_user_totals": lambda: stream_running_user_totals(
-            spark, str(src_dir), EVENTS_DDL
+        "stream_user_totals": (
+            lambda: stream_running_user_totals(
+                spark, str(src_dir), EVENTS_DDL, reader_options=opts
+            ),
+            "update",
         ),
     }
 
-    def run_once(name: str, build, rep: int) -> dict:
+    def run_once(name: str, build, mode: str, rep: int) -> dict:
         ckpt = work / f"ckpt_{name}_{rep}"  # cold state per rep
         t0 = time.perf_counter()
         q = (
@@ -93,9 +110,8 @@ def main() -> int:
             .writeStream.foreachBatch(
                 lambda b, i: b.write.format("noop").mode("overwrite").save()
             )
-            .outputMode("update")
+            .outputMode(mode)
             .option("checkpointLocation", str(ckpt))
-            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
             .trigger(availableNow=True)
             .start()
         )
@@ -132,8 +148,8 @@ def main() -> int:
 
     out: dict[str, list[dict]] = {n: [] for n in streams}
     for rep in range(reps):  # round-robin, same burst discipline as bench
-        for name, build in streams.items():
-            r = run_once(name, build, rep)
+        for name, (build, mode) in streams.items():
+            r = run_once(name, build, mode, rep)
             out[name].append(r)
             print(f"rep {rep} {name}: {r}", flush=True)
 
