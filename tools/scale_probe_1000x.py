@@ -22,7 +22,12 @@ per_unit < 1 at this size (headroom says it should be: 0.129 at 100x,
 x sqrt(10) per decade -> ~0.4 at 1000x), with the N^1.5 slope
 documented rather than hidden.
 
-Usage: python tools/scale_probe_1000x.py [--out SCALE_CURVE_1000X_r09.json]
+Usage: python tools/scale_probe_1000x.py [--out SCALE_CURVE_1000X_EMB_r11.json]
+                                         [--reps-big 2]
+
+r11: brought up to the docs/graph probe discipline — heap + shuffle
+partitions derived from parquet footers via plans/sizing.py, session
+caches cleared per rep (COLD), >= 2 raw big reps published.
 """
 
 from __future__ import annotations
@@ -72,46 +77,74 @@ def main() -> int:
     out_name = (
         args[args.index("--out") + 1]
         if "--out" in args
-        else "SCALE_CURVE_1000X_r09.json"
+        else "SCALE_CURVE_1000X_EMB_r11.json"
+    )
+    reps_big = int(
+        args[args.index("--reps-big") + 1] if "--reps-big" in args else 2
     )
     ensure_probe_data()
 
+    from simple_map_reduce_ruuner_spark.plans.sizing import (
+        apply_dataset_sizing,
+        dataset_footprint,
+        recommend_driver_mem_gb,
+    )
     from simple_map_reduce_ruuner_spark.registry import all_queries
     from simple_map_reduce_ruuner_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="smrr-1000x-probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from simple_map_reduce_ruuner_spark.sources.tables import (
+        clear_session_caches,
     )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    big_bytes = dataset_footprint(str(PROBE_DIR))["uncompressed_bytes"]
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM", f"{recommend_driver_mem_gb(big_bytes, cpus)}g"
+    )
+    spark = get_spark(app_name="smrr-1000x-probe", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     fns = {n: q.fn for n, q in all_queries().items() if n in PROBE_QUERIES}
+    sizing: dict[str, dict] = {}
 
     def run(name: str, sf_dir: str) -> float:
+        sizing[sf_dir] = apply_dataset_sizing(spark, sf_dir, cpus=cpus)
         t0 = time.perf_counter()
         fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     for name in PROBE_QUERIES:  # codegen warm-up
         run(name, WARM)
+    clear_session_caches(WARM)
 
     out = {}
     for name in PROBE_QUERIES:
-        t_small = min(run(name, SMALL) for _ in range(2))
-        t_big = run(name, str(PROBE_DIR))
+        def cold(sf_dir: str) -> float:
+            clear_session_caches(sf_dir)
+            return run(name, sf_dir)
+
+        small_reps = [round(cold(SMALL), 3) for _ in range(2)]
+        big_reps = [round(cold(str(PROBE_DIR)), 3) for _ in range(reps_big)]
+        t_small, t_big = min(small_reps), min(big_reps)
         ratio = round(t_big / t_small, 2)
         out[name] = {
-            "sec_small": round(t_small, 3),
-            "sec_big": round(t_big, 3),
+            "sec_small": t_small,
+            "sec_big": t_big,
+            "reps_small": small_reps,
+            "reps_big": big_reps,
             "ratio": ratio,
             "per_unit": round(ratio / K, 3),
         }
-        print(name, out[name])
+        print(name, out[name], flush=True)
 
     doc = {
         "method": (
-            "single big rep (min-of-2 at small), noop sink, codegen "
-            "pre-warmed; embeddings-only 1000x dir (the probe queries "
-            "read no other table)"
+            "min over published reps on BOTH sides (2 small, "
+            f"{reps_big} big — every raw timing in reps_*), noop sink, "
+            "codegen pre-warmed, session caches cleared per rep (COLD); "
+            "embeddings-only 1000x dir (the probe queries read no other "
+            "table); heap + shuffle partitions derived from parquet "
+            "footers via plans/sizing.py (see `sizing`)"
         ),
+        "sizing": sizing,
         "small_dir": SMALL,
         "big_dir": str(PROBE_DIR),
         "data_scale": K,

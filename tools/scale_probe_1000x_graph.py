@@ -72,8 +72,13 @@ def main() -> int:
     reps_big = int(
         args[args.index("--reps-big") + 1] if "--reps-big" in args else 2
     )
-    queries = ["pagerank_trading"] + (
-        ["supplier_cotrading_pairs"] if "--cotrading" in args else []
+    # --queries a,b overrides the default target (e.g. a cotrading-only
+    # run that doesn't re-pay the ~30-45 min pagerank reps)
+    queries = (
+        args[args.index("--queries") + 1].split(",")
+        if "--queries" in args
+        else ["pagerank_trading"]
+        + (["supplier_cotrading_pairs"] if "--cotrading" in args else [])
     )
     ensure_probe_data()
 
