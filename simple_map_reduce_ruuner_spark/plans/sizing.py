@@ -125,16 +125,31 @@ def apply_dataset_sizing(
     sf_dir: str,
     tables: list[str] | None = None,
     cpus: int | None = None,
+    explode_factor: float = EXPLODE_FACTOR,
 ) -> dict:
     """Size ``spark.sql.shuffle.partitions`` for ``sf_dir`` from its
     footers and warn if the live driver heap is under the
     recommendation (heap is fixed at JVM start — a probe that needs
     more must export SPARK_GRAFT_DRIVER_MEM before get_spark; see
-    tools/scale_probe_1000x_docs.py)."""
+    tools/scale_probe_1000x_docs.py).
+
+    ``explode_factor`` is the per-operator working-set expansion hint:
+    the default (measured on the text shingle ladder) covers ordinary
+    scans/joins/aggs, but generator-shaped operators whose expansion
+    happens AFTER an exchange (e.g. wedge-pair counting's bounded Σd²)
+    blow past an input-bytes model — AQE coalesces by shuffle bytes and
+    cannot see post-exchange expansion either (observed: the 1000x
+    cotrading probe exhausted the execution pool in exactly that
+    stage, ROUND11_NOTES.md §9). Callers running such operators should
+    pass their measured factor."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     fp = dataset_footprint(sf_dir, tables)
-    parts = derive_shuffle_partitions(fp["uncompressed_bytes"], cpus)
-    rec_gb = recommend_driver_mem_gb(fp["uncompressed_bytes"], cpus)
+    parts = derive_shuffle_partitions(
+        fp["uncompressed_bytes"], cpus, explode_factor
+    )
+    rec_gb = recommend_driver_mem_gb(
+        fp["uncompressed_bytes"], cpus, explode_factor
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     live = spark.conf.get("spark.driver.memory", "1g")
     live_gb = _mem_to_gb(live)
