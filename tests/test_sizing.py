@@ -94,6 +94,20 @@ def test_footprint_reads_real_footers():
     assert docs_only["paths"] == 1
 
 
+def test_explode_factor_override_scales_both_knobs():
+    """The per-operator expansion hint (generator-shaped operators whose
+    blow-up happens after the exchange, e.g. wedge-pair counting) must
+    reach BOTH derived quantities: more partitions and a matching (or
+    plateaued) heap recommendation."""
+    base = derive_shuffle_partitions(BYTES_SF10, cpus=32)
+    hinted = derive_shuffle_partitions(BYTES_SF10, cpus=32, explode_factor=64)
+    # linear in the hint between floor and cap (up to ceil rounding)
+    assert abs(hinted - base * 8) <= 8
+    assert recommend_driver_mem_gb(
+        BYTES_SF10, cpus=32, explode_factor=64
+    ) >= recommend_driver_mem_gb(BYTES_SF10, cpus=32)
+
+
 def test_mem_to_gb_units():
     assert _mem_to_gb("8g") == 8.0
     assert _mem_to_gb("512m") == 0.5
