@@ -317,6 +317,10 @@ def main() -> None:
         "stat_history": "r1-r9 plain median; r10 trimmed only; r11+ both (vs_r01 on plain, like-for-like with r01)",
         "noise": noise,
         "vs_r01": vs_prev,
+        # fresh, estimator-explicit key (ADVICE r11): vs_r01 changed
+        # meaning r10→r11 (trimmed→plain); consumers diffing across
+        # rounds should prefer the suffixed keys, which never move.
+        "vs_r01_plain": vs_prev,
         "vs_r01_trimmed": vs_prev_trimmed,
     }
     print(json.dumps(doc))

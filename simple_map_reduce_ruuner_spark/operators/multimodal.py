@@ -207,6 +207,11 @@ def _ppm_decode_fn():
             is), then exactly one whitespace byte before the raster."""
             if b[:2] != b"P6":
                 raise ValueError("not a binary PPM (P6) payload")
+            # the magic must be its own token: 'P6123 4 ...' is NOT a
+            # valid header with width 123 — require whitespace (or a
+            # comment) between the magic and the first field
+            if not (b[2:3].isspace() or b[2:3] == b"#"):
+                raise ValueError("malformed PPM: no whitespace after magic")
             pos, end, fields = 2, len(b), []
             while len(fields) < 3:
                 while pos < end and (

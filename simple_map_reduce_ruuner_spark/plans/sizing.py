@@ -176,4 +176,7 @@ def _mem_to_gb(mem: str) -> float:
     units = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
     if mem and mem[-1] in units:
         return float(mem[:-1]) * units[mem[-1]]
-    return float(mem) / (1 << 30)  # bare bytes
+    # Suffix-less values: Spark's byteStringAsMb reads bare numbers as
+    # MiB (JavaUtils.byteStringAs with ByteUnit.MiB), not bytes — match
+    # that so a bare `spark.driver.memory=49152` reads as 48 GiB.
+    return float(mem) / 1024

@@ -76,6 +76,10 @@ def test_parser_rejects_invalid_input():
         _decode([b"P6\n2 1\n"])  # header ends before maxval
     with pytest.raises(ValueError, match="8-bit raster"):
         _decode([b"P6\n2 1\n65535\n" + bytes(12)])
+    # magic must be its own token (advice r11): 'P6123 4 255' must not
+    # silently parse as width=123
+    with pytest.raises(ValueError, match="whitespace after magic"):
+        _decode([b"P6123 4 255\n" + bytes(123 * 4 * 3)])
 
 
 def test_empty_batch_yields_typed_empty_frame():

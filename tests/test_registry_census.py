@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import importlib
 import pkgutil
+import pytest
 
 from simple_map_reduce_ruuner_spark import operators, registry, streaming
 
@@ -116,7 +117,9 @@ def test_registry_md_last_green_column_not_older_than_artifacts():
                 timeout=30,
             ).stdout.strip()
         except (OSError, subprocess.TimeoutExpired):
-            dirty = "git-unavailable"  # can't verify: don't fail the suite
+            # can't verify: make the unverified case VISIBLE instead of
+            # silently passing the staleness assertion (ADVICE r11)
+            pytest.skip("git unavailable — census staleness unverifiable")
         assert dirty, (
             f"REGISTRY.md derived from r{stamped} artifacts but "
             f"{name} is committed clean — the census is genuinely one "

@@ -112,6 +112,9 @@ def test_mem_to_gb_units():
     assert _mem_to_gb("8g") == 8.0
     assert _mem_to_gb("512m") == 0.5
     assert _mem_to_gb("30G") == 30.0
+    # suffix-less = MiB, matching Spark's byteStringAsMb (advice r11):
+    # a bare `spark.driver.memory=49152` means 48 GiB, not 48 KiB
+    assert _mem_to_gb("49152") == 48.0
 
 
 def test_apply_dataset_sizing_sets_conf_and_warns(spark):
