@@ -9,10 +9,12 @@ The driver tables carry no real media, so the binary column is
 synthesized deterministically (UTF-8 payload of the document text).
 REAL here: the Spark-side plumbing (binary column handling, metadata
 projection, mapInPandas batch signature, schema/partition behavior) AND
-one full public-format codec — :func:`decode_image_ppm` encodes valid
+two full public-format codecs — :func:`decode_image_ppm` encodes valid
 binary Netpbm P6 images and decodes them with an actual header parser
-(r11; no image library needed, the format is bytes + arithmetic).
-Library-dependent codecs (JPEG/PNG/webp, audio/video) remain behind
+(r11; no image library needed, the format is bytes + arithmetic), and
+:func:`decode_image_png` (r12) does the same for PNG with stdlib zlib:
+all five scanline filters, CRC-checked chunks, multi-IDAT reassembly.
+Library-dependent codecs (JPEG/webp, audio/video) remain behind
 :func:`decode_media_stub` / :func:`decode_image_pil`, which raise
 ``NotImplementedError`` exactly where PIL/ffmpeg would plug in.
 
@@ -294,12 +296,17 @@ def decode_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: recompute the features straight from the text BYTES (hex() of
 # the UTF-8 blob, two hex digits per byte — character indexing would
 # diverge on non-ASCII) and the dimension formula; byte i of the raster
-# cycles the n source bytes via ((i-1) % n) + 1.
-DECODE_IMAGE_PPM_SQL = """
+# cycles the n source bytes via ((i-1) % n) + 1. Shared template: the
+# PPM and PNG round trips differ only in their per-doc dimension
+# formulas (and the container format, which the oracle never sees — a
+# hash match therefore proves each codec's encode->parse->extract trip
+# is lossless against the SAME ground truth).
+def _decode_image_oracle_sql(w_expr: str, h_expr: str) -> str:
+    return f"""
 WITH b AS (
     SELECT doc_id, hex(encode(text)) AS h,
            octet_length(encode(text))::BIGINT AS n,
-           (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 7)::BIGINT AS ht
+           ({w_expr})::BIGINT AS w, ({h_expr})::BIGINT AS ht
     FROM documents
 ),
 px AS (
@@ -316,6 +323,11 @@ SELECT doc_id, w AS width, ht AS height,
   CAST(list_sum([p[3*k+3] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_b_milli
 FROM px
 """
+
+
+DECODE_IMAGE_PPM_SQL = _decode_image_oracle_sql(
+    "4 + doc_id % 5", "3 + doc_id % 7"
+)
 
 
 # Oracle byte extraction for the resize stage: the Spark path reads the
@@ -412,6 +424,262 @@ SELECT doc_id,
        {_resize_block_sql(1, 1)} AS q11
 FROM px
 """
+
+
+# --- PNG codec (RFC 2083 / ISO 15948; stdlib-only: zlib + crc32) -----
+#
+# Per-doc dimensions deliberately differ from the PPM path so a decoder
+# that cheats by reusing decode_image_ppm's formula hash-mismatches.
+PNG_W_EXPR = "2 + doc_id % 6"  # 2..7 px wide
+PNG_H_EXPR = "2 + doc_id % 5"  # 2..6 px tall
+
+
+def _png_encode_fn():
+    """Factory for the PNG encode kernel: a REAL spec-conformant writer
+    (stdlib zlib/struct/binascii only — the point of the exercise).
+
+    Per doc: 8-bit RGB (color type 2), no interlace, w = 2 + doc_id % 6,
+    h = 2 + doc_id % 5, pixel bytes cycling the doc's UTF-8 text (the
+    same recipe the oracle replays). Every row is filtered with type
+    row % 5, so ALL FIVE scanline filters (None/Sub/Up/Average/Paeth)
+    appear in every image taller than 4 rows and the decoder's
+    unfiltering is exercised for real. The IDAT stream is split across
+    two chunks when possible (spec-legal, forces reassembly) and a tEXt
+    chunk sits before them (decoder must skip ancillary chunks). The
+    closure is self-contained and pickled by value — executors never
+    import this package (see _ppm_encode_fn)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", binascii.crc32(ctype + data))
+            )
+
+        def filter_rows(raw: "np.ndarray", w: int, h: int) -> bytes:
+            """Filter each scanline with type row % 5. PNG filters read
+            the RAW bytes of the current and prior scanline (the decoder
+            reconstructs them), so encoding is fully vectorized."""
+            stride = w * 3
+            img = raw.reshape(h, stride).astype(np.int64)
+            out = bytearray()
+            for r in range(h):
+                cur = img[r]
+                prior = img[r - 1] if r else np.zeros(stride, np.int64)
+                left = np.concatenate(([0, 0, 0], cur[:-3]))
+                upleft = np.concatenate(([0, 0, 0], prior[:-3]))
+                f = r % 5
+                if f == 0:
+                    filt = cur
+                elif f == 1:  # Sub
+                    filt = cur - left
+                elif f == 2:  # Up
+                    filt = cur - prior
+                elif f == 3:  # Average
+                    filt = cur - (left + prior) // 2
+                else:  # Paeth
+                    p = left + prior - upleft
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - prior)
+                    pc = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prior, upleft),
+                    )
+                    filt = cur - pred
+                out.append(f)
+                out.extend((filt % 256).astype(np.uint8).tobytes())
+            return bytes(out)
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = int(2 + doc_id % 6)
+                h = int(2 + doc_id % 5)
+                need = w * h * 3
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                raw = (
+                    np.resize(t, need)  # cycles the source bytes
+                    if t.size
+                    else np.zeros(need, dtype=np.uint8)
+                )
+                idat = zlib.compress(filter_rows(raw, w, h))
+                mid = len(idat) // 2
+                parts = [
+                    b"\x89PNG\r\n\x1a\n",
+                    chunk(
+                        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    ),
+                    chunk(b"tEXt", b"Comment\x00smrr synthetic"),
+                ]
+                if mid:  # spec-legal multi-IDAT: decoder must reassemble
+                    parts += [
+                        chunk(b"IDAT", idat[:mid]),
+                        chunk(b"IDAT", idat[mid:]),
+                    ]
+                else:
+                    parts.append(chunk(b"IDAT", idat))
+                parts.append(chunk(b"IEND", b""))
+                blobs.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": blobs})
+
+    return encode
+
+
+def _png_decode_fn():
+    """Factory for the PNG decode kernel: signature check, chunk walk
+    with CRC32 verification, IHDR validation (8-bit RGB, deflate,
+    filter method 0, no interlace), multi-IDAT reassembly,
+    zlib.decompress, and per-scanline unfiltering for all five filter
+    types (RFC 2083 §6) — then the same per-channel integer means the
+    PPM path emits. Rejects bad signatures, CRC mismatches, truncated
+    streams, and unsupported IHDR shapes. Self-contained closure (see
+    _ppm_encode_fn for the pickling contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def parse(b: bytes) -> tuple[int, int, bytes]:
+            """(width, height, raw RGB bytes) or raise ValueError."""
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG: bad signature")
+            pos, end = 8, len(b)
+            ihdr = None
+            idat = bytearray()
+            seen_iend = False
+            while pos < end:
+                if pos + 8 > end:
+                    raise ValueError("truncated PNG: chunk header")
+                (length,) = struct.unpack(">I", b[pos : pos + 4])
+                ctype = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + length]
+                if len(data) != length or pos + 12 + length > end:
+                    raise ValueError("truncated PNG: chunk data")
+                (crc,) = struct.unpack(
+                    ">I", b[pos + 8 + length : pos + 12 + length]
+                )
+                if binascii.crc32(ctype + data) != crc:
+                    raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat.extend(data)
+                elif ctype == b"IEND":
+                    seen_iend = True
+                    break
+                # ancillary chunks (tEXt etc.) are skipped
+                pos += 12 + length
+            if ihdr is None or not seen_iend:
+                raise ValueError("PNG missing IHDR or IEND")
+            w, h, depth, ctype_i, comp, filt, inter = ihdr
+            if (depth, ctype_i, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG shape (want 8-bit RGB, deflate, "
+                    "filter method 0, no interlace)"
+                )
+            stream = zlib.decompress(bytes(idat))
+            stride = w * 3
+            if len(stream) != h * (1 + stride):
+                raise ValueError("PNG raster size mismatch")
+            recon = np.zeros((h, stride), dtype=np.int64)
+            for r in range(h):
+                row = stream[r * (1 + stride) : (r + 1) * (1 + stride)]
+                f, filt_b = row[0], np.frombuffer(
+                    row, dtype=np.uint8, offset=1
+                ).astype(np.int64)
+                prior = recon[r - 1] if r else np.zeros(stride, np.int64)
+                if f == 0:
+                    recon[r] = filt_b
+                elif f == 2:  # Up — vectorized, prior row fully known
+                    recon[r] = (filt_b + prior) % 256
+                elif f in (1, 3, 4):
+                    # Sub/Average/Paeth reconstruct left-to-right: the
+                    # left neighbor is the already-RECONSTRUCTED byte
+                    cur = recon[r]
+                    for i in range(stride):
+                        a = cur[i - 3] if i >= 3 else 0  # left
+                        bb = prior[i]  # up
+                        if f == 1:
+                            pred = a
+                        elif f == 3:
+                            pred = (a + bb) // 2
+                        else:
+                            c = prior[i - 3] if i >= 3 else 0  # up-left
+                            p = a + bb - c
+                            pa, pb_, pc = abs(p - a), abs(p - bb), abs(p - c)
+                            pred = (
+                                a
+                                if pa <= pb_ and pa <= pc
+                                else (bb if pb_ <= pc else c)
+                            )
+                        cur[i] = (filt_b[i] + pred) % 256
+                else:
+                    raise ValueError(f"unknown PNG filter type {f}")
+            return w, h, recon.reshape(-1).astype(np.uint8).tobytes()
+
+        for pdf in batches:
+            ids, ws, hs, means = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["png"]):
+                w, h, raw = parse(bytes(blob))
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h * w, 3)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                means.append(px.sum(axis=0, dtype=np.int64) * 1000 // (w * h))
+            m = np.stack(means) if means else np.empty((0, 3), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_r_milli": m[:, 0],
+                    "mean_g_milli": m[:, 1],
+                    "mean_b_milli": m[:, 2],
+                }
+            )
+
+    return decode
+
+
+def decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round trip, stdlib-only (RFC 2083: zlib deflate +
+    the five scanline filters + CRC-checked chunks). Encode each doc as
+    a valid 8-bit RGB PNG — per-row filter type rotates through all
+    five, IDAT split across two chunks, an ancillary tEXt chunk to skip
+    — then decode with a full parser (signature, CRC verification,
+    IHDR validation, IDAT reassembly, inflate, per-filter scanline
+    reconstruction) and emit per-channel integer means.
+
+    The DuckDB oracle (shared template with decode_image_ppm, different
+    dimension formula) recomputes the features straight from the text
+    bytes: a hash match proves the filter/compress/chunk round trip is
+    lossless. Replaces ``resize_image_fake`` in the registry (r11
+    verdict item 4); the NotImplementedError seam now covers only
+    JPEG/webp/audio/video, which genuinely need external codecs.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_png_encode_fn(), "doc_id long, png binary")
+    return encoded.mapInPandas(
+        _png_decode_fn(),
+        "doc_id long, width long, height long, "
+        "mean_r_milli long, mean_g_milli long, mean_b_milli long",
+    )
+
+
+DECODE_IMAGE_PNG_SQL = _decode_image_oracle_sql(PNG_W_EXPR, PNG_H_EXPR)
 
 
 def decode_media_stub(df: DataFrame, media_col: str = "payload") -> DataFrame:
@@ -566,9 +834,13 @@ QUERIES: dict[str, Query] = {
         DECODE_IMAGE_PPM_SQL,
         "real Netpbm P6 codec round trip: encode + header-parse decode via mapInPandas",
     ),
-    "resize_image_fake": Query(
-        resize_image_fake,
-        RESIZE_IMAGE_FAKE_SQL,
-        "resize stage: exact integer 4x4 block-mean downsample via mapInPandas",
+    # r12: decode_image_png REPLACES resize_image_fake in this slot
+    # (verdict item 4; registry stays at 152). The resize stage itself
+    # remains above as pipeline plumbing + direct tests — only its
+    # registry seat moved to the second real codec.
+    "decode_image_png": Query(
+        decode_image_png,
+        DECODE_IMAGE_PNG_SQL,
+        "real PNG codec round trip: zlib+filters+CRC encode/decode via mapInPandas",
     ),
 }
