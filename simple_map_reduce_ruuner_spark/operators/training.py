@@ -25,6 +25,10 @@ splits, and pack documents into fixed token-budget streams.
   to (lang, doc_id div S): each shard packs independently with its own
   bin namespace, which is still a valid packing and keeps every sort
   partition bounded.
+- ``sequence_pack_bins_salted`` — that salted form as code (r12): the
+  window key is (lang, shard = doc_id // 256), every sort partition is
+  bounded, and within a shard the assignment equals the unsalted packer
+  run on that shard alone (tests/test_training_salted.py).
 
 No reference-engine equivalent (the reference is a 4-workload
 MapReduce control plane); these follow the suite's anchor-with-oracle
@@ -150,6 +154,69 @@ FROM cum
 """
 
 
+PACK_SALT_DOCS = 256  # documents per salt shard (S in the SCALE.md recipe)
+
+
+def sequence_pack_bins_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``sequence_pack_bins``: the window partition
+    key is salted from (lang) to (lang, shard = doc_id // S), so every
+    sort partition is bounded by S documents regardless of corpus size —
+    the unsalted per-lang sort partition is the one piece of
+    ``sequence_pack_bins`` that grows without bound (SCALE.md's packing
+    row prescribed exactly this; r11 verdict item 7 turns the recipe
+    into code).
+
+    Each (lang, shard) packs independently with its own bin namespace:
+    ``bin_id`` restarts per shard and a bin never spans shards, which is
+    still a valid concat-then-cut packing — the only cost is at most one
+    under-filled bin per shard (bounded waste: <= capacity-1 tokens per
+    S documents). Within any shard the assignment is IDENTICAL to
+    running the unsalted packer on that shard's documents alone
+    (equivalence pinned in tests/test_training_salted.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(PACK_SALT_DOCS))
+        .cast("long")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)  # inclusive running total
+    before = cum - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor(before / F.lit(PACK_CAPACITY)).cast("long").alias("bin_id"),
+        F.pmod(before, F.lit(PACK_CAPACITY)).cast("long").alias("bin_offset"),
+    )
+
+
+SEQUENCE_PACK_BINS_SALTED_SQL = rf"""
+WITH sized AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(doc_id // {PACK_SALT_DOCS} AS BIGINT) AS shard
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+               - n_tokens AS before
+    FROM sized
+)
+SELECT doc_id, lang, shard, n_tokens,
+       CAST(before // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST(before % {PACK_CAPACITY} AS BIGINT) AS bin_offset
+FROM cum
+"""
+
+
 QUERIES: dict[str, Query] = {
     "vocab_build": Query(
         vocab_build,
@@ -165,5 +232,10 @@ QUERIES: dict[str, Query] = {
         sequence_pack_bins,
         SEQUENCE_PACK_BINS_SQL,
         "concat-then-cut sequence packing via window cumsum",
+    ),
+    "sequence_pack_bins_salted": Query(
+        sequence_pack_bins_salted,
+        SEQUENCE_PACK_BINS_SALTED_SQL,
+        "salted packing: bounded (lang, doc_id//S) sort partitions, per-shard bin namespace",
     ),
 }
