@@ -23,7 +23,10 @@ from simple_map_reduce_ruuner_spark.streaming.windows import EVENTS_DDL
 
 
 def stream_clicks_before_errors(
-    spark: SparkSession, input_dir: str, watermark: str = "30 minutes"
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "30 minutes",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """(user_id, error_id, click_ts) pairs: each error joined to the
     same user's clicks in the preceding 10 minutes, as a watermarked
@@ -37,7 +40,11 @@ def stream_clicks_before_errors(
     passes, unobservable under a single availableNow batch — the test
     compares against the batch join restricted to matched rows.
     """
-    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    src = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**(reader_options or {}))  # e.g. maxFilesPerTrigger
+        .parquet(input_dir)
+    )
     events = src.withColumn("ts", F.col("ts").cast("timestamp"))
     errors = (
         events.where(F.col("event_type") == "error")

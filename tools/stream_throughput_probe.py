@@ -3,7 +3,7 @@
 correctness pins but no scale row until r11.
 
 Replays the 10x events table (.scaledata/sf1, 10x sf0.1's rows) through
-three streaming operators on the RocksDB state-store provider (the
+four streaming operators on the RocksDB state-store provider (the
 production 100 TB state configuration), with the source staged as
 multiple files and maxFilesPerTrigger so the run exercises REAL
 multi-micro-batch state carry, not one degenerate batch:
@@ -11,6 +11,8 @@ multi-micro-batch state carry, not one degenerate batch:
 - stream_tumbling_counts    — watermarked tumbling-window agg
 - stream_session_windows    — session-window merge (heaviest state shape)
 - stream_user_totals        — applyInPandasWithState arbitrary state
+- stream_clicks_before_errors — watermark-bounded stream-stream interval
+                              join (r12; both sides buffered in RocksDB)
 
 Each rep records wall seconds, input rows/sec, micro-batch count, and
 the state-store size straight from the query progress (stateOperators:
@@ -19,7 +21,7 @@ discipline as the batch curves: every rep published, cold checkpoints
 per rep (state rebuilt from zero — throughput includes state writes).
 
 Usage: python tools/stream_throughput_probe.py [--reps 2]
-Writes STREAM_THROUGHPUT_r11.json at the repo root.
+Writes STREAM_THROUGHPUT_r12.json at the repo root.
 """
 
 from __future__ import annotations
@@ -51,6 +53,9 @@ def main() -> int:
 
     from simple_map_reduce_ruuner_spark.session import get_spark
     from simple_map_reduce_ruuner_spark.sources.tables import load_table
+    from simple_map_reduce_ruuner_spark.streaming.joins import (
+        stream_clicks_before_errors,
+    )
     from simple_map_reduce_ruuner_spark.streaming.stateful import (
         stream_running_user_totals,
     )
@@ -100,6 +105,16 @@ def main() -> int:
             ),
             "update",
         ),
+        # r12 (verdict item 5): the watermark-bounded stream-stream
+        # interval join — both sides buffer in RocksDB, the range
+        # condition + watermark prune click state older than the join
+        # horizon; append mode emits matches as they finalize.
+        "stream_clicks_before_errors": (
+            lambda: stream_clicks_before_errors(
+                spark, str(src_dir), watermark="10 minutes", reader_options=opts
+            ),
+            "append",
+        ),
     }
 
     def run_once(name: str, build, mode: str, rep: int) -> dict:
@@ -128,14 +143,20 @@ def main() -> int:
         for p in reversed(progresses):  # last progress with state info
             ops = p.get("stateOperators") or []
             if ops:
-                op = ops[0]
+                def tot(key, custom=None):
+                    vals = [
+                        ((o.get("customMetrics") or {}).get(custom) if custom
+                         else o.get(key))
+                        for o in ops
+                    ]
+                    vals = [v for v in vals if v is not None]
+                    return sum(vals) if vals else None
                 state = {
-                    "state_rows": op.get("numRowsTotal"),
-                    "state_memory_bytes": op.get("memoryUsedBytes"),
+                    "state_rows": tot("numRowsTotal"),
+                    "state_memory_bytes": tot("memoryUsedBytes"),
                     # RocksDB-specific: on-disk SST footprint
-                    "rocksdb_sst_bytes": (op.get("customMetrics") or {}).get(
-                        "rocksdbSstFileSize"
-                    ),
+                    "rocksdb_sst_bytes": tot(None, "rocksdbSstFileSize"),
+                    "state_operators": len(ops),
                 }
                 break
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -171,7 +192,7 @@ def main() -> int:
             "collect), round-robin interleaved reps, every rep published"
         ),
     }
-    path = REPO / "STREAM_THROUGHPUT_r11.json"
+    path = REPO / "STREAM_THROUGHPUT_r12.json"
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
