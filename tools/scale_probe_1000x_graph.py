@@ -19,7 +19,7 @@ All reps are published raw (>= 2 per side).
 
 ~11 GB on disk under .scaledata/ (gitignored).
 Usage: python tools/scale_probe_1000x_graph.py [--reps-big 2] [--cotrading]
-Writes SCALE_CURVE_1000X_GRAPH_r11.json at the repo root.
+Writes SCALE_CURVE_1000X_GRAPH_r12.json at the repo root.
 """
 
 from __future__ import annotations
@@ -149,7 +149,7 @@ def main() -> int:
         "sizing": sizing,
         "queries": out,
     }
-    path = REPO / "SCALE_CURVE_1000X_GRAPH_r11.json"
+    path = REPO / "SCALE_CURVE_1000X_GRAPH_r12.json"
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
