@@ -1,0 +1,76 @@
+"""Property-based round-trip tests for the three stdlib-real codecs
+(P6, PNG, WAV): for ARBITRARY payload bytes and doc_ids, encode →
+decode must reproduce exactly the features computed straight from the
+payload + the per-doc shape formulas. Pure-kernel (no Spark session);
+Hypothesis drives the byte-level edge cases the fixed tests can't
+enumerate (Paeth ties, filter wraparound, odd chunk sizes, all-0x00 /
+all-0xFF rasters, negative PCM means)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simple_map_reduce_ruuner_spark.operators.multimodal import (
+    _png_decode_fn,
+    _png_encode_fn,
+    _ppm_decode_fn,
+    _ppm_encode_fn,
+    _wav_decode_fn,
+    _wav_encode_fn,
+)
+
+payloads = st.binary(min_size=0, max_size=300)
+doc_ids = st.integers(min_value=0, max_value=10**9)
+
+
+def _roundtrip(encode_fn, decode_fn, blob_col, doc_id, payload):
+    pdf = pd.DataFrame({"doc_id": [doc_id], "payload": [payload]})
+    enc = pd.concat(list(encode_fn()([pdf])), ignore_index=True)
+    return pd.concat(
+        list(decode_fn()([enc.rename(columns={enc.columns[1]: blob_col})])),
+        ignore_index=True,
+    ).iloc[0]
+
+
+def _cycled(payload: bytes, n: int) -> np.ndarray:
+    t = np.frombuffer(payload, dtype=np.uint8)
+    return np.resize(t, n) if t.size else np.zeros(n, dtype=np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=doc_ids, payload=payloads)
+def test_ppm_roundtrip_property(doc_id, payload):
+    w, h = 4 + doc_id % 5, 3 + doc_id % 7
+    row = _roundtrip(_ppm_encode_fn, _ppm_decode_fn, "ppm", doc_id, payload)
+    px = _cycled(payload, w * h * 3).reshape(w * h, 3)
+    want = px.sum(axis=0, dtype=np.int64) * 1000 // (w * h)
+    assert (row.width, row.height) == (w, h)
+    assert (row.mean_r_milli, row.mean_g_milli, row.mean_b_milli) == tuple(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=doc_ids, payload=payloads)
+def test_png_roundtrip_property(doc_id, payload):
+    w, h = 2 + doc_id % 6, 2 + doc_id % 5
+    row = _roundtrip(_png_encode_fn, _png_decode_fn, "png", doc_id, payload)
+    px = _cycled(payload, w * h * 3).reshape(w * h, 3)
+    want = px.sum(axis=0, dtype=np.int64) * 1000 // (w * h)
+    assert (row.width, row.height) == (w, h)
+    assert (row.mean_r_milli, row.mean_g_milli, row.mean_b_milli) == tuple(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=doc_ids, payload=payloads)
+def test_wav_roundtrip_property(doc_id, payload):
+    ch = 1 + doc_id % 2
+    rate = 8000 * (1 + doc_id % 3)
+    frames = 40 + doc_id % 30
+    row = _roundtrip(_wav_encode_fn, _wav_decode_fn, "wav", doc_id, payload)
+    s = (_cycled(payload, frames * ch).astype(np.int64) - 128) * 256
+    tot = int(s.sum()) * 1000
+    mean = -(abs(tot) // s.size) if tot < 0 else tot // s.size
+    assert (row.sample_rate, row.channels, row.n_frames) == (rate, ch, frames)
+    assert (row.mean_milli, row.peak) == (mean, int(s.max()))
