@@ -1,0 +1,1077 @@
+"""Compressed-media codecs, stdlib+numpy only (north-star extension).
+
+r12 closes the last three legs of the multimodal seam that are still
+public-knowledge formats a decoder can implement without external
+libraries (the r11-r12 PPM/PNG/WAV argument, extended):
+
+- decode_image_jpeg  — REAL baseline JPEG (ITU-T T.81): marker walk,
+                       DHT-defined canonical Huffman tables, 0xFF00
+                       byte-stuffing, DRI/RSTn restart handling, zigzag,
+                       dequantization, float IDCT. The synthesized test
+                       images make the lossy pipeline integer-exact
+                       (unit quant table + DC-only constant blocks:
+                       IDCT of a DC-only block is exactly DC/8 + 128),
+                       so the DuckDB oracle can replay the features —
+                       a hash match proves the entropy-coding round
+                       trip end-to-end. Nonzero-AC decoding is covered
+                       by unit tests against an independent IDCT.
+- decode_audio_mulaw — REAL G.711 mu-law leg: WAVE_FORMAT_MULAW (tag 7)
+                       container with a `fact` chunk, and the standard
+                       CCITT expansion ((m*8+132) << e, biased signs)
+                       in the decoder. The expansion is pure integer
+                       arithmetic, so the oracle replays it in SQL —
+                       the first *lossy* codec whose decode side is
+                       deterministic enough to oracle-check exactly.
+- decode_video_avi   — REAL video container: RIFF/AVI with raw 24-bit
+                       DIB frames (bottom-up rows, BGR byte order,
+                       4-byte row stride padding) and an idx1 index.
+                       The decoder does what a 100 TB frame-sampling
+                       pipeline must do: parse the header LISTs, then
+                       SEEK to the sampled frame via the index instead
+                       of scanning the whole movi stream.
+
+Pattern shared with operators/multimodal.py (see its module docstring):
+media synthesized deterministically from each doc's UTF-8 bytes, codecs
+run as Arrow-batched mapInPandas kernels whose closures are
+self-contained (pickled by value — executors never import the package),
+and every registry entry carries a DuckDB oracle that recomputes the
+features straight from the text bytes. After this module the
+NotImplementedError seam (multimodal.decode_media_stub) covers only
+formats that genuinely need external codec libraries: JPEG *entropy
+variants we don't emit* (progressive, arithmetic), webp/VP8, and
+perceptual audio (MP3/AAC).
+
+Reference scope note: the reference engine (SURVEY.md; Master.java /
+Worker.java) has no media handling at all — this module is part of the
+brief's training-data-pipeline extension surface, same status as
+dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from simple_map_reduce_ruuner_spark.operators.multimodal import _with_payload
+from simple_map_reduce_ruuner_spark.registry import Query
+
+# ---------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81)
+# ---------------------------------------------------------------------
+#
+# Per-doc image shape: grayscale, dimensions in whole 8x8 blocks so no
+# edge-padding ambiguity exists; every block is a constant gray level
+# drawn by cycling the doc's UTF-8 bytes (block k <- byte k mod n).
+# With the unit quantization table the FDCT of a constant block is a
+# lone integer DC coefficient (8 * (v - 128)) and the IDCT returns
+# exactly v — the entropy round trip is bit-exact BY CONSTRUCTION while
+# the codec itself stays fully general.
+JPEG_BLOCKS_W_EXPR = "1 + doc_id % 4"  # 1..4 blocks -> 8..32 px wide
+JPEG_BLOCKS_H_EXPR = "1 + doc_id % 3"  # 1..3 blocks -> 8..24 px tall
+JPEG_RST_INTERVAL = 4  # DRI: restart marker every 4 MCUs
+
+# Standard luminance Huffman tables (ITU-T T.81 Annex K.3 / libjpeg
+# jcstdhuff) — public constants. Only the ENCODER needs them: the
+# decoder builds its tables from the DHT segment in the file, as a real
+# decoder must.
+JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_encode_fn():
+    """Factory for the baseline-JPEG encode kernel: a spec-conformant
+    writer (stdlib struct only). Per doc: grayscale SOF0, dimensions
+    8*(1 + doc_id % 4) x 8*(1 + doc_id % 3), unit quant table, BOTH
+    Huffman tables in ONE DHT segment (decoder must loop within the
+    segment — the multi-table trap, like PNG's split IDAT), a DRI of 4
+    MCUs with RSTn markers and DC-predictor resets in the scan, COM and
+    APP0 segments to skip, and 0xFF00 byte stuffing in the entropy
+    stream. Self-contained closure (pickled by value; see
+    multimodal._ppm_encode_fn for the contract)."""
+
+    dc_spec = (JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_spec = (JPEG_AC_BITS, JPEG_AC_VALS)
+    rst_interval = JPEG_RST_INTERVAL
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def canonical(bits, vals):
+            """symbol -> (code, length) per T.81 C.2 (canonical codes)."""
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        dc_codes = canonical(*dc_spec)
+        ac_codes = canonical(*ac_spec)
+        eob_code, eob_len = ac_codes[0x00]
+
+        def seg(marker: int, data: bytes) -> bytes:
+            return bytes((0xFF, marker)) + struct.pack(">H", len(data) + 2) + data
+
+        class BitWriter:
+            """MSB-first bit accumulator with JPEG 0xFF00 byte stuffing."""
+
+            def __init__(self) -> None:
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val: int, nbits: int) -> None:
+                self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+                self.n += nbits
+                while self.n >= 8:
+                    byte = (self.acc >> (self.n - 8)) & 0xFF
+                    self.out.append(byte)
+                    if byte == 0xFF:  # stuff so markers stay unique
+                        self.out.append(0x00)
+                    self.n -= 8
+                self.acc &= (1 << self.n) - 1
+
+            def align(self) -> None:
+                """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+                if self.n:
+                    self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+            def raw(self, b: bytes) -> None:
+                """Emit marker bytes verbatim (must be byte-aligned —
+                restart markers are NOT stuffed)."""
+                assert self.n == 0
+                self.out.extend(b)
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bw = int(1 + doc_id % 4)
+                bh = int(1 + doc_id % 3)
+                w, h, nb = 8 * bw, 8 * bh, bw * bh
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                vals = np.resize(t, nb) if t.size else np.zeros(nb, np.uint8)
+
+                head = [
+                    b"\xff\xd8",  # SOI
+                    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+                    seg(0xFE, b"smrr synthetic"),  # COM — decoder skips
+                    seg(0xDB, b"\x00" + bytes([1] * 64)),  # DQT: unit table
+                    # SOF0: 8-bit, h x w, 1 component (id 1, 1x1, Tq 0)
+                    seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))),
+                    # one DHT segment carrying BOTH tables
+                    seg(
+                        0xC4,
+                        bytes([0x00])
+                        + bytes(dc_spec[0])
+                        + bytes(dc_spec[1])
+                        + bytes([0x10])
+                        + bytes(ac_spec[0])
+                        + bytes(ac_spec[1]),
+                    ),
+                    seg(0xDD, struct.pack(">H", rst_interval)),  # DRI
+                    # SOS: 1 component (sel 1, Td/Ta 0), Ss 0 Se 63 AhAl 0
+                    seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0))),
+                ]
+
+                bwr = BitWriter()
+                pred, rst = 0, 0
+                for k in range(nb):
+                    if k and k % rst_interval == 0:
+                        bwr.align()
+                        bwr.raw(bytes((0xFF, 0xD0 + (rst % 8))))
+                        rst += 1
+                        pred = 0  # DC predictor resets at restart
+                    dc = 8 * (int(vals[k]) - 128)
+                    diff = dc - pred
+                    pred = dc
+                    s = abs(diff).bit_length()
+                    code, ln = dc_codes[s]
+                    bwr.put(code, ln)
+                    if s:
+                        bwr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    bwr.put(eob_code, eob_len)  # all-zero AC
+                bwr.align()
+                blobs.append(b"".join(head) + bytes(bwr.out) + b"\xff\xd9")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": blobs})
+
+    return encode
+
+
+def _jpeg_decode_fn():
+    """Factory for the baseline-JPEG decode kernel: a REAL general
+    decoder — marker walk (APPn/COM skipped, SOF2/progressive and
+    multi-component rejected), DQT/DHT parsing with multi-table
+    segments, canonical Huffman reconstruction from the file's own DHT,
+    entropy decoding with 0xFF00 un-stuffing and DRI/RSTn restart
+    handling (byte-align, marker sequence check, DC predictor reset),
+    DC-difference magnitude decoding, AC run/size loop with ZRL and
+    EOB, dequantization, de-zigzag, float IDCT, level shift, and clamp.
+    Emits integer gray statistics. Self-contained closure (see
+    multimodal._ppm_encode_fn for the pickling contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def zigzag_order():
+            """(row, col) pairs in JPEG zigzag scan order."""
+            order = []
+            for d in range(15):
+                rng = range(min(d, 7), max(0, d - 7) - 1, -1) if d % 2 == 0 \
+                    else range(max(0, d - 7), min(d, 7) + 1)
+                order.extend((r, d - r) for r in rng)
+            return order
+
+        ZZ = zigzag_order()
+        # IDCT basis: M[x, u] = c(u)/2 * cos((2x+1) u pi / 16)
+        x = np.arange(8).reshape(8, 1)
+        u = np.arange(8).reshape(1, 8)
+        M = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        M[:, 0] /= np.sqrt(2.0)
+
+        def build_huff(bits, vals):
+            """(length, code) -> symbol per T.81 canonical construction."""
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            """MSB-first reader over the entropy stream; un-stuffs
+            0xFF00 and refuses to run past an un-stuffed marker."""
+
+            def __init__(self, data: bytes, pos: int) -> None:
+                self.data = data
+                self.pos = pos
+                self.acc = 0
+                self.n = 0
+
+            def bit(self) -> int:
+                if self.n == 0:
+                    if self.pos >= len(self.data):
+                        raise ValueError("truncated JPEG entropy stream")
+                    b = self.data[self.pos]
+                    self.pos += 1
+                    if b == 0xFF:
+                        if self.pos >= len(self.data):
+                            raise ValueError("truncated JPEG entropy stream")
+                        if self.data[self.pos] != 0x00:
+                            raise ValueError("marker inside entropy segment")
+                        self.pos += 1  # stuffed zero
+                    self.acc = b
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def bits(self, k: int) -> int:
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def expect_rst(self, idx: int) -> None:
+                """Byte-align and consume the next restart marker, which
+                must be RST(idx mod 8)."""
+                self.n = 0
+                if self.pos + 2 > len(self.data):
+                    raise ValueError("truncated JPEG: missing RST marker")
+                m0, m1 = self.data[self.pos], self.data[self.pos + 1]
+                if m0 != 0xFF or m1 != 0xD0 + (idx % 8):
+                    raise ValueError(
+                        f"bad restart marker: got {m0:02x}{m1:02x}, "
+                        f"want ffd{idx % 8}"
+                    )
+                self.pos += 2
+
+        def decode_huff(rd: BitReader, table) -> int:
+            code = 0
+            for ln in range(1, 17):
+                code = (code << 1) | rd.bit()
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in JPEG stream")
+
+        def extend(v: int, s: int) -> int:
+            """Magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
+            return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def parse(b: bytes):
+            if b[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG: missing SOI")
+            pos = 2
+            qt: dict[int, list[int]] = {}
+            dc_tabs: dict[int, dict] = {}
+            ac_tabs: dict[int, dict] = {}
+            dri = 0
+            frame = None
+            scan = None
+            while True:
+                if pos + 2 > len(b) or b[pos] != 0xFF:
+                    raise ValueError("truncated JPEG: expected marker")
+                while b[pos + 1] == 0xFF:  # fill bytes before a marker
+                    pos += 1
+                m = b[pos + 1]
+                pos += 2
+                if m == 0xD9:
+                    raise ValueError("EOI before SOS — no image data")
+                if pos + 2 > len(b):
+                    raise ValueError("truncated JPEG segment")
+                (ln,) = struct.unpack(">H", b[pos : pos + 2])
+                data = b[pos + 2 : pos + ln]
+                if len(data) != ln - 2:
+                    raise ValueError("truncated JPEG segment")
+                pos += ln
+                if 0xE0 <= m <= 0xEF or m == 0xFE:
+                    continue  # APPn / COM
+                if m == 0xDB:  # DQT — possibly several tables
+                    i = 0
+                    while i < len(data):
+                        pq, tq = data[i] >> 4, data[i] & 0xF
+                        if pq != 0:
+                            raise ValueError("16-bit quant tables unsupported")
+                        qt[tq] = list(data[i + 1 : i + 65])
+                        if len(qt[tq]) != 64:
+                            raise ValueError("short quant table")
+                        i += 65
+                elif m == 0xC4:  # DHT — possibly several tables
+                    i = 0
+                    while i < len(data):
+                        tc, th = data[i] >> 4, data[i] & 0xF
+                        bits = list(data[i + 1 : i + 17])
+                        nv = sum(bits)
+                        vals = list(data[i + 17 : i + 17 + nv])
+                        if len(vals) != nv:
+                            raise ValueError("short Huffman table")
+                        (dc_tabs if tc == 0 else ac_tabs)[th] = build_huff(
+                            bits, vals
+                        )
+                        i += 17 + nv
+                elif m == 0xC0:  # SOF0 baseline
+                    prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
+                    if prec != 8 or nc != 1:
+                        raise ValueError(
+                            "unsupported JPEG shape (want 8-bit grayscale)"
+                        )
+                    cid, hv, ctq = data[6], data[7], data[8]
+                    if hv != 0x11:
+                        raise ValueError("subsampling unsupported")
+                    frame = (fw, fh, cid, ctq)
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                           0xCB, 0xCD, 0xCE, 0xCF):
+                    raise ValueError("non-baseline JPEG (progressive etc.)")
+                elif m == 0xDD:  # DRI
+                    (dri,) = struct.unpack(">H", data[:2])
+                elif m == 0xDA:  # SOS
+                    ns = data[0]
+                    if ns != 1:
+                        raise ValueError("interleaved multi-comp scan")
+                    td, ta = data[2] >> 4, data[2] & 0xF
+                    scan = (td, ta)
+                    break
+                else:
+                    raise ValueError(f"unexpected JPEG marker ff{m:02x}")
+            if frame is None:
+                raise ValueError("JPEG missing SOF0 before SOS")
+            fw, fh, _cid, ctq = frame
+            if fw % 8 or fh % 8:
+                raise ValueError("partial edge blocks unsupported")
+            if ctq not in qt:
+                raise ValueError("SOF references undefined quant table")
+            td, ta = scan
+            if td not in dc_tabs or ta not in ac_tabs:
+                raise ValueError("SOS references undefined Huffman table")
+            q = np.array(qt[ctq], dtype=np.int64)
+            dct, act = dc_tabs[td], ac_tabs[ta]
+
+            bwn, bhn = fw // 8, fh // 8
+            img = np.zeros((fh, fw), dtype=np.uint8)
+            rd = BitReader(b, pos)
+            pred, rst = 0, 0
+            for k in range(bwn * bhn):
+                if dri and k and k % dri == 0:
+                    rd.expect_rst(rst)
+                    rst += 1
+                    pred = 0
+                coef = np.zeros(64, dtype=np.int64)
+                s = decode_huff(rd, dct)
+                if s > 11:
+                    raise ValueError("invalid DC magnitude category")
+                pred += extend(rd.bits(s), s)
+                coef[0] = pred
+                i = 1
+                while i < 64:
+                    sym = decode_huff(rd, act)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL: 16 zeros
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63 or size == 0:
+                        raise ValueError("AC run past block end")
+                    coef[i] = extend(rd.bits(size), size)
+                    i += 1
+                block = np.zeros((8, 8), dtype=np.float64)
+                deq = coef * q
+                for z, (r, c) in enumerate(ZZ):
+                    block[r, c] = deq[z]
+                px = M @ block @ M.T + 128.0
+                px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+                br, bc = divmod(k, bwn)
+                img[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = px
+            # after the last MCU: align, allow fill bytes, require EOI
+            rd.n = 0
+            p = rd.pos
+            while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0xFF:
+                p += 1
+            if b[p : p + 2] != b"\xff\xd9":
+                raise ValueError("JPEG missing EOI after scan")
+            return fw, fh, img
+
+        for pdf in batches:
+            ids, ws, hs, means, mxs, mns = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, img = parse(bytes(blob))
+                flat = img.astype(np.int64)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                means.append(int(flat.sum()) * 1000 // (w * h))
+                mxs.append(int(flat.max()))
+                mns.append(int(flat.min()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_gray_milli": pd.Series(means, dtype="int64"),
+                    "max_gray": pd.Series(mxs, dtype="int64"),
+                    "min_gray": pd.Series(mns, dtype="int64"),
+                }
+            )
+
+    return decode
+
+
+def decode_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec round trip, stdlib+numpy only (ITU-T
+    T.81 is public). Encode each doc as a valid grayscale baseline
+    JPEG — standard Annex-K Huffman tables shipped in a single
+    two-table DHT segment, unit quant table, DRI=4 with RSTn restart
+    markers, COM/APP0 to skip, 0xFF00 stuffing — then decode with a
+    full general decoder (marker walk, canonical Huffman from the
+    file's DHT, restart + DC-predictor resets, run/size AC loop,
+    dequant, de-zigzag, float IDCT) and emit integer gray statistics.
+
+    Exactness strategy: every 8x8 block is constant (value = cycled
+    text byte), so with the unit quant table the DCT is a lone integer
+    DC coefficient and IDCT returns the value exactly — the lossy
+    format becomes a lossless round trip BY TEST-IMAGE CONSTRUCTION
+    while the codec stays general (nonzero-AC decode is unit-tested
+    against an independent IDCT in tests/test_jpeg_codec.py). The
+    DuckDB oracle replays the features from the text bytes; a hash
+    match proves the whole marker/Huffman/restart/IDCT pipeline.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_jpeg_encode_fn(), "doc_id long, jpg binary")
+    return encoded.mapInPandas(
+        _jpeg_decode_fn(),
+        "doc_id long, width long, height long, "
+        "mean_gray_milli long, max_gray long, min_gray long",
+    )
+
+
+# Block k (1-based) carries cycled text byte ((k-1) mod n) + 1; the
+# image mean equals the block-value mean (all 64 pixels of a block are
+# the block value), and max/min over pixels = max/min over blocks.
+DECODE_IMAGE_JPEG_SQL = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n,
+           ({JPEG_BLOCKS_W_EXPR})::BIGINT AS bw,
+           ({JPEG_BLOCKS_H_EXPR})::BIGINT AS bh
+    FROM documents
+),
+v AS (
+    SELECT doc_id, bw, bh,
+      [ CASE WHEN n = 0 THEN 0 ELSE
+          (strpos('0123456789ABCDEF', h[2*(((k-1)%n)+1)-1 : 2*(((k-1)%n)+1)-1]) - 1) * 16
+          + (strpos('0123456789ABCDEF', h[2*(((k-1)%n)+1) : 2*(((k-1)%n)+1)]) - 1)
+        END for k in range(1, bw*bh + 1) ] AS vals
+    FROM b
+)
+SELECT doc_id, 8*bw AS width, 8*bh AS height,
+       CAST(list_sum(vals) * 1000 // (bw*bh) AS BIGINT) AS mean_gray_milli,
+       CAST(list_max(vals) AS BIGINT) AS max_gray,
+       CAST(list_min(vals) AS BIGINT) AS min_gray
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------
+# G.711 mu-law audio (WAVE_FORMAT_MULAW, format tag 7)
+# ---------------------------------------------------------------------
+MULAW_CHANNELS_EXPR = "1 + doc_id % 2"
+MULAW_FRAMES_EXPR = "50 + doc_id % 40"
+MULAW_RATE = 8000  # G.711 is defined at 8 kHz
+
+
+def _mulaw_encode_fn():
+    """Factory for the mu-law WAV encode kernel: WAVE_FORMAT_MULAW
+    (format tag 7, 8 bits/sample, block align = channels) with the
+    spec-required `fact` chunk (dwSampleLength = frames) that PCM files
+    omit — a decoder that only knows tag-1 PCM must reject this file.
+    The stored codewords are the doc's cycled UTF-8 bytes; data chunks
+    of odd length exercise RIFF pad bytes. Self-contained closure (see
+    multimodal._ppm_encode_fn for the pickling contract)."""
+
+    rate = MULAW_RATE
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            pad = b"\x00" if len(data) % 2 else b""
+            return ctype + struct.pack("<I", len(data)) + data + pad
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch = int(1 + doc_id % 2)
+                frames = int(50 + doc_id % 40)
+                n_samp = frames * ch
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                codes = (
+                    np.resize(t, n_samp)
+                    if t.size
+                    else np.zeros(n_samp, dtype=np.uint8)
+                )
+                fmt = struct.pack(
+                    "<HHIIHH", 7, ch, rate, rate * ch, ch, 8
+                )  # tag 7 = mu-law, 8-bit, block align = ch
+                body = (
+                    b"WAVE"
+                    + chunk(b"fmt ", fmt)
+                    + chunk(b"fact", struct.pack("<I", frames))
+                    + chunk(b"data", codes.tobytes())
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": blobs})
+
+    return encode
+
+
+def _mulaw_decode_fn():
+    """Factory for the mu-law WAV decode kernel: the same word-aligned
+    RIFF walk as the PCM path, but requiring format tag 7 / 8-bit and
+    validating the `fact` chunk against the data length, then the REAL
+    CCITT G.711 expansion — u = ~code; magnitude = ((mantissa*8 + 132)
+    << exponent) - 132, sign from bit 7 — to int16-range samples and
+    integer statistics. Pure integer arithmetic (the decode side of
+    this lossy codec is deterministic), so the oracle replays it in
+    SQL. Self-contained closure (see multimodal._ppm_encode_fn)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        # vectorized G.711 expansion over all 256 codewords
+        u = 255 - np.arange(256, dtype=np.int64)  # ~code & 0xFF
+        t = ((u & 15) * 8 + 132) << ((u >> 4) & 7)
+        MULAW_TABLE = np.where(u >= 128, 132 - t, t - 132)
+
+        def parse(b: bytes) -> tuple[int, int, "np.ndarray"]:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            (riff_size,) = struct.unpack("<I", b[4:8])
+            if riff_size + 8 > len(b):
+                raise ValueError("truncated WAV: RIFF size past end")
+            pos, end = 12, 8 + riff_size
+            fmt = data = fact = None
+            while pos + 8 <= end:
+                ctype = b[pos : pos + 4]
+                (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                payload = b[pos + 8 : pos + 8 + length]
+                if len(payload) != length:
+                    raise ValueError("truncated WAV: chunk data")
+                if ctype == b"fmt ":
+                    fmt = payload
+                elif ctype == b"data":
+                    data = payload
+                elif ctype == b"fact":
+                    fact = payload
+                pos += 8 + length + (length % 2)  # word-aligned walk
+            if fmt is None or data is None:
+                raise ValueError("WAV missing fmt or data chunk")
+            audio_fmt, ch, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", fmt[:16]
+            )
+            if audio_fmt != 7 or bits != 8:
+                raise ValueError("unsupported WAV (want 8-bit mu-law, tag 7)")
+            if block != ch or len(data) % block:
+                raise ValueError("data chunk disagrees with block align")
+            if fact is not None:
+                (n_frames_fact,) = struct.unpack("<I", fact[:4])
+                if n_frames_fact != len(data) // ch:
+                    raise ValueError("fact chunk disagrees with data length")
+            codes = np.frombuffer(data, dtype=np.uint8)
+            return rate, ch, MULAW_TABLE[codes]
+
+        for pdf in batches:
+            ids, rates, chs, frames, means, peaks, troughs = (
+                [], [], [], [], [], [], [],
+            )
+            for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+                rate, ch, s = parse(bytes(blob))
+                ids.append(doc_id)
+                rates.append(rate)
+                chs.append(ch)
+                frames.append(len(s) // ch)
+                # truncate toward zero to match DuckDB's integer //
+                tot = int(s.sum()) * 1000
+                q = abs(tot) // s.size if s.size else 0
+                means.append(-q if tot < 0 else q)
+                peaks.append(int(s.max()) if s.size else 0)
+                troughs.append(int(s.min()) if s.size else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int64"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                    "mean_milli": pd.Series(means, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                    "trough": pd.Series(troughs, dtype="int64"),
+                }
+            )
+
+    return decode
+
+
+def decode_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law round trip: encode each doc as a valid
+    WAVE_FORMAT_MULAW file (format tag 7, 8-bit codewords = cycled text
+    bytes, `fact` chunk, word-aligned chunks), decode with a RIFF
+    parser that validates tag/bits/block-align/fact and expands
+    codewords with the standard CCITT formula, and emit integer sample
+    statistics. First LOSSY codec in the suite whose decode side is
+    still integer-exact — the DuckDB oracle replays the expansion
+    ((mantissa*8+132) << exponent, biased signs) in SQL, so a hash
+    match proves the expansion table and container walk end-to-end.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_mulaw_encode_fn(), "doc_id long, wav binary")
+    return encoded.mapInPandas(
+        _mulaw_decode_fn(),
+        "doc_id long, sample_rate long, channels long, n_frames long, "
+        "mean_milli long, peak long, trough long",
+    )
+
+
+DECODE_AUDIO_MULAW_SQL = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n,
+           ({MULAW_CHANNELS_EXPR})::BIGINT AS ch,
+           ({MULAW_FRAMES_EXPR})::BIGINT AS frames
+    FROM documents
+),
+cw AS (
+    SELECT doc_id, ch, frames,
+      [ 255 - (CASE WHEN n = 0 THEN 0 ELSE
+          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
+          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
+        END) for i in range(1, frames*ch + 1) ] AS u
+    FROM b
+),
+s AS (
+    SELECT doc_id, ch, frames,
+           list_transform(u, x -> CASE WHEN x >= 128
+               THEN 132 - (((x & 15) * 8 + 132) << ((x >> 4) & 7))
+               ELSE (((x & 15) * 8 + 132) << ((x >> 4) & 7)) - 132
+           END) AS smp
+    FROM cw
+)
+SELECT doc_id, {MULAW_RATE}::BIGINT AS sample_rate, ch AS channels,
+       frames AS n_frames,
+       CAST(list_sum(smp) * 1000 // (frames*ch) AS BIGINT) AS mean_milli,
+       CAST(list_max(smp) AS BIGINT) AS peak,
+       CAST(list_min(smp) AS BIGINT) AS trough
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------
+# AVI video container (RIFF 'AVI ': raw 24-bit DIB frames + idx1 index)
+# ---------------------------------------------------------------------
+AVI_W_EXPR = "2 + doc_id % 4"  # 2..5 px -> strides 6/9/12/15: all pad cases
+AVI_H_EXPR = "2 + doc_id % 3"  # 2..4 px
+AVI_FRAMES_EXPR = "3 + doc_id % 4"  # 3..6 frames
+AVI_FPS_EXPR = "10 + doc_id % 6"  # 10..15 fps
+
+
+def _avi_encode_fn():
+    """Factory for the AVI encode kernel: a spec-conformant RIFF/AVI
+    writer (stdlib struct only). LIST hdrl (avih + LIST strl with
+    strh 'vids'/'DIB ' + strf BITMAPINFOHEADER), an odd-length JUNK
+    chunk (word-align trap), LIST movi with one '00db' chunk per frame
+    — raw 24-bit DIB: BOTTOM-UP row order, BGR byte order, rows padded
+    to 4-byte stride (the three classic DIB traps) — and a standard
+    idx1 index with movi-relative offsets. Frame pixels cycle the
+    doc's UTF-8 bytes over the LOGICAL top-down RGB layout, so the
+    decoder must undo all three DIB transforms to match the oracle.
+    Self-contained closure (see multimodal._ppm_encode_fn)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            pad = b"\x00" if len(data) % 2 else b""
+            return ctype + struct.pack("<I", len(data)) + data + pad
+
+        def lst(form: bytes, data: bytes) -> bytes:
+            return chunk(b"LIST", form + data)
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = int(2 + doc_id % 4)
+                h = int(2 + doc_id % 3)
+                nf = int(3 + doc_id % 4)
+                fps = int(10 + doc_id % 6)
+                stride = (w * 3 + 3) // 4 * 4
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                need = nf * h * w * 3
+                logical = (
+                    np.resize(t, need)
+                    if t.size
+                    else np.zeros(need, dtype=np.uint8)
+                ).reshape(nf, h, w, 3)  # top-down RGB
+
+                frames = []
+                for f in range(nf):
+                    dib = np.zeros((h, stride), dtype=np.uint8)
+                    # BGR byte order + bottom-up row order
+                    dib[:, : w * 3] = logical[f, ::-1, :, ::-1].reshape(
+                        h, w * 3
+                    )
+                    frames.append(dib.tobytes())
+
+                avih = struct.pack(
+                    "<IIIIIIIIIIIIII",
+                    1_000_000 // fps,  # dwMicroSecPerFrame
+                    fps * stride * h,  # dwMaxBytesPerSec
+                    0,  # dwPaddingGranularity
+                    0x10,  # dwFlags: AVIF_HASINDEX
+                    nf,  # dwTotalFrames
+                    0,  # dwInitialFrames
+                    1,  # dwStreams
+                    stride * h,  # dwSuggestedBufferSize
+                    w,
+                    h,
+                    0, 0, 0, 0,  # dwReserved[4]
+                )
+                strh = (
+                    b"vids"
+                    + b"DIB "
+                    + struct.pack(
+                        "<IHHIIIIIIIII",
+                        0,  # dwFlags
+                        0, 0,  # wPriority, wLanguage
+                        0,  # dwInitialFrames
+                        1,  # dwScale
+                        fps,  # dwRate (fps = rate/scale)
+                        0,  # dwStart
+                        nf,  # dwLength
+                        stride * h,  # dwSuggestedBufferSize
+                        0,  # dwQuality
+                        0,  # dwSampleSize
+                        0,  # rcFrame (packed 4x16 = one I here + pad below)
+                    )
+                    + struct.pack("<HH", w, h)  # rcFrame right/bottom
+                )
+                strf = struct.pack(
+                    "<IiiHHIIiiII",
+                    40,  # biSize
+                    w,
+                    h,  # positive = bottom-up
+                    1,  # biPlanes
+                    24,  # biBitCount
+                    0,  # biCompression = BI_RGB
+                    stride * h,  # biSizeImage
+                    0, 0, 0, 0,
+                )
+                hdrl = lst(
+                    b"hdrl",
+                    chunk(b"avih", avih)
+                    + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+                )
+                junk = chunk(b"JUNK", b"smrr!")  # odd payload: pad trap
+                movi_data = b"".join(chunk(b"00db", fr) for fr in frames)
+                movi = lst(b"movi", movi_data)
+                # idx1 offsets are movi-relative: offset of the chunk's
+                # fourcc counted from the 'movi' form tag (first = 4)
+                idx_entries = []
+                off = 4
+                for fr in frames:
+                    idx_entries.append(
+                        b"00db" + struct.pack("<III", 0x10, off, len(fr))
+                    )
+                    off += 8 + len(fr) + (len(fr) % 2)
+                idx1 = chunk(b"idx1", b"".join(idx_entries))
+                body = b"AVI " + hdrl + junk + movi + idx1
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "avi": blobs})
+
+    return encode
+
+
+def _avi_decode_fn():
+    """Factory for the AVI decode kernel: a REAL container parser that
+    does what a frame-sampling pipeline must do at scale — parse the
+    RIFF form and hdrl LISTs (avih cross-checked against strf, strh
+    must be 'vids' with fps = dwRate/dwScale, strf must be 24-bit
+    BI_RGB), locate movi and idx1, then SEEK directly to the sampled
+    middle frame via the index (handling both movi-relative and
+    absolute idx1 offset conventions) instead of scanning every frame.
+    The DIB payload is un-padded, flipped bottom-up -> top-down, and
+    BGR -> RGB swapped before per-channel integer means. Self-contained
+    closure (see multimodal._ppm_encode_fn)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def walk(b: bytes, pos: int, end: int):
+            """Yield (fourcc, form_or_none, data_start, data_len) over a
+            chunk run; LIST/RIFF chunks report their form tag."""
+            while pos + 8 <= end:
+                ctype = b[pos : pos + 4]
+                (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if pos + 8 + length > end:
+                    raise ValueError("truncated AVI: chunk past end")
+                if ctype in (b"LIST", b"RIFF"):
+                    yield ctype, b[pos + 8 : pos + 12], pos + 12, length - 4
+                else:
+                    yield ctype, None, pos + 8, length
+                pos += 8 + length + (length % 2)  # word-aligned
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                raise ValueError("not a RIFF/AVI payload")
+            (riff_size,) = struct.unpack("<I", b[4:8])
+            if riff_size + 8 > len(b):
+                raise ValueError("truncated AVI: RIFF size past end")
+            end = 8 + riff_size
+
+            avih = strh = strf = None
+            movi_tag_pos = movi_start = movi_end = None
+            idx1 = None
+            for ctype, form, dstart, dlen in walk(b, 12, end):
+                if ctype == b"LIST" and form == b"hdrl":
+                    for c2, f2, d2, l2 in walk(b, dstart, dstart + dlen):
+                        if c2 == b"avih":
+                            avih = b[d2 : d2 + l2]
+                        elif c2 == b"LIST" and f2 == b"strl":
+                            for c3, _f3, d3, l3 in walk(b, d2, d2 + l2):
+                                if c3 == b"strh":
+                                    strh = b[d3 : d3 + l3]
+                                elif c3 == b"strf":
+                                    strf = b[d3 : d3 + l3]
+                elif ctype == b"LIST" and form == b"movi":
+                    movi_tag_pos = dstart - 4  # position of 'movi' fourcc
+                    movi_start, movi_end = dstart, dstart + dlen
+                elif ctype == b"idx1":
+                    idx1 = b[dstart : dstart + dlen]
+            if avih is None or strh is None or strf is None:
+                raise ValueError("AVI missing avih/strh/strf headers")
+            if movi_start is None:
+                raise ValueError("AVI missing movi LIST")
+            if idx1 is None:
+                raise ValueError("AVI missing idx1 index")
+
+            n_frames = struct.unpack("<I", avih[16:20])[0]
+            aw, ah = struct.unpack("<II", avih[32:40])
+            if strh[:4] != b"vids":
+                raise ValueError("first stream is not video")
+            scale, rate = struct.unpack("<II", strh[20:28])
+            if not scale or rate % scale:
+                raise ValueError("non-integer fps")
+            fps = rate // scale
+            (biw, bih, planes, bits, comp) = struct.unpack(
+                "<iiHHI", strf[4:20]
+            )
+            if bits != 24 or comp != 0:
+                raise ValueError("unsupported AVI (want 24-bit BI_RGB)")
+            if bih <= 0:
+                raise ValueError("top-down DIB unsupported")
+            if (biw, bih) != (aw, ah):
+                raise ValueError("avih disagrees with strf dimensions")
+            w, h = biw, bih
+            stride = (w * 3 + 3) // 4 * 4
+
+            if len(idx1) % 16 or len(idx1) // 16 != n_frames:
+                raise ValueError("idx1 length disagrees with frame count")
+            target = n_frames // 2
+            ck, _flags, off, size = struct.unpack(
+                "<4sIII", idx1[16 * target : 16 * target + 16]
+            )
+            if ck != b"00db":
+                raise ValueError("sampled index entry is not a video frame")
+            # both offset conventions exist in the wild: relative to the
+            # 'movi' fourcc, or absolute from file start
+            cand = movi_tag_pos + off
+            if b[cand : cand + 4] != b"00db":
+                cand = off
+                if b[cand : cand + 4] != b"00db":
+                    raise ValueError("idx1 offset does not land on a chunk")
+            (cksize,) = struct.unpack("<I", b[cand + 4 : cand + 8])
+            if cksize != size or size != stride * h:
+                raise ValueError("frame chunk size mismatch")
+            dib = np.frombuffer(
+                b, dtype=np.uint8, offset=cand + 8, count=size
+            ).reshape(h, stride)
+            # un-pad, flip bottom-up -> top-down, BGR -> RGB
+            px = dib[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+            return w, h, n_frames, fps, target, px.reshape(h * w, 3)
+
+        for pdf in batches:
+            ids, ws, hs, nfs, fpss, fis, means = [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["avi"]):
+                w, h, nf, fps, fi, px = parse(bytes(blob))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+                fpss.append(fps)
+                fis.append(fi)
+                means.append(px.sum(axis=0, dtype=np.int64) * 1000 // (w * h))
+            m = np.stack(means) if means else np.empty((0, 3), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "fps": pd.Series(fpss, dtype="int64"),
+                    "frame_idx": pd.Series(fis, dtype="int64"),
+                    "mean_r_milli": m[:, 0],
+                    "mean_g_milli": m[:, 1],
+                    "mean_b_milli": m[:, 2],
+                }
+            )
+
+    return decode
+
+
+def decode_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container round trip, stdlib-only: encode each doc as
+    a valid RIFF/AVI (hdrl headers, odd-length JUNK, movi LIST of raw
+    24-bit DIB '00db' frames — bottom-up, BGR, 4-byte row stride — and
+    an idx1 index), then decode by parsing the headers and SEEKING to
+    the sampled middle frame via the index — the scale-correct
+    frame-sampling shape (an exabyte video corpus is sampled via
+    container indexes, never by decoding every frame). Emits container
+    metadata + per-channel means of the sampled frame. The DuckDB
+    oracle recomputes the frame's pixels from the text bytes and the
+    logical top-down RGB layout, so a hash match proves the header
+    parse, the index seek, and all three DIB transforms at once.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_avi_encode_fn(), "doc_id long, avi binary")
+    return encoded.mapInPandas(
+        _avi_decode_fn(),
+        "doc_id long, width long, height long, n_frames long, fps long, "
+        "frame_idx long, mean_r_milli long, mean_g_milli long, "
+        "mean_b_milli long",
+    )
+
+
+# Sampled frame fi = n_frames // 2; byte i (1-based) of that frame's
+# logical top-down RGB raster is the cycled text byte at
+# ((fi*h*w*3 + i - 1) mod n) + 1 (0 for empty docs).
+DECODE_VIDEO_AVI_SQL = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n,
+           ({AVI_W_EXPR})::BIGINT AS w, ({AVI_H_EXPR})::BIGINT AS ht,
+           ({AVI_FRAMES_EXPR})::BIGINT AS nf, ({AVI_FPS_EXPR})::BIGINT AS fps
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, ht, nf, fps, (nf // 2) AS fi,
+      [ CASE WHEN n = 0 THEN 0 ELSE
+          (strpos('0123456789ABCDEF', h[2*((((nf//2)*ht*w*3 + i - 1) % n) + 1)-1 : 2*((((nf//2)*ht*w*3 + i - 1) % n) + 1)-1]) - 1) * 16
+          + (strpos('0123456789ABCDEF', h[2*((((nf//2)*ht*w*3 + i - 1) % n) + 1) : 2*((((nf//2)*ht*w*3 + i - 1) % n) + 1)]) - 1)
+        END for i in range(1, w*ht*3 + 1) ] AS p
+    FROM b
+)
+SELECT doc_id, w AS width, ht AS height, nf AS n_frames, fps,
+       fi AS frame_idx,
+  CAST(list_sum([p[3*k+1] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_r_milli,
+  CAST(list_sum([p[3*k+2] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_g_milli,
+  CAST(list_sum([p[3*k+3] for k in range(0, w*ht)]) * 1000 // (w*ht) AS BIGINT) AS mean_b_milli
+FROM px
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "decode_image_jpeg": Query(
+        decode_image_jpeg,
+        DECODE_IMAGE_JPEG_SQL,
+        "real baseline JPEG codec: DHT Huffman + restarts + IDCT via mapInPandas",
+    ),
+    "decode_audio_mulaw": Query(
+        decode_audio_mulaw,
+        DECODE_AUDIO_MULAW_SQL,
+        "real G.711 mu-law codec: tag-7 WAV + CCITT expansion via mapInPandas",
+    ),
+    "decode_video_avi": Query(
+        decode_video_avi,
+        DECODE_VIDEO_AVI_SQL,
+        "real AVI container: index-seek frame sampling over DIB frames via mapInPandas",
+    ),
+}

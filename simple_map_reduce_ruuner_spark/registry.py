@@ -273,6 +273,7 @@ _EXTENSION_MODULES = [
     "operators.behavior",
     "operators.clustering",
     "operators.rankstats",
+    "operators.codecs",
 ]
 
 _EXTENSION_LOADERS = [_module_loader(m) for m in _EXTENSION_MODULES] + [
