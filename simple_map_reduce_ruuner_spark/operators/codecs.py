@@ -1058,6 +1058,368 @@ FROM px
 """
 
 
+# ---------------------------------------------------------------------
+# GIF (GIF89a: LZW dictionary coding — a compression family none of
+# the other six codecs exercise)
+# ---------------------------------------------------------------------
+GIF_W_EXPR = "16 + doc_id % 17"  # 16..32 px
+GIF_H_EXPR = "12 + doc_id % 13"  # 12..24 px
+# non-identity palette so a decoder that returns raw indexes instead of
+# looking them up in the color table hash-mismatches
+GIF_R_EXPR = "(i * 7 + 13) % 256"
+GIF_G_EXPR = "(i * 31 + 5) % 256"
+GIF_B_EXPR = "(i * 13 + 101) % 256"
+GIF_CLEAR_EVERY = 400  # data codes between deliberate CLEARs
+
+
+def _gif_encode_fn():
+    """Factory for the GIF encode kernel: a spec-conformant GIF89a
+    writer (stdlib struct only). 256-entry global color table with a
+    NON-identity palette (index i -> ((7i+13)%256, (31i+5)%256,
+    (13i+101)%256)), a Graphic Control and a Comment extension for the
+    decoder to skip, and REAL GIF-LZW image data: min code size 8,
+    LSB-first variable-width codes (9..12 bits) with compress-style
+    late widening, a deliberate CLEAR every 400 data codes (decoder
+    must reset mid-stream), data split into <=100-byte sub-blocks.
+    Pixel indexes cycle the doc's UTF-8 bytes. Self-contained closure
+    (see multimodal._ppm_encode_fn for the pickling contract)."""
+
+    clear_every = GIF_CLEAR_EVERY
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        CLEAR, EOI = 256, 257
+
+        class LzwWriter:
+            """LSB-first variable-width code packer (GIF convention —
+            opposite bit order from JPEG)."""
+
+            def __init__(self) -> None:
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code: int, cs: int) -> None:
+                self.acc |= code << self.n
+                self.n += cs
+                while self.n >= 8:
+                    self.out.append(self.acc & 0xFF)
+                    self.acc >>= 8
+                    self.n -= 8
+
+            def flush(self) -> None:
+                if self.n:
+                    self.out.append(self.acc & 0xFF)
+                    self.acc, self.n = 0, 0
+
+        def lzw_compress(pixels: "np.ndarray") -> bytes:
+            w = LzwWriter()
+            cs, free, table = 9, 258, {}
+            w.put(CLEAR, cs)
+            seq = (int(pixels[0]),)
+            emitted = 0
+
+            def emit(code: int) -> None:
+                nonlocal cs
+                w.put(code, cs)
+                # compress-style late widening: the check runs AFTER
+                # each emit against the pre-add entry count
+                if cs < 12 and free >= (1 << cs):
+                    cs += 1
+
+            for px in pixels[1:]:
+                c = int(px)
+                cand = seq + (c,)
+                code = table.get(cand)
+                if code is not None:
+                    seq = (code,)  # represent runs by their code id
+                    continue
+                emit(seq[0])
+                emitted += 1
+                if free < 4096:
+                    table[cand] = free
+                    free += 1
+                if emitted % clear_every == 0 or free == 4096:
+                    w.put(CLEAR, cs)
+                    cs, free, table = 9, 258, {}
+                seq = (c,)
+            emit(seq[0])
+            w.put(EOI, cs)
+            w.flush()
+            return bytes(w.out)
+
+        def palette() -> bytes:
+            i = np.arange(256, dtype=np.int64)
+            return (
+                np.stack(
+                    [(i * 7 + 13) % 256, (i * 31 + 5) % 256, (i * 13 + 101) % 256],
+                    axis=1,
+                )
+                .astype(np.uint8)
+                .tobytes()
+            )
+
+        pal = palette()
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = int(16 + doc_id % 17)
+                h = int(12 + doc_id % 13)
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                px = (
+                    np.resize(t, w * h)
+                    if t.size
+                    else np.zeros(w * h, dtype=np.uint8)
+                )
+                lzw = lzw_compress(px)
+                sub = b"".join(
+                    bytes([len(lzw[i : i + 100])]) + lzw[i : i + 100]
+                    for i in range(0, len(lzw), 100)
+                )
+                blobs.append(
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256
+                    + pal
+                    # Graphic Control Extension (to skip)
+                    + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                    # Comment Extension, two sub-blocks (to skip)
+                    + b"\x21\xfe\x04smrr\x05synth\x00"
+                    # Image Descriptor: full frame, no LCT, not interlaced
+                    + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                    + b"\x08"  # LZW min code size
+                    + sub
+                    + b"\x00"  # block terminator
+                    + b"\x3b"  # trailer
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": blobs})
+
+    return encode
+
+
+def _gif_decode_fn():
+    """Factory for the GIF decode kernel: a REAL GIF89a parser —
+    header/LSD validation, global color table read (and USED: outputs
+    are palette-mapped channels, not raw indexes), extension skipping
+    via sub-block walks, image descriptor checks (interlace and local
+    color tables rejected), sub-block reassembly, and a full GIF-LZW
+    decoder: LSB-first variable-width codes, canonical late widening
+    (next == 1<<cs after an add), KwKwK first-char rule, mid-stream
+    CLEAR resets, deferred-clear tolerance at a full 4096 table, EOI +
+    trailer validation, and an exact pixel-count check. Self-contained
+    closure (see multimodal._ppm_encode_fn for the pickling
+    contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        CLEAR, EOI = 256, 257
+
+        def skip_subblocks(b: bytes, pos: int) -> int:
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF: sub-block length")
+                n = b[pos]
+                pos += 1
+                if n == 0:
+                    return pos
+                pos += n
+
+        def read_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
+            out = bytearray()
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF: sub-block length")
+                n = b[pos]
+                pos += 1
+                if n == 0:
+                    return bytes(out), pos
+                if pos + n > len(b):
+                    raise ValueError("truncated GIF: sub-block data")
+                out.extend(b[pos : pos + n])
+                pos += n
+
+        def lzw_decompress(data: bytes, expected: int) -> "np.ndarray":
+            out = np.empty(expected, dtype=np.uint8)
+            filled = 0
+            acc = n = pos = 0
+            cs, next_code = 9, 258
+            table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+            prev: bytes | None = None
+            while True:
+                while n < cs:
+                    if pos >= len(data):
+                        raise ValueError("truncated GIF: LZW stream")
+                    acc |= data[pos] << n
+                    n += 8
+                    pos += 1
+                code = acc & ((1 << cs) - 1)
+                acc >>= cs
+                n -= cs
+                if code == CLEAR:
+                    cs, next_code = 9, 258
+                    del table[258:]
+                    prev = None
+                    continue
+                if code == EOI:
+                    break
+                if prev is None:
+                    if code >= 256:
+                        raise ValueError("GIF LZW: first code not a root")
+                    entry = table[code]
+                else:
+                    if code < next_code:
+                        entry = table[code]
+                    elif code == next_code:
+                        entry = prev + prev[:1]  # KwKwK
+                    else:
+                        raise ValueError("GIF LZW: code past table end")
+                    if next_code < 4096:  # deferred-clear tolerance
+                        table.append(prev + entry[:1])
+                        next_code += 1
+                        if cs < 12 and next_code == (1 << cs):
+                            cs += 1
+                if filled + len(entry) > expected:
+                    raise ValueError("GIF raster overflows descriptor")
+                out[filled : filled + len(entry)] = np.frombuffer(
+                    entry, dtype=np.uint8
+                )
+                filled += len(entry)
+                prev = entry
+            if filled != expected:
+                raise ValueError("GIF raster size mismatch")
+            return out
+
+        def parse(b: bytes):
+            if b[:6] not in (b"GIF89a", b"GIF87a"):
+                raise ValueError("not a GIF: bad signature")
+            if len(b) < 13:
+                raise ValueError("truncated GIF: screen descriptor")
+            sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+            pos = 13
+            pal = None
+            if packed & 0x80:
+                gct_n = 2 << (packed & 0x07)
+                if pos + gct_n * 3 > len(b):
+                    raise ValueError("truncated GIF: global color table")
+                pal = np.frombuffer(
+                    b, dtype=np.uint8, offset=pos, count=gct_n * 3
+                ).reshape(gct_n, 3).astype(np.int64)
+                pos += gct_n * 3
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF: missing trailer")
+                block = b[pos]
+                pos += 1
+                if block == 0x21:  # extension: label byte + sub-blocks
+                    pos = skip_subblocks(b, pos + 1)
+                elif block == 0x2C:  # image descriptor
+                    left, top, w, h, ipacked = struct.unpack(
+                        "<HHHHB", b[pos : pos + 9]
+                    )
+                    pos += 9
+                    if ipacked & 0x40:
+                        raise ValueError("interlaced GIF unsupported")
+                    if ipacked & 0x80:
+                        raise ValueError("local color tables unsupported")
+                    if pal is None:
+                        raise ValueError("GIF has no color table")
+                    if (left, top, w, h) != (0, 0, sw, sh):
+                        raise ValueError("partial-frame GIF unsupported")
+                    min_cs = b[pos]
+                    pos += 1
+                    if min_cs != 8:
+                        raise ValueError("GIF min code size must be 8 here")
+                    lzw, pos = read_subblocks(b, pos)
+                    idx = lzw_decompress(lzw, w * h)
+                    if pos >= len(b) or b[pos] != 0x3B:
+                        raise ValueError("GIF missing trailer")
+                    return w, h, idx, pal
+                elif block == 0x3B:
+                    raise ValueError("GIF trailer before any image")
+                else:
+                    raise ValueError(f"unknown GIF block 0x{block:02x}")
+
+        for pdf in batches:
+            ids, ws, hs, mi, mr, mg, mb = [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["gif"]):
+                w, h, idx, pal = parse(bytes(blob))
+                rgb = pal[idx]  # palette lookup — the decode step
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                mi.append(int(idx.astype(np.int64).sum()) * 1000 // (w * h))
+                sums = rgb.sum(axis=0, dtype=np.int64) * 1000 // (w * h)
+                mr.append(sums[0])
+                mg.append(sums[1])
+                mb.append(sums[2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_idx_milli": pd.Series(mi, dtype="int64"),
+                    "mean_r_milli": pd.Series(mr, dtype="int64"),
+                    "mean_g_milli": pd.Series(mg, dtype="int64"),
+                    "mean_b_milli": pd.Series(mb, dtype="int64"),
+                }
+            )
+
+    return decode
+
+
+def decode_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec round trip, stdlib-only — the LZW leg of the
+    codec suite (dictionary coding; every other codec is either raw,
+    deflate, DCT, or companding). Encode each doc as a valid GIF89a —
+    non-identity 256-color global palette, skippable GCE/Comment
+    extensions, real variable-width LSB-first GIF-LZW with mid-stream
+    CLEAR resets and <=100-byte sub-blocks — then decode with a full
+    parser (header/LSD, color-table USE, extension walk, LZW with
+    KwKwK + late widening + deferred-clear tolerance, trailer check)
+    and emit index + palette-mapped channel means. The DuckDB oracle
+    recomputes both from the text bytes and the palette formulas: a
+    hash match proves the dictionary-coding round trip AND that the
+    decoder actually looks indexes up in the color table.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_gif_encode_fn(), "doc_id long, gif binary")
+    return encoded.mapInPandas(
+        _gif_decode_fn(),
+        "doc_id long, width long, height long, mean_idx_milli long, "
+        "mean_r_milli long, mean_g_milli long, mean_b_milli long",
+    )
+
+
+DECODE_IMAGE_GIF_SQL = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n,
+           ({GIF_W_EXPR})::BIGINT AS w, ({GIF_H_EXPR})::BIGINT AS ht
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, ht,
+      [ CASE WHEN n = 0 THEN 0 ELSE
+          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
+          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
+        END for i in range(1, w*ht + 1) ] AS idx
+    FROM b
+)
+SELECT doc_id, w AS width, ht AS height,
+  CAST(list_sum(idx) * 1000 // (w*ht) AS BIGINT) AS mean_idx_milli,
+  CAST(list_sum(list_transform(idx, i -> {GIF_R_EXPR})) * 1000 // (w*ht) AS BIGINT) AS mean_r_milli,
+  CAST(list_sum(list_transform(idx, i -> {GIF_G_EXPR})) * 1000 // (w*ht) AS BIGINT) AS mean_g_milli,
+  CAST(list_sum(list_transform(idx, i -> {GIF_B_EXPR})) * 1000 // (w*ht) AS BIGINT) AS mean_b_milli
+FROM px
+"""
+
+
 QUERIES: dict[str, Query] = {
     "decode_image_jpeg": Query(
         decode_image_jpeg,
@@ -1073,5 +1435,10 @@ QUERIES: dict[str, Query] = {
         decode_video_avi,
         DECODE_VIDEO_AVI_SQL,
         "real AVI container: index-seek frame sampling over DIB frames via mapInPandas",
+    ),
+    "decode_image_gif": Query(
+        decode_image_gif,
+        DECODE_IMAGE_GIF_SQL,
+        "real GIF89a codec: variable-width LZW + palette lookup via mapInPandas",
     ),
 }

@@ -18,6 +18,8 @@ from hypothesis import strategies as st
 from simple_map_reduce_ruuner_spark.operators.codecs import (
     _avi_decode_fn,
     _avi_encode_fn,
+    _gif_decode_fn,
+    _gif_encode_fn,
     _jpeg_decode_fn,
     _jpeg_encode_fn,
     _mulaw_decode_fn,
@@ -140,3 +142,19 @@ def test_avi_roundtrip_property(doc_id, payload):
         w, h, nf, fps, nf // 2,
     )
     assert (row.mean_r_milli, row.mean_g_milli, row.mean_b_milli) == tuple(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=doc_ids, payload=payloads)
+def test_gif_roundtrip_property(doc_id, payload):
+    """The LZW round trip must be an identity on the index raster for
+    every payload — runs (KwKwK), near-random bytes (code-width
+    growth), and cycled repeats (deep dictionary chains) alike — and
+    the channels must come from the palette, not the indexes."""
+    w, h = 16 + doc_id % 17, 12 + doc_id % 13
+    row = _roundtrip(_gif_encode_fn, _gif_decode_fn, "gif", doc_id, payload)
+    idx = _cycled(payload, w * h).astype(np.int64)
+    assert (row.width, row.height) == (w, h)
+    assert row.mean_idx_milli == int(idx.sum()) * 1000 // (w * h)
+    r = (idx * 7 + 13) % 256
+    assert row.mean_r_milli == int(r.sum()) * 1000 // (w * h)

@@ -43,6 +43,7 @@ CODECS = [
     "decode_image_jpeg",
     "decode_audio_mulaw",
     "decode_video_avi",
+    "decode_image_gif",
 ]
 
 
