@@ -54,7 +54,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from simple_map_reduce_ruuner_spark.operators.multimodal import _with_payload
+from simple_map_reduce_ruuner_spark.operators.multimodal import (
+    _with_payload,
+    cycled_byte_sql,
+)
 from simple_map_reduce_ruuner_spark.registry import Query
 
 # ---------------------------------------------------------------------
@@ -346,6 +349,8 @@ def _jpeg_decode_fn():
                     raise ValueError("truncated JPEG: expected marker")
                 while b[pos + 1] == 0xFF:  # fill bytes before a marker
                     pos += 1
+                    if pos + 2 > len(b):
+                        raise ValueError("truncated JPEG: fill bytes to EOF")
                 m = b[pos + 1]
                 pos += 2
                 if m == 0xD9:
@@ -441,6 +446,8 @@ def _jpeg_decode_fn():
                         break
                     if sym == 0xF0:  # ZRL: 16 zeros
                         i += 16
+                        if i > 63:  # a coefficient must still fit
+                            raise ValueError("AC run past block end")
                         continue
                     run, size = sym >> 4, sym & 0xF
                     i += run
@@ -531,10 +538,7 @@ WITH b AS (
 ),
 v AS (
     SELECT doc_id, bw, bh,
-      [ CASE WHEN n = 0 THEN 0 ELSE
-          (strpos('0123456789ABCDEF', h[2*(((k-1)%n)+1)-1 : 2*(((k-1)%n)+1)-1]) - 1) * 16
-          + (strpos('0123456789ABCDEF', h[2*(((k-1)%n)+1) : 2*(((k-1)%n)+1)]) - 1)
-        END for k in range(1, bw*bh + 1) ] AS vals
+      [ {cycled_byte_sql("k-1")} for k in range(1, bw*bh + 1) ] AS vals
     FROM b
 )
 SELECT doc_id, 8*bw AS width, 8*bh AS height,
@@ -631,6 +635,8 @@ def _mulaw_decode_fn():
             while pos + 8 <= end:
                 ctype = b[pos : pos + 4]
                 (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if pos + 8 + length > end:
+                    raise ValueError("truncated WAV: chunk past RIFF end")
                 payload = b[pos + 8 : pos + 8 + length]
                 if len(payload) != length:
                     raise ValueError("truncated WAV: chunk data")
@@ -643,6 +649,8 @@ def _mulaw_decode_fn():
                 pos += 8 + length + (length % 2)  # word-aligned walk
             if fmt is None or data is None:
                 raise ValueError("WAV missing fmt or data chunk")
+            if len(fmt) < 16:
+                raise ValueError("malformed fmt chunk")
             audio_fmt, ch, rate, _, block, bits = struct.unpack(
                 "<HHIIHH", fmt[:16]
             )
@@ -651,6 +659,8 @@ def _mulaw_decode_fn():
             if block != ch or len(data) % block:
                 raise ValueError("data chunk disagrees with block align")
             if fact is not None:
+                if len(fact) < 4:
+                    raise ValueError("malformed fact chunk")
                 (n_frames_fact,) = struct.unpack("<I", fact[:4])
                 if n_frames_fact != len(data) // ch:
                     raise ValueError("fact chunk disagrees with data length")
@@ -718,10 +728,8 @@ WITH b AS (
 ),
 cw AS (
     SELECT doc_id, ch, frames,
-      [ 255 - (CASE WHEN n = 0 THEN 0 ELSE
-          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
-          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
-        END) for i in range(1, frames*ch + 1) ] AS u
+      [ 255 - ({cycled_byte_sql("i-1")})
+        for i in range(1, frames*ch + 1) ] AS u
     FROM b
 ),
 s AS (
@@ -928,6 +936,8 @@ def _avi_decode_fn():
                     idx1 = b[dstart : dstart + dlen]
             if avih is None or strh is None or strf is None:
                 raise ValueError("AVI missing avih/strh/strf headers")
+            if len(avih) < 40 or len(strh) < 28 or len(strf) < 20:
+                raise ValueError("malformed AVI header chunk")
             if movi_start is None:
                 raise ValueError("AVI missing movi LIST")
             if idx1 is None:
@@ -1043,10 +1053,8 @@ WITH b AS (
 ),
 px AS (
     SELECT doc_id, w, ht, nf, fps, (nf // 2) AS fi,
-      [ CASE WHEN n = 0 THEN 0 ELSE
-          (strpos('0123456789ABCDEF', h[2*((((nf//2)*ht*w*3 + i - 1) % n) + 1)-1 : 2*((((nf//2)*ht*w*3 + i - 1) % n) + 1)-1]) - 1) * 16
-          + (strpos('0123456789ABCDEF', h[2*((((nf//2)*ht*w*3 + i - 1) % n) + 1) : 2*((((nf//2)*ht*w*3 + i - 1) % n) + 1)]) - 1)
-        END for i in range(1, w*ht*3 + 1) ] AS p
+      [ {cycled_byte_sql("(nf//2)*ht*w*3 + i - 1")}
+        for i in range(1, w*ht*3 + 1) ] AS p
     FROM b
 )
 SELECT doc_id, w AS width, ht AS height, nf AS n_frames, fps,
@@ -1319,6 +1327,8 @@ def _gif_decode_fn():
                 if block == 0x21:  # extension: label byte + sub-blocks
                     pos = skip_subblocks(b, pos + 1)
                 elif block == 0x2C:  # image descriptor
+                    if pos + 10 > len(b):  # descriptor + min code size
+                        raise ValueError("truncated GIF: image descriptor")
                     left, top, w, h, ipacked = struct.unpack(
                         "<HHHHB", b[pos : pos + 9]
                     )
@@ -1405,10 +1415,7 @@ WITH b AS (
 ),
 px AS (
     SELECT doc_id, w, ht,
-      [ CASE WHEN n = 0 THEN 0 ELSE
-          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
-          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
-        END for i in range(1, w*ht + 1) ] AS idx
+      [ {cycled_byte_sql("i-1")} for i in range(1, w*ht + 1) ] AS idx
     FROM b
 )
 SELECT doc_id, w AS width, ht AS height,

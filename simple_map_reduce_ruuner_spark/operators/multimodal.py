@@ -42,6 +42,28 @@ from simple_map_reduce_ruuner_spark.sources.tables import load_table
 FORMATS = ("jpeg", "png", "webp")
 
 
+# Oracle helpers shared by every codec oracle (here and in
+# operators/codecs.py): byte j (a 1-based SQL position expression) of
+# the hex()-encoded UTF-8 blob `h`, and the cycled variant that wraps a
+# 0-based offset expression over the n source bytes (0 for empty docs).
+# One site for the two-hex-digit strpos decode — review-found: the
+# pattern used to be copy-pasted across every oracle string.
+def hex_byte_sql(j: str) -> str:
+    """1-based byte at position `j` of hex column h, as an integer."""
+    return (
+        f"(strpos('0123456789ABCDEF', h[2*({j})-1 : 2*({j})-1]) - 1) * 16"
+        f" + (strpos('0123456789ABCDEF', h[2*({j}) : 2*({j})]) - 1)"
+    )
+
+
+def cycled_byte_sql(offset: str) -> str:
+    """Byte at 0-based `offset` cycled over the n source bytes."""
+    return (
+        f"CASE WHEN n = 0 THEN 0 ELSE "
+        f"{hex_byte_sql(f'(({offset}) % n) + 1')} END"
+    )
+
+
 def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -138,14 +160,13 @@ def payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # digits per byte, decoded via strpos — the old substr/ascii character
 # form diverged on non-ASCII text AND on empty docs (string_split('','')
 # is [''] in DuckDB → n_bytes=1 where Spark sees 0 bytes; review-found).
-PAYLOAD_BYTE_STATS_SQL = """
+PAYLOAD_BYTE_STATS_SQL = f"""
 WITH codes AS (
     SELECT doc_id, hex(encode(text)) AS h FROM documents
 ),
 bl AS (
     SELECT doc_id,
-           [ (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
-             + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)
+           [ {hex_byte_sql("i")}
              for i in range(1, length(h) // 2 + 1) ] AS cs
     FROM codes
 ),
@@ -313,10 +334,7 @@ WITH b AS (
 ),
 px AS (
     SELECT doc_id, w, ht,
-      [ CASE WHEN n = 0 THEN 0 ELSE
-          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
-          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
-        END for i in range(1, w*ht*3 + 1) ] AS p
+      [ {cycled_byte_sql("i-1")} for i in range(1, w*ht*3 + 1) ] AS p
     FROM b
 )
 SELECT doc_id, w AS width, ht AS height,
@@ -338,17 +356,12 @@ DECODE_IMAGE_PPM_SQL = _decode_image_oracle_sql(
 # non-ASCII code point (review-found, latent on the ASCII driver
 # corpus). hex() of the encoded blob gives two hex digits per byte;
 # strpos decodes them.
-_HEX = "0123456789ABCDEF"
-
-
 def _byte_sql(i: int) -> str:
     """1-based byte i of the hex-encoded payload as a BIGINT (0 if past
     the end)."""
-    hi = f"(strpos('{_HEX}', h[{2 * i - 1}:{2 * i - 1}]) - 1)"
-    lo = f"(strpos('{_HEX}', h[{2 * i}:{2 * i}]) - 1)"
     return (
         f"CASE WHEN length(h) >= {2 * i}"
-        f" THEN CAST({hi} * 16 + {lo} AS BIGINT) ELSE 0 END"
+        f" THEN CAST({hex_byte_sql(str(i))} AS BIGINT) ELSE 0 END"
     )
 
 
@@ -770,6 +783,8 @@ def _wav_decode_fn():
             while pos + 8 <= end:
                 ctype = b[pos : pos + 4]
                 (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if pos + 8 + length > end:
+                    raise ValueError("truncated WAV: chunk past RIFF end")
                 payload = b[pos + 8 : pos + 8 + length]
                 if len(payload) != length:
                     raise ValueError("truncated WAV: chunk data")
@@ -856,10 +871,8 @@ WITH b AS (
 ),
 s AS (
     SELECT doc_id, ch, rate, frames,
-      [ (CASE WHEN n = 0 THEN 0 ELSE
-          (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1)-1 : 2*(((i-1)%n)+1)-1]) - 1) * 16
-          + (strpos('0123456789ABCDEF', h[2*(((i-1)%n)+1) : 2*(((i-1)%n)+1)]) - 1)
-        END - 128) * 256 for i in range(1, frames*ch + 1) ] AS smp
+      [ ({cycled_byte_sql("i-1")} - 128) * 256
+        for i in range(1, frames*ch + 1) ] AS smp
     FROM b
 )
 SELECT doc_id, rate AS sample_rate, ch AS channels, frames AS n_frames,

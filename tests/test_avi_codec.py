@@ -140,6 +140,21 @@ def test_parser_rejects_invalid_input():
         _decode([bytes(bad)])
 
 
+def test_short_header_chunks_raise_value_error():
+    """avih/strh/strf shorter than their fixed layouts must raise
+    ValueError, not struct.error (review-found)."""
+    enc = _encode([b"abc"], [1])
+    good = bytes(enc["avi"][0])
+    avih_at = good.find(b"avih")
+    bad = bytearray(good)
+    # shrink avih to 8 bytes and turn its tail into a JUNK chunk so the
+    # sub-walk stays aligned: avih(8+8) + JUNK(8+40) == avih(8+56)
+    bad[avih_at + 4 : avih_at + 8] = struct.pack("<I", 8)
+    bad[avih_at + 16 : avih_at + 24] = b"JUNK" + struct.pack("<I", 40)
+    with pytest.raises(ValueError, match="malformed AVI header"):
+        _decode([bytes(bad)])
+
+
 def test_junk_chunk_word_alignment():
     """The encoder plants an odd-length JUNK chunk between hdrl and
     movi; if the walker forgot RIFF pad bytes it would desync and miss

@@ -109,6 +109,10 @@ def test_parser_rejects_invalid_input():
     # missing trailer
     with pytest.raises(ValueError, match="missing trailer"):
         _decode([good[:-1]])
+    # file ending inside the image descriptor (review-found: used to
+    # surface as struct.error instead of the ValueError contract)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _decode([good[: at + 5]])
     # corrupt a mid-stream LZW byte: must fail loudly (size mismatch,
     # overflow, or an out-of-range code), never return wrong means
     sub_at = at + 10 + 1  # first sub-block length byte

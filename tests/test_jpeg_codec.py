@@ -247,6 +247,36 @@ def test_parser_rejects_invalid_input():
         _decode([bytes(bad)])
 
 
+def test_zrl_past_block_end_rejected():
+    """A spec-invalid stream whose ZRL runs the coefficient index past
+    63 must raise, not silently decode (review-found: the guard only
+    covered run/size symbols)."""
+    quant = np.ones((8, 8), dtype=np.int64)
+    blk = np.zeros((8, 8), dtype=np.int64)
+    blob = _build_jpeg([blk], 1, 1, quant)
+    # rebuild the scan with DC cat 0 then FOUR ZRLs (64 zeros from i=1)
+    dc_codes = _canonical(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _canonical(JPEG_AC_BITS, JPEG_AC_VALS)
+    w = _BW()
+    c, ln = dc_codes[0]
+    w.put(c, ln)
+    for _ in range(4):
+        c, ln = ac_codes[0xF0]
+        w.put(c, ln)
+    w.align()
+    scan_at = blob.rfind(b"\xff\xda") + 2 + 2 + 6  # marker+len+header
+    bad = blob[:scan_at] + bytes(w.out) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="AC run past block end"):
+        _decode([bad])
+
+
+def test_eof_inside_fill_bytes_rejected():
+    """A file ending in a run of 0xFF fill bytes must raise ValueError,
+    not IndexError (review-found)."""
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        _decode([b"\xff\xd8\xff\xff"])
+
+
 def test_corrupted_restart_marker_rejected():
     """doc_id 7 has one RST0; breaking its marker number must fail the
     expect_rst sequence check, not silently desync."""

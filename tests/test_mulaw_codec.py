@@ -122,6 +122,39 @@ def test_parser_rejects_invalid_input():
         _decode([_wav(2, bytes([1, 2, 3]), with_fact=False)])
 
 
+def test_short_header_chunks_raise_value_error():
+    """Short fmt/fact chunks must raise ValueError, not struct.error
+    (review-found)."""
+    codes = bytes([0xFF, 0x80])
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return t + struct.pack("<I", len(d)) + d + (b"\x00" if len(d) % 2 else b"")
+
+    body = b"WAVE" + chunk(b"fmt ", bytes(8)) + chunk(b"data", codes)
+    with pytest.raises(ValueError, match="malformed fmt"):
+        _decode([b"RIFF" + struct.pack("<I", len(body)) + body])
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"fact", b"\x02")
+        + chunk(b"data", codes)
+    )
+    with pytest.raises(ValueError, match="malformed fact"):
+        _decode([b"RIFF" + struct.pack("<I", len(body)) + body])
+
+
+def test_chunk_past_riff_end_rejected():
+    """A chunk whose payload overruns the declared RIFF extent must be
+    rejected even when the bytes physically exist (review-found: the
+    AVI walk enforced this but the WAV walks did not)."""
+    good = _wav(1, bytes([0xFF, 0x80, 0x40, 0x20]))
+    bad = bytearray(good)
+    # shrink the declared RIFF size so the data chunk pokes past it
+    (riff,) = struct.unpack("<I", good[4:8])
+    bad[4:8] = struct.pack("<I", riff - 3)
+    with pytest.raises(ValueError, match="RIFF end"):
+        _decode([bytes(bad)])
+
+
 def test_missing_fact_is_tolerated():
     """fact is required by the spec for compressed formats, but the
     parser treats it as validate-if-present (real files vary)."""
