@@ -416,6 +416,10 @@ def _jpeg_decode_fn():
             fw, fh, _cid, ctq = frame
             if fw % 8 or fh % 8:
                 raise ValueError("partial edge blocks unsupported")
+            if fw * fh > (1 << 24):
+                # allocation happens before entropy decode can fail, so
+                # a corrupted SOF must not demand a multi-GB raster
+                raise ValueError("JPEG raster too large")
             if ctq not in qt:
                 raise ValueError("SOF references undefined quant table")
             td, ta = scan
@@ -1341,6 +1345,10 @@ def _gif_decode_fn():
                         raise ValueError("GIF has no color table")
                     if (left, top, w, h) != (0, 0, sw, sh):
                         raise ValueError("partial-frame GIF unsupported")
+                    if w * h > (1 << 24):
+                        # LZW can expand ~1500x: bound the output raster
+                        # BEFORE allocating (zip-bomb guard)
+                        raise ValueError("GIF raster too large")
                     min_cs = b[pos]
                     pos += 1
                     if min_cs != 8:

@@ -605,9 +605,20 @@ def _png_decode_fn():
                     "unsupported PNG shape (want 8-bit RGB, deflate, "
                     "filter method 0, no interlace)"
                 )
-            stream = zlib.decompress(bytes(idat))
             stride = w * 3
-            if len(stream) != h * (1 + stride):
+            want = h * (1 + stride)
+            try:
+                # bounded inflate: a corrupt/hostile IDAT must not be
+                # able to expand past the declared raster size (zip-bomb
+                # guard — at fleet scale an unbounded decompress is an
+                # executor OOM vector); +1 detects overflow cheaply
+                d = zlib.decompressobj()
+                stream = d.decompress(bytes(idat), want + 1)
+            except zlib.error as exc:
+                # CRC-consistent but corrupt deflate data (coordinated
+                # corruption) must keep the ValueError contract
+                raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
+            if len(stream) != want or not d.eof:
                 raise ValueError("PNG raster size mismatch")
             recon = np.zeros((h, stride), dtype=np.int64)
             for r in range(h):
