@@ -16,9 +16,11 @@ that claim measured instead of asserted:
 3. Reports per-codec medians, the 10x/1x ratio and per-unit (ratio/10),
    plus decoded-payload MB/s at 10x.
 
-Writes CODEC_THROUGHPUT_r12.json at the repo root.
+Writes CODEC_THROUGHPUT_r12.json at the repo root (10x default); pass
+a replica factor K to measure another decade (artifact name then
+carries the factor, e.g. CODEC_SCALE_100X_r12.json).
 
-Usage: python tools/codec_throughput_probe.py [reps=3]
+Usage: python tools/codec_throughput_probe.py [reps=3] [K=10]
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
 SF01 = "/root/testdata/sf0.1"
-X10 = str(REPO / ".scaledata" / "docs10x")
+X10 = str(REPO / ".scaledata" / "docs10x")  # overridden by K argv
 
 CODECS = [
     "decode_image_ppm",
@@ -47,27 +49,30 @@ CODECS = [
 ]
 
 
-def build_docs_replica() -> None:
+def build_docs_replica(k: int, big_dir: str) -> None:
     import pyarrow.parquet as pq
 
     from make_scale_data import _replica
     import pyarrow as pa
 
-    dst = pathlib.Path(X10)
+    dst = pathlib.Path(big_dir)
     out = dst / "documents.parquet"
     if out.exists():
         print(f"replica exists: {out}")
         return
     dst.mkdir(parents=True, exist_ok=True)
     table = pq.read_table(pathlib.Path(SF01) / "documents.parquet")
-    big = pa.concat_tables([_replica("documents", table, i) for i in range(10)])
+    big = pa.concat_tables([_replica("documents", table, i) for i in range(k)])
     pq.write_table(big, out)
     print(f"documents: {table.num_rows} -> {big.num_rows} rows at {out}")
 
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    build_docs_replica()
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    global X10
+    X10 = str(REPO / ".scaledata" / f"docs{k}x")
+    build_docs_replica(k, X10)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -117,7 +122,7 @@ def main() -> None:
             "reps_sf01": [round(t, 3) for t in t_small],
             "reps_x10": [round(t, 3) for t in t_big],
             "ratio_10x": round(ratio, 2),
-            "per_unit": round(ratio / 10, 3),
+            "per_unit": round(ratio / k, 3),
             "rows_per_s_10x": int(rows[X10] / med_b),
             "payload_mb_per_s_10x": round(
                 payload_bytes[X10] / med_b / 1e6, 1
@@ -129,12 +134,15 @@ def main() -> None:
     out = {
         "sf_small": SF01,
         "sf_big": X10,
+        "k": k,
         "rows": {"sf01": rows[SF01], "x10": rows[X10]},
         "payload_bytes": {"sf01": payload_bytes[SF01], "x10": payload_bytes[X10]},
         "reps": reps,
         "codecs": results,
     }
-    path = REPO / "CODEC_THROUGHPUT_r12.json"
+    path = REPO / (
+        "CODEC_THROUGHPUT_r12.json" if k == 10 else f"CODEC_SCALE_{k}X_r12.json"
+    )
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(f"wrote {path}")
     spark.stop()
