@@ -20,7 +20,9 @@ Writes CODEC_THROUGHPUT_r12.json at the repo root (10x default); pass
 a replica factor K to measure another decade (artifact name then
 carries the factor, e.g. CODEC_SCALE_100X_r12.json).
 
-Usage: python tools/codec_throughput_probe.py [reps=3] [K=10]
+Usage: python tools/codec_throughput_probe.py [reps=3] [K=10] [codecs]
+  codecs: optional comma-separated subset (big decades time out the
+  full set; the slow/fast extremes bound the family).
 """
 
 from __future__ import annotations
@@ -70,6 +72,7 @@ def build_docs_replica(k: int, big_dir: str) -> None:
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    codecs = sys.argv[3].split(",") if len(sys.argv) > 3 else CODECS
     global X10
     X10 = str(REPO / ".scaledata" / f"docs{k}x")
     build_docs_replica(k, X10)
@@ -102,7 +105,7 @@ def main() -> None:
     print(f"payload bytes: sf0.1={payload_bytes[SF01]:,} 10x={payload_bytes[X10]:,}")
 
     results: dict[str, dict] = {}
-    for name in CODECS:
+    for name in codecs:
         fn = qs[name].fn
         fn(spark, SF01).count()  # warm codegen + python workers once
         t_small, t_big = [], []
