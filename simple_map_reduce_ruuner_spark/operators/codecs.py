@@ -55,6 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_map_reduce_ruuner_spark.operators.multimodal import (
+    _decode_image_oracle_sql,
     _with_payload,
     cycled_byte_sql,
 )
@@ -1461,7 +1462,218 @@ FROM px
 """
 
 
+# ---------------------------------------------------------------------
+# TGA (Truevision TGA 2.0, image type 10: RLE true-color — the
+# run-length-coding family; every other codec is raw, deflate, DCT,
+# companding, or LZW)
+# ---------------------------------------------------------------------
+TGA_W_EXPR = "3 + doc_id % 6"  # 3..8 px
+TGA_H_EXPR = "3 + doc_id % 5"  # 3..7 px
+
+
+def _tga_encode_fn():
+    """Factory for the TGA encode kernel: a spec-conformant Truevision
+    TGA 2.0 writer (stdlib struct only). Image type 10 (RLE-compressed
+    true-color), 24 bpp, bottom-up row order and BGR byte order (the
+    TGA on-disk conventions — same traps as the AVI DIB frames), a
+    5-byte image-ID field the decoder must skip, per-scanline RLE
+    packets (runs -> RLE packets, literals -> raw packets, both <=128
+    pixels per the spec), and the optional v2 footer signature. Pixels
+    cycle the doc's UTF-8 bytes over the LOGICAL top-down RGB layout.
+    Self-contained closure (see multimodal._ppm_encode_fn)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def rle_row(row: "np.ndarray") -> bytes:
+            """RLE one scanline of (w, 3) pixels: maximal equal-pixel
+            runs become RLE packets, everything else raw packets."""
+            out = bytearray()
+            w = len(row)
+            i = 0
+            while i < w:
+                # measure the run at i
+                j = i + 1
+                while j < w and j - i < 128 and (row[j] == row[i]).all():
+                    j += 1
+                if j - i >= 2:  # RLE packet
+                    out.append(0x80 | (j - i - 1))
+                    out.extend(row[i].tobytes())
+                    i = j
+                else:  # collect literals until the next run of >=2
+                    k = i + 1
+                    while k < w and k - i < 128:
+                        if k + 1 < w and (row[k + 1] == row[k]).all():
+                            break
+                        k += 1
+                    out.append(k - i - 1)
+                    out.extend(row[i:k].tobytes())
+                    i = k
+            return bytes(out)
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = int(3 + doc_id % 6)
+                h = int(3 + doc_id % 5)
+                need = h * w * 3
+                t = np.frombuffer(bytes(payload), dtype=np.uint8)
+                logical = (
+                    np.resize(t, need)
+                    if t.size
+                    else np.zeros(need, dtype=np.uint8)
+                ).reshape(h, w, 3)
+                # on-disk: bottom-up rows, BGR channel order
+                disk = logical[::-1, :, ::-1]
+                header = (
+                    struct.pack(
+                        "<BBBHHBHHHHBB",
+                        5,  # idlength: 5-byte image ID to skip
+                        0,  # no color map
+                        10,  # RLE true-color
+                        0, 0, 0,  # color map spec (unused)
+                        0, 0,  # x/y origin
+                        w, h,
+                        24,  # bpp
+                        0x00,  # descriptor: bottom-up, no alpha
+                    )
+                    + b"smrr!"  # the image ID field itself
+                )
+                body = b"".join(rle_row(disk[r]) for r in range(h))
+                footer = (
+                    b"\x00" * 8  # ext/dev directory offsets: none
+                    + b"TRUEVISION-XFILE.\x00"
+                )
+                blobs.append(header + body + footer)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tga": blobs})
+
+    return encode
+
+
+def _tga_decode_fn():
+    """Factory for the TGA decode kernel: header validation (type 10,
+    24 bpp, no color map, no alpha bits), image-ID skip, a REAL RLE
+    unpacker (RLE and raw packets, 1..128 pixels each, overflow and
+    truncation rejected), BOTH vertical-origin conventions (descriptor
+    bit 5), BGR -> RGB swap, and v2 footer validation when trailing
+    bytes exist. Emits the same per-channel integer means as the other
+    image codecs. Self-contained closure (see
+    multimodal._ppm_encode_fn for the pickling contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(b: bytes) -> tuple[int, int, "np.ndarray"]:
+            if len(b) < 18:
+                raise ValueError("truncated TGA header")
+            (idlen, cmap, itype, _cfirst, _clen, _csize, _xo, _yo,
+             w, h, bpp, desc) = struct.unpack("<BBBHHBHHHHBB", b[:18])
+            if itype != 10 or cmap != 0:
+                raise ValueError("unsupported TGA (want RLE true-color)")
+            if bpp != 24 or desc & 0x0F:
+                raise ValueError("unsupported TGA (want 24 bpp, no alpha)")
+            if w * h > (1 << 24):
+                raise ValueError("TGA raster too large")
+            pos = 18 + idlen  # skip the image ID field
+            if pos > len(b):
+                raise ValueError("truncated TGA: image ID")
+            need = w * h
+            px = np.empty((need, 3), dtype=np.uint8)
+            filled = 0
+            while filled < need:
+                if pos >= len(b):
+                    raise ValueError("truncated TGA: RLE stream")
+                head = b[pos]
+                pos += 1
+                count = (head & 0x7F) + 1
+                if filled + count > need:
+                    raise ValueError("TGA RLE overflows raster")
+                if head & 0x80:  # RLE packet: one pixel repeated
+                    if pos + 3 > len(b):
+                        raise ValueError("truncated TGA: RLE packet")
+                    px[filled : filled + count] = np.frombuffer(
+                        b, dtype=np.uint8, offset=pos, count=3
+                    )
+                    pos += 3
+                else:  # raw packet: count literal pixels
+                    if pos + 3 * count > len(b):
+                        raise ValueError("truncated TGA: raw packet")
+                    px[filled : filled + count] = np.frombuffer(
+                        b, dtype=np.uint8, offset=pos, count=3 * count
+                    ).reshape(count, 3)
+                    pos += 3 * count
+                filled += count
+            # trailing bytes must be a valid v2 footer (or nothing)
+            rest = b[pos:]
+            if rest and (
+                len(rest) != 26 or rest[8:] != b"TRUEVISION-XFILE.\x00"
+            ):
+                raise ValueError("garbage after TGA image data")
+            img = px.reshape(h, w, 3)
+            if not desc & 0x20:  # bit 5 clear: bottom-up origin
+                img = img[::-1]
+            return w, h, img[:, :, ::-1].reshape(need, 3)  # BGR -> RGB
+
+        for pdf in batches:
+            ids, ws, hs, means = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["tga"]):
+                w, h, px = parse(bytes(blob))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                means.append(px.sum(axis=0, dtype=np.int64) * 1000 // (w * h))
+            m = np.stack(means) if means else np.empty((0, 3), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_r_milli": m[:, 0],
+                    "mean_g_milli": m[:, 1],
+                    "mean_b_milli": m[:, 2],
+                }
+            )
+
+    return decode
+
+
+def decode_image_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA codec round trip, stdlib-only — the run-length-coding
+    leg of the codec suite (raw/deflate/DCT/companding/LZW are covered
+    by the other seven). Encode each doc as a valid Truevision TGA 2.0
+    type-10 file (RLE + raw packets, bottom-up BGR storage, an
+    image-ID field to skip, the v2 footer signature), then decode with
+    a full parser (header/descriptor validation, packet unpacking with
+    overflow/truncation rejection, both origin conventions, footer
+    check) and emit per-channel integer means of the logical top-down
+    RGB image. Shares the PPM/PNG oracle template (different dimension
+    formulas): a hash match proves the RLE round trip is lossless.
+    """
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_tga_encode_fn(), "doc_id long, tga binary")
+    return encoded.mapInPandas(
+        _tga_decode_fn(),
+        "doc_id long, width long, height long, "
+        "mean_r_milli long, mean_g_milli long, mean_b_milli long",
+    )
+
+
+# shared oracle template with PPM/PNG — only the dimension formulas
+# differ (hash match proves the RLE round trip against the same
+# ground truth)
+DECODE_IMAGE_TGA_SQL = _decode_image_oracle_sql(TGA_W_EXPR, TGA_H_EXPR)
+
+
 QUERIES: dict[str, Query] = {
+    "decode_image_tga": Query(
+        decode_image_tga,
+        DECODE_IMAGE_TGA_SQL,
+        "real TGA codec: RLE/raw packet round trip via mapInPandas",
+    ),
     "decode_image_jpeg": Query(
         decode_image_jpeg,
         DECODE_IMAGE_JPEG_SQL,

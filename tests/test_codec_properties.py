@@ -24,6 +24,8 @@ from simple_map_reduce_ruuner_spark.operators.codecs import (
     _jpeg_encode_fn,
     _mulaw_decode_fn,
     _mulaw_encode_fn,
+    _tga_decode_fn,
+    _tga_encode_fn,
 )
 from simple_map_reduce_ruuner_spark.operators.multimodal import (
     _png_decode_fn,
@@ -158,3 +160,17 @@ def test_gif_roundtrip_property(doc_id, payload):
     assert row.mean_idx_milli == int(idx.sum()) * 1000 // (w * h)
     r = (idx * 7 + 13) % 256
     assert row.mean_r_milli == int(r.sum()) * 1000 // (w * h)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=doc_ids, payload=payloads)
+def test_tga_roundtrip_property(doc_id, payload):
+    """The RLE round trip must be an identity for every payload — runs
+    (RLE packets), near-random bytes (raw packets), and the mixed
+    boundaries between them — through the bottom-up BGR storage."""
+    w, h = 3 + doc_id % 6, 3 + doc_id % 5
+    row = _roundtrip(_tga_encode_fn, _tga_decode_fn, "tga", doc_id, payload)
+    px = _cycled(payload, w * h * 3).reshape(w * h, 3)
+    want = px.sum(axis=0, dtype=np.int64) * 1000 // (w * h)
+    assert (row.width, row.height) == (w, h)
+    assert (row.mean_r_milli, row.mean_g_milli, row.mean_b_milli) == tuple(want)
