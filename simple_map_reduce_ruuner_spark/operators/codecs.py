@@ -58,6 +58,7 @@ from simple_map_reduce_ruuner_spark.operators.multimodal import (
     _decode_image_oracle_sql,
     _with_payload,
     cycled_byte_sql,
+    hex_byte_sql,
 )
 from simple_map_reduce_ruuner_spark.registry import Query
 
@@ -1668,6 +1669,207 @@ def decode_image_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECODE_IMAGE_TGA_SQL = _decode_image_oracle_sql(TGA_W_EXPR, TGA_H_EXPR)
 
 
+# ---------------------------------------------------------------------
+# Tar shards (POSIX ustar) — the WebDataset shape: multimodal training
+# corpora ship as tar archives of related member files, and the
+# pipeline's first step is enumerating members WITHOUT unpacking to a
+# filesystem. Public format: POSIX.1-1988 ustar.
+# ---------------------------------------------------------------------
+TAR_HEAD_BYTES = 48  # member 1 carries the first 48 cycled text bytes
+
+
+def _tar_encode_fn():
+    """Factory for the tar-shard encode kernel: a spec-conformant POSIX
+    ustar writer (stdlib only — 512-byte headers, octal size fields,
+    the space-filled checksum convention, data padded to 512, two zero
+    end blocks). Each doc becomes a 3-member shard the way WebDataset
+    groups related files under one key: doc{id}/text.txt (the full
+    UTF-8 text), doc{id}/head.bin (first 48 cycled bytes), and
+    doc{id}/meta.txt (the decimal doc id). Self-contained closure (see
+    multimodal._ppm_encode_fn for the pickling contract)."""
+
+    head_n = TAR_HEAD_BYTES
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def header(name: bytes, size: int) -> bytes:
+            h = bytearray(512)
+            h[0 : len(name)] = name  # name, NUL-padded
+            h[100:108] = b"0000644\x00"  # mode
+            h[108:116] = b"0000000\x00"  # uid
+            h[116:124] = b"0000000\x00"  # gid
+            h[124:136] = b"%011o\x00" % size
+            h[136:148] = b"00000000000\x00"  # mtime: epoch, deterministic
+            h[148:156] = b" " * 8  # checksum field counts as spaces
+            h[156] = 0x30  # typeflag '0': regular file
+            h[257:263] = b"ustar\x00"  # POSIX magic
+            h[263:265] = b"00"  # version
+            chk = sum(h)
+            h[148:156] = b"%06o\x00 " % chk
+            return bytes(h)
+
+        def member(name: bytes, data: bytes) -> bytes:
+            pad = (512 - len(data) % 512) % 512
+            return header(name, len(data)) + data + b"\x00" * pad
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload)
+                t = np.frombuffer(text, dtype=np.uint8)
+                head = (
+                    np.resize(t, head_n)
+                    if t.size
+                    else np.zeros(head_n, dtype=np.uint8)
+                ).tobytes()
+                prefix = b"doc%d/" % doc_id
+                blobs.append(
+                    member(prefix + b"text.txt", text)
+                    + member(prefix + b"head.bin", head)
+                    + member(prefix + b"meta.txt", b"%d" % doc_id)
+                    + b"\x00" * 1024  # end-of-archive marker
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tar": blobs})
+
+    return encode
+
+
+def _tar_decode_fn():
+    """Factory for the tar-shard member-enumeration kernel: a REAL
+    ustar parser — 512-byte block walk, NUL-terminated names, octal
+    size fields, CHECKSUM VERIFICATION per header (space-filled field
+    convention), magic/typeflag validation, data-padding arithmetic,
+    and the two-zero-block end marker — emitting one row per member
+    with exact byte statistics, the WebDataset enumerate-without-
+    unpacking step. Rejects truncated archives, bad checksums, and
+    non-ustar headers. Self-contained closure (see
+    multimodal._ppm_encode_fn for the pickling contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def parse(b: bytes):
+            """Yield (name, size, sum_bytes) per member."""
+            pos, end = 0, len(b)
+            while True:
+                if pos + 512 > end:
+                    raise ValueError("truncated tar: header block")
+                h = b[pos : pos + 512]
+                if h == b"\x00" * 512:  # first end block
+                    if b[pos + 512 : pos + 1024] != b"\x00" * 512:
+                        raise ValueError("tar missing second end block")
+                    return
+                if h[257:263] != b"ustar\x00":
+                    raise ValueError("not a ustar header")
+                stored = h[148:156]
+                chk = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
+                try:
+                    stored_v = int(stored.rstrip(b"\x00 ").lstrip() or b"0", 8)
+                    size = int(
+                        h[124:136].rstrip(b"\x00 ").lstrip() or b"0", 8
+                    )
+                except ValueError as exc:
+                    raise ValueError("malformed tar octal field") from exc
+                if stored_v != chk:
+                    raise ValueError("tar header checksum mismatch")
+                if h[156] != 0x30:
+                    raise ValueError("unsupported tar member type")
+                name = h[:100].split(b"\x00", 1)[0].decode("utf-8")
+                data_end = pos + 512 + size
+                if data_end > end:
+                    raise ValueError("truncated tar: member data")
+                data = np.frombuffer(
+                    b, dtype=np.uint8, offset=pos + 512, count=size
+                )
+                yield name, size, int(data.sum(dtype=np.int64))
+                pos = data_end + (512 - size % 512) % 512
+
+        for pdf in batches:
+            ids, idxs, names, sizes, sums = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["tar"]):
+                for i, (name, size, tot) in enumerate(parse(bytes(blob))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    names.append(name)
+                    sizes.append(size)
+                    sums.append(tot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "member_idx": pd.Series(idxs, dtype="int64"),
+                    "name": names,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sum_bytes": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return decode
+
+
+def tar_shard_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL archive-container round trip, stdlib-only: pack each doc
+    into a POSIX ustar shard (the WebDataset layout — related member
+    files grouped under one key) and enumerate it back with a full
+    parser (checksum verification, octal fields, 512-block arithmetic,
+    end-marker validation), one row per member with exact byte stats.
+    This is the first step every tar-sharded training pipeline runs —
+    member enumeration WITHOUT unpacking to a filesystem — expressed
+    as the same Arrow-batched mapInPandas shape as the codecs. The
+    DuckDB oracle reconstructs all three members' names, sizes, and
+    byte sums straight from the text bytes and the doc id."""
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_tar_encode_fn(), "doc_id long, tar binary")
+    return encoded.mapInPandas(
+        _tar_decode_fn(),
+        "doc_id long, member_idx long, name string, "
+        "n_bytes long, sum_bytes long",
+    )
+
+
+# Three members per doc: the full text (sum over all payload bytes),
+# the first 48 cycled bytes, and the decimal doc id in ASCII.
+TAR_SHARD_MEMBERS_SQL = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n
+    FROM documents
+),
+full_sum AS (
+    SELECT doc_id, n,
+           coalesce(list_sum(
+             [ {{hb}} for i in range(1, n + 1) ]
+           ), 0)::BIGINT AS s
+    FROM b
+),
+head_sum AS (
+    SELECT doc_id,
+           list_sum(
+             [ {{cb}} for i in range(1, {TAR_HEAD_BYTES} + 1) ]
+           )::BIGINT AS s
+    FROM b
+),
+meta AS (
+    SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM b
+)
+SELECT doc_id, 0::BIGINT AS member_idx,
+       'doc' || doc_id || '/text.txt' AS name,
+       n AS n_bytes, s AS sum_bytes
+FROM full_sum
+UNION ALL
+SELECT doc_id, 1, 'doc' || doc_id || '/head.bin', {TAR_HEAD_BYTES}, s
+FROM head_sum
+UNION ALL
+SELECT doc_id, 2, 'doc' || doc_id || '/meta.txt',
+       length(ds)::BIGINT,
+       list_sum(list_transform(string_split(ds, ''), x -> ascii(x)))::BIGINT
+FROM meta
+""".format(
+    hb=hex_byte_sql("i"),
+    cb=cycled_byte_sql("i-1"),
+)
+
+
 QUERIES: dict[str, Query] = {
     "decode_image_tga": Query(
         decode_image_tga,
@@ -1693,5 +1895,10 @@ QUERIES: dict[str, Query] = {
         decode_image_gif,
         DECODE_IMAGE_GIF_SQL,
         "real GIF89a codec: variable-width LZW + palette lookup via mapInPandas",
+    ),
+    "tar_shard_members": Query(
+        tar_shard_members,
+        TAR_SHARD_MEMBERS_SQL,
+        "WebDataset-style ustar shard enumeration with checksum verification",
     ),
 }

@@ -22,6 +22,8 @@ from simple_map_reduce_ruuner_spark.operators.codecs import (
     _jpeg_encode_fn,
     _mulaw_decode_fn,
     _mulaw_encode_fn,
+    _tar_decode_fn,
+    _tar_encode_fn,
     _tga_decode_fn,
     _tga_encode_fn,
 )
@@ -43,6 +45,7 @@ CODECS = {
     "avi": (_avi_encode_fn, _avi_decode_fn, "avi"),
     "gif": (_gif_encode_fn, _gif_decode_fn, "gif"),
     "tga": (_tga_encode_fn, _tga_decode_fn, "tga"),
+    "tar": (_tar_encode_fn, _tar_decode_fn, "tar"),
 }
 
 N_FLIPS = 400
