@@ -180,3 +180,47 @@ def test_hll_sketches_merge_across_groups(spark, sf_dir):
     ).collect()[0].est
     exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0].n
     assert abs(est - exact) <= 0.05 * exact
+
+
+def test_approx_distinct_bounds_all_within(spark, sf_dir):
+    """The hash-checkable twin: every group reports within_bound=True and
+    the exact column equals the anchor query's counts (what the DuckDB
+    oracle asserts at the gate)."""
+    from simple_map_reduce_ruuner_spark.operators.approx import (
+        approx_distinct_bounds,
+    )
+
+    rows = approx_distinct_bounds(spark, sf_dir).collect()
+    exact = {
+        r.event_type: r.n_users for r in exact_distinct_users(spark, sf_dir).collect()
+    }
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.within_bound is True, r
+        assert r.n_users_exact == exact[r.event_type], r
+
+
+def test_approx_percentile_bounds_all_within(spark, sf_dir):
+    """Rank-space bound report: 3 quantile labels per group, all True,
+    n_events equal to the group's non-null value count."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.operators.approx import (
+        approx_percentile_bounds,
+    )
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    rows = approx_percentile_bounds(spark, sf_dir).collect()
+    counts = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("value").alias("n"))
+        .collect()
+    }
+    seen = {}
+    for r in rows:
+        assert r.within_bound is True, r
+        assert r.n_events == counts[r.event_type], r
+        seen.setdefault(r.event_type, set()).add(r.q)
+    assert all(v == {"p50", "p90", "p99"} for v in seen.values()), seen
