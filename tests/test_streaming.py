@@ -414,3 +414,94 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(
         got_null_ids - set(unmatched)
     )[:5]
     assert len(must_emit) > 0  # the assertion above is not vacuous
+
+
+def test_interrupted_file_sink_recovers_exactly_once(spark, sf_dir, tmp_path):
+    """Stop a file-sink stream MID-RUN, restart from the checkpoint, and
+    the committed sink view must equal the batch aggregation exactly — no
+    replayed-batch duplicates, no killed-batch loss. In-process twin of
+    tools/stream_recovery_probe.py (which SIGKILLs the whole driver+JVM
+    process group and records STREAM_RECOVERY_r13.json); the exactly-once
+    mechanics are the checkpoint WAL + the parquet sink's _spark_metadata
+    commit log, which spark.read respects."""
+    import datetime
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.streaming.windows import (
+        stream_tumbling_counts,
+        tumbling_counts,
+    )
+
+    n_files = 8
+    ev = load_table(spark, sf_dir, "events")
+    # time-ordered files so the advancing watermark never drops a batch
+    tiled = ev.withColumn(
+        "_tile", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "recovery_src"
+    src.mkdir()
+    for i in range(1, n_files + 1):
+        stage = tmp_path / f"stage_{i}"
+        tiled.where(F.col("_tile") == i).drop("_tile").coalesce(1).write.parquet(
+            str(stage)
+        )
+        _shutil.move(
+            _glob.glob(str(stage / "part-*.parquet"))[0], src / f"{i:02d}.parquet"
+        )
+    sink = str(tmp_path / "recovery_sink")
+    ckpt = tmp_path / "recovery_ckpt"
+
+    def start():
+        return (
+            stream_tumbling_counts(
+                spark, str(src), reader_options={"maxFilesPerTrigger": "1"}
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def n_commits():
+        d = ckpt / "commits"
+        return (
+            len([p for p in d.iterdir() if p.name.isdigit()]) if d.is_dir() else 0
+        )
+
+    q = start()
+    deadline = _time.monotonic() + 120
+    while n_commits() < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.02)
+    q.stop()  # interrupt mid-run (possibly mid-batch)
+    q.awaitTermination(60)
+    interrupted_at = n_commits()
+    assert interrupted_at < n_files, "stream finished before the interrupt"
+
+    q = start()  # restart from the same checkpoint
+    assert q.awaitTermination(120)
+    assert n_commits() >= n_files
+
+    # flush event advances the watermark past every real window
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(max_ts + datetime.timedelta(days=30),)], "ts timestamp_ntz"
+    )
+    for f in ev.schema.fields:
+        if f.name != "ts":
+            flush = flush.withColumn(f.name, F.lit(None).cast(f.dataType))
+    flush.select(ev.columns).coalesce(1).write.mode("append").parquet(str(src))
+    q = start()
+    assert q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(tuple(r) for r in tumbling_counts(spark, sf_dir).collect())
+    assert got == want
