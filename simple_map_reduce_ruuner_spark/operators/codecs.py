@@ -285,6 +285,12 @@ def _jpeg_decode_fn():
                     code += 1
                     k += 1
                 code <<= 1
+            # hostile blobs are in scope (bomb guards below): a corpus
+            # with per-file-unique DHTs must not grow executor memory
+            # without bound, so the memo is bounded — a benign corpus
+            # ships a handful of standard tables and never hits this
+            if len(huff_cache) >= 256:
+                huff_cache.clear()
             huff_cache[key] = table
             return table
 
@@ -527,7 +533,9 @@ def _jpeg_decode_fn():
     return decode
 
 
-def decode_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_image_jpeg(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL baseline-JPEG codec round trip, stdlib+numpy only (ITU-T
     T.81 is public). Encode each doc as a valid grayscale baseline
     JPEG — standard Annex-K Huffman tables shipped in a single
@@ -546,10 +554,17 @@ def decode_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the features from the text bytes; a hash
     match proves the whole marker/Huffman/restart/IDCT pipeline.
     """
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_jpeg_encode_fn(), "doc_id long, jpg binary")
+    kernel = (
+        codec_backends.pil_image_decode_fn("jpeg", "jpg")
+        if codec_backends.resolve_backend("jpeg", backend) == "native"
+        else _jpeg_decode_fn()
+    )
     return encoded.mapInPandas(
-        _jpeg_decode_fn(),
+        kernel,
         "doc_id long, width long, height long, "
         "mean_gray_milli long, max_gray long, min_gray long",
     )
@@ -619,9 +634,13 @@ def _mulaw_encode_fn():
                     if t.size
                     else np.zeros(n_samp, dtype=np.uint8)
                 )
+                # tag 7 = mu-law, 8-bit, block align = ch; non-PCM tags
+                # require the 18-byte fmt variant (cbSize=0 extension
+                # field) per the WAVE spec — strict third-party parsers
+                # reject a bare 16-byte fmt for tag 7
                 fmt = struct.pack(
-                    "<HHIIHH", 7, ch, rate, rate * ch, ch, 8
-                )  # tag 7 = mu-law, 8-bit, block align = ch
+                    "<HHIIHHH", 7, ch, rate, rate * ch, ch, 8, 0
+                )
                 body = (
                     b"WAVE"
                     + chunk(b"fmt ", fmt)
@@ -634,7 +653,7 @@ def _mulaw_encode_fn():
     return encode
 
 
-def _mulaw_decode_fn():
+def _mulaw_decode_fn(use_audioop: bool = False):
     """Factory for the mu-law WAV decode kernel: the same word-aligned
     RIFF walk as the PCM path, but requiring format tag 7 / 8-bit and
     validating the `fact` chunk against the data length, then the REAL
@@ -642,17 +661,28 @@ def _mulaw_decode_fn():
     << exponent) - 132, sign from bit 7 — to int16-range samples and
     integer statistics. Pure integer arithmetic (the decode side of
     this lossy codec is deterministic), so the oracle replays it in
-    SQL. Self-contained closure (see multimodal._ppm_encode_fn)."""
+    SQL. Self-contained closure (see multimodal._ppm_encode_fn).
+
+    ``use_audioop=True`` swaps only the expansion step for CPython's C
+    implementation (``audioop.ulaw2lin``) — the native backend seam;
+    tests pin that both expansions agree on all 256 codewords."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         import numpy as np
 
-        # vectorized G.711 expansion over all 256 codewords
-        u = 255 - np.arange(256, dtype=np.int64)  # ~code & 0xFF
-        t = ((u & 15) * 8 + 132) << ((u >> 4) & 7)
-        MULAW_TABLE = np.where(u >= 128, 132 - t, t - 132)
+        if use_audioop:
+            import audioop  # CPython C G.711; deprecated >=3.13
+
+            MULAW_TABLE = np.frombuffer(
+                audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2"
+            ).astype(np.int64)
+        else:
+            # vectorized G.711 expansion over all 256 codewords
+            u = 255 - np.arange(256, dtype=np.int64)  # ~code & 0xFF
+            t = ((u & 15) * 8 + 132) << ((u >> 4) & 7)
+            MULAW_TABLE = np.where(u >= 128, 132 - t, t - 132)
 
         def parse(b: bytes) -> tuple[int, int, "np.ndarray"]:
             if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -728,7 +758,9 @@ def _mulaw_decode_fn():
     return decode
 
 
-def decode_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_audio_mulaw(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL G.711 mu-law round trip: encode each doc as a valid
     WAVE_FORMAT_MULAW file (format tag 7, 8-bit codewords = cycled text
     bytes, `fact` chunk, word-aligned chunks), decode with a RIFF
@@ -739,10 +771,13 @@ def decode_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((mantissa*8+132) << exponent, biased signs) in SQL, so a hash
     match proves the expansion table and container walk end-to-end.
     """
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_mulaw_encode_fn(), "doc_id long, wav binary")
+    use_audioop = codec_backends.resolve_backend("mulaw", backend) == "native"
     return encoded.mapInPandas(
-        _mulaw_decode_fn(),
+        _mulaw_decode_fn(use_audioop=use_audioop),
         "doc_id long, sample_rate long, channels long, n_frames long, "
         "mean_milli long, peak long, trough long",
     )
@@ -1419,7 +1454,9 @@ def _gif_decode_fn():
     return decode
 
 
-def decode_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_image_gif(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL GIF codec round trip, stdlib-only — the LZW leg of the
     codec suite (dictionary coding; every other codec is either raw,
     deflate, DCT, or companding). Encode each doc as a valid GIF89a —
@@ -1433,10 +1470,17 @@ def decode_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match proves the dictionary-coding round trip AND that the
     decoder actually looks indexes up in the color table.
     """
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_gif_encode_fn(), "doc_id long, gif binary")
+    kernel = (
+        codec_backends.pil_image_decode_fn("gif", "gif")
+        if codec_backends.resolve_backend("gif", backend) == "native"
+        else _gif_decode_fn()
+    )
     return encoded.mapInPandas(
-        _gif_decode_fn(),
+        kernel,
         "doc_id long, width long, height long, mean_idx_milli long, "
         "mean_r_milli long, mean_g_milli long, mean_b_milli long",
     )
@@ -1642,7 +1686,9 @@ def _tga_decode_fn():
     return decode
 
 
-def decode_image_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_image_tga(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL TGA codec round trip, stdlib-only — the run-length-coding
     leg of the codec suite (raw/deflate/DCT/companding/LZW are covered
     by the other seven). Encode each doc as a valid Truevision TGA 2.0
@@ -1654,10 +1700,17 @@ def decode_image_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB image. Shares the PPM/PNG oracle template (different dimension
     formulas): a hash match proves the RLE round trip is lossless.
     """
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_tga_encode_fn(), "doc_id long, tga binary")
+    kernel = (
+        codec_backends.pil_image_decode_fn("tga", "tga")
+        if codec_backends.resolve_backend("tga", backend) == "native"
+        else _tga_decode_fn()
+    )
     return encoded.mapInPandas(
-        _tga_decode_fn(),
+        kernel,
         "doc_id long, width long, height long, "
         "mean_r_milli long, mean_g_milli long, mean_b_milli long",
     )

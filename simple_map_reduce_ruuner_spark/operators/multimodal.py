@@ -288,7 +288,9 @@ def _ppm_decode_fn():
     return decode
 
 
-def decode_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_image_ppm(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL image-codec round trip over a public format: encode each doc
     as a valid binary Netpbm P6 (PPM) image, then decode it with an
     actual header parser — no synthetic pixel shortcut on the decode
@@ -307,10 +309,17 @@ def decode_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     features straight from the text bytes and the dimension formula —
     agreement proves the encode->parse->extract round trip is lossless.
     """
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_ppm_encode_fn(), "doc_id long, ppm binary")
+    kernel = (
+        codec_backends.pil_image_decode_fn("ppm", "ppm")
+        if codec_backends.resolve_backend("ppm", backend) == "native"
+        else _ppm_decode_fn()
+    )
     return encoded.mapInPandas(
-        _ppm_decode_fn(),
+        kernel,
         "doc_id long, width long, height long, "
         "mean_r_milli long, mean_g_milli long, mean_b_milli long",
     )
@@ -680,7 +689,9 @@ def _png_decode_fn():
     return decode
 
 
-def decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_image_png(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL PNG codec round trip, stdlib-only (RFC 2083: zlib deflate +
     the five scanline filters + CRC-checked chunks). Encode each doc as
     a valid 8-bit RGB PNG — per-row filter type rotates through all
@@ -696,10 +707,17 @@ def decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict item 4); the NotImplementedError seam now covers only
     JPEG/webp/audio/video, which genuinely need external codecs.
     """
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_png_encode_fn(), "doc_id long, png binary")
+    kernel = (
+        codec_backends.pil_image_decode_fn("png", "png")
+        if codec_backends.resolve_backend("png", backend) == "native"
+        else _png_decode_fn()
+    )
     return encoded.mapInPandas(
-        _png_decode_fn(),
+        kernel,
         "doc_id long, width long, height long, "
         "mean_r_milli long, mean_g_milli long, mean_b_milli long",
     )
@@ -849,7 +867,9 @@ def _wav_decode_fn():
     return decode
 
 
-def decode_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_audio_wav(
+    spark: SparkSession, sf_dir: str, backend: str = "auto"
+) -> DataFrame:
     """REAL audio-codec round trip, stdlib-only: encode each doc as a
     valid 16-bit PCM RIFF/WAVE file (mono/stereo, 8-24 kHz and frame
     count varying per doc; an odd-length LIST chunk forces word-aligned
@@ -860,10 +880,17 @@ def decode_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside decode_image_ppm/decode_image_png; the NotImplementedError
     seam now covers only compressed media (JPEG/webp, lossy audio,
     video)."""
+    from simple_map_reduce_ruuner_spark.operators import codec_backends
+
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_wav_encode_fn(), "doc_id long, wav binary")
+    kernel = (
+        codec_backends.wav_native_decode_fn()
+        if codec_backends.resolve_backend("wav", backend) == "native"
+        else _wav_decode_fn()
+    )
     return encoded.mapInPandas(
-        _wav_decode_fn(),
+        kernel,
         "doc_id long, sample_rate long, channels long, n_frames long, "
         "mean_milli long, peak long",
     )

@@ -144,3 +144,95 @@ def test_empty_batch_yields_typed_empty_frame():
         "mean_g_milli",
         "mean_b_milli",
     ]
+
+
+def test_decoder_handles_12bit_codes_and_deferred_clear():
+    """ADVICE r12: the repo encoder CLEARs every 400 codes, so its own
+    output never exercises the decoder's 11/12-bit widening or the
+    deferred-clear branch (a full 4096 table with NO reset — the encoder
+    just stops adding, per the spec's deferred-clear tolerance). Drive
+    the decoder with a test-local GIF-LZW encoder that never clears:
+    same emit/widen discipline as the repo encoder (late widening, check
+    after emit against the pre-add count) minus the CLEAR, over a
+    10,000-px random raster that provably fills the table."""
+    import struct
+
+    rng = np.random.RandomState(7)
+    w, h = 100, 100
+    idx = rng.randint(0, 256, w * h).astype(np.uint8)
+
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, cs: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    cs, free, table = 9, 258, {}
+    put(256, cs)  # initial CLEAR only
+    seq = int(idx[0])
+    max_cs = 9
+    codes_after_full = 0
+
+    def emit(code: int) -> None:
+        nonlocal cs, max_cs, codes_after_full
+        put(code, cs)
+        if free == 4096:
+            codes_after_full += 1
+        if cs < 12 and free >= (1 << cs):
+            cs += 1
+        max_cs = max(max_cs, cs)
+
+    for px in idx[1:].tolist():
+        cand = (seq << 8) | px
+        code = table.get(cand)
+        if code is not None:
+            seq = code
+            continue
+        emit(seq)
+        if free < 4096:  # deferred clear: table full -> stop adding
+            table[cand] = free
+            free += 1
+        seq = px
+    emit(seq)
+    put(257, cs)  # EOI
+    if nbits:
+        out.append(acc & 0xFF)
+    lzw = bytes(out)
+    # the stream must actually reach 12-bit codes AND run past the full
+    # table without a CLEAR, else this test is vacuous
+    assert max_cs == 12 and codes_after_full > 100, (max_cs, codes_after_full)
+
+    i_pal = np.arange(256, dtype=np.int64)
+    pal = (
+        np.stack(
+            [(i_pal * 7 + 13) % 256, (i_pal * 31 + 5) % 256, (i_pal * 13 + 101) % 256],
+            axis=1,
+        )
+        .astype(np.uint8)
+        .tobytes()
+    )
+    sub = b"".join(
+        bytes([len(lzw[i : i + 100])]) + lzw[i : i + 100]
+        for i in range(0, len(lzw), 100)
+    )
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + b"\x08"
+        + sub
+        + b"\x00\x3b"
+    )
+    row = _decode([blob], [0]).iloc[0]
+    li = idx.astype(np.int64)
+    assert (row.width, row.height) == (w, h)
+    assert row.mean_idx_milli == int(li.sum()) * 1000 // (w * h)
+    assert row.mean_r_milli == int(((li * 7 + 13) % 256).sum()) * 1000 // (w * h)
+    assert row.mean_b_milli == int(((li * 13 + 101) % 256).sum()) * 1000 // (w * h)

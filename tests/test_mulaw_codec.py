@@ -196,3 +196,21 @@ def test_empty_batch_yields_typed_empty_frame():
         "peak",
         "trough",
     ]
+
+
+def test_fmt_chunk_is_18_byte_non_pcm_variant():
+    """ADVICE r12: non-PCM format tags require the 18-byte fmt variant
+    (cbSize=0 extension field); strict third-party parsers reject a bare
+    16-byte fmt for tag 7. Walk the emitted RIFF and pin it."""
+    blob = bytes(_encode([b"hi"], [0])["wav"][0])
+    pos, end = 12, 8 + struct.unpack("<I", blob[4:8])[0]
+    fmt = None
+    while pos + 8 <= end:
+        ctype = blob[pos : pos + 4]
+        (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if ctype == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length % 2)
+    assert fmt is not None and len(fmt) == 18
+    (cb_size,) = struct.unpack("<H", fmt[16:18])
+    assert cb_size == 0
