@@ -128,8 +128,15 @@ def main() -> int:
 
     docs = load_table(spark, str(DOCS10X), "documents").select("doc_id", "text")
     n_docs = docs.count()
+    # second arm: the same corpus staged as 32 input files (how a 100 TB
+    # corpus actually arrives) so the N-independent-writers parallelism
+    # is measured; staging is excluded from the timed pass and the
+    # packing pass itself stays zero-exchange in both arms
+    stage32 = pathlib.Path(tempfile.mkdtemp(prefix="wds_in32_")) / "documents.parquet"
+    docs.repartition(32).write.parquet(str(stage32))
+    docs32 = spark.read.parquet(str(stage32)).select("doc_id", "text")
 
-    walls = []
+    walls, walls32 = [], []
     out_dir = None
     for rep in range(reps):
         work = pathlib.Path(tempfile.mkdtemp(prefix="wds_write_"))
@@ -141,7 +148,14 @@ def main() -> int:
         )
         shards.write.parquet(str(work / "shards"))
         walls.append(time.perf_counter() - t0)
-        print(f"rep {rep}: {walls[-1]:.2f}s", flush=True)
+        t1 = time.perf_counter()
+        docs32.mapInPandas(
+            shard_writer_fn(TARGET_BYTES),
+            "shard string, n_members long, payload_bytes long, "
+            "tar_bytes long, tar binary",
+        ).write.parquet(str(work / "shards32"))
+        walls32.append(time.perf_counter() - t1)
+        print(f"rep {rep}: 2-part {walls[-1]:.2f}s / 32-part {walls32[-1]:.2f}s", flush=True)
         if rep < reps - 1:
             shutil.rmtree(work, ignore_errors=True)
         else:
@@ -181,6 +195,10 @@ def main() -> int:
         "target_shard_bytes": TARGET_BYTES,
         "reps_sec": [round(w, 2) for w in walls],
         "median_sec": round(med, 2),
+        "median_sec_32_input_files": round(float(np.median(walls32)), 2),
+        "payload_mb_per_sec_32_input_files": round(
+            float(meta.payload_bytes.sum()) / 1e6 / float(np.median(walls32)), 1
+        ),
         "docs_per_sec": round(n_docs / med),
         "payload_mb_per_sec": round(
             float(meta.payload_bytes.sum()) / 1e6 / med, 1
