@@ -217,7 +217,94 @@ FROM cum
 """
 
 
+SHARD_TARGET_BYTES = 65536  # probe-scale stand-in for ~100 MB-1 GB shards
+SHARD_PREFIX_DOCS = 256  # docs per prefix-sum shard (bounded sort partitions)
+
+
+def webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WebDataset shard plan: each doc's ustar entry cost
+    (512-byte header + payload rounded up to 512) is prefix-summed in
+    doc_id order and the doc lands in shard ``floor(cum_before /
+    SHARD_TARGET_BYTES)`` — virtual-offset packing, the hash-checkable
+    twin of the greedy per-writer packer measured in
+    tools/webdataset_write_probe.py (WEBDATASET_WRITE_r13.json). Output
+    is per-shard metadata: member count, payload bytes, and the exact
+    archive size those members produce (entries + 1024-byte end marker).
+
+    Scale shape: NO global window. The prefix sum runs per
+    (doc_id // SHARD_PREFIX_DOCS) shard — every sort partition bounded
+    at 256 docs regardless of corpus size — and shard offsets come from
+    a window over the tiny per-shard totals (n/256 rows; at true fleet
+    scale that level recurses once more, the standard hierarchical
+    prefix sum). Deterministic by construction: no spark_partition_id,
+    no range-sampling dependence, so the same rows land in the same
+    shards on any input layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.length(
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        ).cast("long").alias("payload"),
+    ).withColumn(
+        "entry",
+        (F.lit(512) + F.ceil(F.col("payload") / 512).cast("long") * 512),
+    ).withColumn(
+        "pshard", F.floor(F.col("doc_id") / SHARD_PREFIX_DOCS).cast("long")
+    )
+    win = Window.partitionBy("pshard").orderBy("doc_id")
+    partials = sized.groupBy("pshard").agg(F.sum("entry").alias("psum"))
+    owin = Window.orderBy("pshard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "pshard", F.coalesce(F.sum("psum").over(owin), F.lit(0)).alias("offset")
+    )
+    placed = sized.join(F.broadcast(offsets), "pshard").withColumn(
+        "cum_before", F.col("offset") + F.sum("entry").over(win) - F.col("entry")
+    )
+    return (
+        placed.groupBy(
+            F.floor(F.col("cum_before") / SHARD_TARGET_BYTES)
+            .cast("long")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("payload").alias("payload_bytes"),
+            (F.sum("entry") + F.lit(1024)).cast("long").alias("tar_bytes"),
+        )
+    )
+
+
+WEBDATASET_SHARD_PLAN_SQL = f"""
+WITH m AS (
+    SELECT doc_id,
+           octet_length(encode(COALESCE(text, '')))::BIGINT AS payload,
+           512 + ((octet_length(encode(COALESCE(text, ''))) + 511) // 512) * 512
+               AS entry
+    FROM documents
+),
+c AS (
+    SELECT doc_id, payload, entry,
+           COALESCE(SUM(entry) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM m
+)
+SELECT CAST(cum_before // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*)::BIGINT AS n_members,
+       SUM(payload)::BIGINT AS payload_bytes,
+       (SUM(entry) + 1024)::BIGINT AS tar_bytes
+FROM c GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "webdataset_shard_plan": Query(
+        webdataset_shard_plan,
+        WEBDATASET_SHARD_PLAN_SQL,
+        "size-bounded ustar shard assignment via hierarchical prefix sum (no global window)",
+    ),
     "vocab_build": Query(
         vocab_build,
         VOCAB_BUILD_SQL,

@@ -70,3 +70,71 @@ def test_salted_plan_single_bounded_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "Window" in plan
     assert "shard" in plan  # the exchange key really is salted
+
+
+def test_webdataset_shard_plan_equals_global_window(spark, sf_dir):
+    """The hierarchical prefix-sum formulation must equal the naive
+    single-window cumsum exactly (the DuckDB oracle IS the naive form;
+    this pins the equivalence Spark-side too)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.operators.training import (
+        SHARD_TARGET_BYTES,
+        webdataset_shard_plan,
+    )
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        .cast("long")
+        .alias("payload"),
+    ).withColumn(
+        "entry", F.lit(512) + F.ceil(F.col("payload") / 512).cast("long") * 512
+    )
+    w = Window.orderBy("doc_id")  # the naive global window
+    naive = (
+        sized.withColumn(
+            "cum_before", F.sum("entry").over(w) - F.col("entry")
+        )
+        .groupBy(
+            F.floor(F.col("cum_before") / SHARD_TARGET_BYTES)
+            .cast("long")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("payload").alias("payload_bytes"),
+            (F.sum("entry") + F.lit(1024)).cast("long").alias("tar_bytes"),
+        )
+    )
+    got = sorted(map(tuple, webdataset_shard_plan(spark, sf_dir).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got and got == want
+
+
+def test_webdataset_shard_plan_sizes_and_census(spark, sf_dir):
+    """Every doc lands in exactly one shard; every shard's archive size
+    is bounded by target + one max entry + end marker (virtual-offset
+    packing can overshoot by at most the entry that crosses the
+    boundary); shard_ids are dense from 0."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.operators.training import (
+        SHARD_TARGET_BYTES,
+        webdataset_shard_plan,
+    )
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    rows = webdataset_shard_plan(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_members for r in rows) == n_docs
+    ids = sorted(r.shard_id for r in rows)
+    assert ids == list(range(len(ids)))
+    max_entry = max(
+        r.tar_bytes - 1024 for r in rows
+    )  # loose but sufficient upper bound on any single entry
+    for r in rows:
+        assert r.tar_bytes <= SHARD_TARGET_BYTES + max_entry + 1024, r
