@@ -1923,7 +1923,237 @@ FROM meta
 )
 
 
+# ---------------------------------------------------------------------
+# ZIP shards (PKWARE APPNOTE: local headers + central directory + EOCD)
+# ---------------------------------------------------------------------
+ZIP_HEAD_BYTES = TAR_HEAD_BYTES  # member 2 mirrors the tar shard layout
+
+
+def _zip_encode_fn():
+    """Factory for the ZIP-shard encode kernel: a spec-conformant PKZIP
+    writer (stdlib only). Each doc becomes the same 3-member shard as
+    the tar path, but with the container traps ZIP adds: text.txt is
+    DEFLATED (raw deflate, wbits=-15), head.bin carries a local-header
+    extra field that the central entry does NOT repeat (offset
+    arithmetic must use the LOCAL lengths), meta.txt is stored, and the
+    EOCD record carries a comment so the end record is not at a fixed
+    offset from EOF. CRC-32 over uncompressed data per member.
+    Self-contained closure (see multimodal._ppm_encode_fn)."""
+
+    head_n = ZIP_HEAD_BYTES
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def deflate(data: bytes) -> bytes:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            return co.compress(data) + co.flush()
+
+        def build(members: list[tuple[bytes, bytes, int, bytes]]) -> bytes:
+            """members: (name, data, method, local_extra)."""
+            out = bytearray()
+            central = bytearray()
+            for name, data, method, extra in members:
+                crc = zlib.crc32(data) & 0xFFFFFFFF
+                comp = deflate(data) if method == 8 else data
+                off = len(out)
+                out += struct.pack(
+                    "<IHHHHHIIIHH",
+                    0x04034B50, 20, 0, method, 0, 0x21,
+                    crc, len(comp), len(data), len(name), len(extra),
+                )
+                out += name + extra + comp
+                central += struct.pack(
+                    "<IHHHHHHIIIHHHHHII",
+                    0x02014B50, 20, 20, 0, method, 0, 0x21,
+                    crc, len(comp), len(data), len(name),
+                    0, 0, 0, 0, 0, off,
+                )
+                central += name  # central extra/comment stay empty
+            cd_off = len(out)
+            out += central
+            comment = b"smrr-zip"
+            out += struct.pack(
+                "<IHHHHIIH",
+                0x06054B50, 0, 0, len(members), len(members),
+                len(central), cd_off, len(comment),
+            )
+            out += comment
+            return bytes(out)
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload)
+                t = np.frombuffer(text, dtype=np.uint8)
+                head = (
+                    np.resize(t, head_n)
+                    if t.size
+                    else np.zeros(head_n, dtype=np.uint8)
+                ).tobytes()
+                prefix = b"doc%d/" % doc_id
+                blobs.append(
+                    build(
+                        [
+                            (prefix + b"text.txt", text, 8, b""),
+                            (prefix + b"head.bin", head, 0, b"XTRA"),
+                            (prefix + b"meta.txt", b"%d" % doc_id, 0, b""),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "zip": blobs})
+
+    return encode
+
+
+def _zip_decode_fn():
+    """Factory for the ZIP-shard member-enumeration kernel: a REAL PKZIP
+    parser that reads the archive the scale-correct way — EOCD located
+    by scanning back from EOF (comment-tolerant, trailing-garbage
+    rejected), central directory walked for the member census, then
+    each member's data located via its LOCAL header's own name/extra
+    lengths (the central lengths can differ by spec). Stored and
+    deflated methods; CRC-32 and uncompressed size verified per member;
+    inflate bounded by the declared size + declared-size cap as the
+    decompression-bomb guard. Rejects encrypted entries, unsupported
+    methods, bad signatures, and truncation. Self-contained closure
+    (see multimodal._ppm_encode_fn)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        MAX_MEMBER = 1 << 24  # bomb guard: reject before allocating
+
+        def find_eocd(b: bytes):
+            tail = max(0, len(b) - 65557)
+            idx = b.rfind(b"PK\x05\x06", tail)
+            while idx != -1:
+                if idx + 22 <= len(b):
+                    rec = struct.unpack("<IHHHHIIH", b[idx : idx + 22])
+                    if idx + 22 + rec[7] == len(b):
+                        return idx, rec
+                idx = b.rfind(b"PK\x05\x06", tail, idx)
+            raise ValueError("ZIP: no end-of-central-directory record")
+
+        def parse(b: bytes):
+            eocd_pos, (_, disk, cd_disk, n_here, n_total, cd_size, cd_off, _) = (
+                find_eocd(b)
+            )
+            if disk or cd_disk or n_here != n_total:
+                raise ValueError("multi-disk ZIP unsupported")
+            if cd_off + cd_size != eocd_pos:
+                raise ValueError("ZIP central directory size mismatch")
+            pos = cd_off
+            for _i in range(n_total):
+                if pos + 46 > eocd_pos:
+                    raise ValueError("truncated ZIP central directory")
+                (
+                    sig, _vm, _vn, flags, method, _t, _d, crc, csize, usize,
+                    nlen, elen, clen, _dk, _ia, _ea, lfh_off,
+                ) = struct.unpack("<IHHHHHHIIIHHHHHII", b[pos : pos + 46])
+                if sig != 0x02014B50:
+                    raise ValueError("bad ZIP central header signature")
+                if flags & 0x1:
+                    raise ValueError("encrypted ZIP entry unsupported")
+                if method not in (0, 8):
+                    raise ValueError("unsupported ZIP compression method")
+                if usize > MAX_MEMBER:
+                    raise ValueError("ZIP member too large")
+                name = b[pos + 46 : pos + 46 + nlen].decode("utf-8")
+                pos += 46 + nlen + elen + clen
+                # data offset comes from the LOCAL header's own lengths
+                if lfh_off + 30 > len(b):
+                    raise ValueError("truncated ZIP local header")
+                (lsig, _lv, _lf, lmethod, _lt, _ld, _lcrc, _lcs, _lus,
+                 lnlen, lelen) = struct.unpack(
+                    "<IHHHHHIIIHH", b[lfh_off : lfh_off + 30]
+                )
+                if lsig != 0x04034B50:
+                    raise ValueError("bad ZIP local header signature")
+                if lmethod != method:
+                    raise ValueError("ZIP local/central method mismatch")
+                data_off = lfh_off + 30 + lnlen + lelen
+                if data_off + csize > len(b):
+                    raise ValueError("truncated ZIP member data")
+                comp = b[data_off : data_off + csize]
+                if method == 8:
+                    do = zlib.decompressobj(-15)
+                    try:
+                        data = do.decompress(comp, usize + 1)
+                    except zlib.error as exc:
+                        raise ValueError("corrupt ZIP deflate stream") from exc
+                else:
+                    data = comp
+                if len(data) != usize:
+                    raise ValueError("ZIP member size mismatch")
+                if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                    raise ValueError("ZIP member CRC mismatch")
+                arr = np.frombuffer(data, dtype=np.uint8)
+                yield name, usize, int(arr.sum(dtype=np.int64))
+            if pos != eocd_pos:
+                raise ValueError("ZIP central directory overruns EOCD")
+
+        for pdf in batches:
+            ids, idxs, names, sizes, sums = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["zip"]):
+                for i, (name, size, tot) in enumerate(parse(bytes(blob))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    names.append(name)
+                    sizes.append(size)
+                    sums.append(tot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "member_idx": pd.Series(idxs, dtype="int64"),
+                    "name": names,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sum_bytes": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return decode
+
+
+def zip_shard_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PKZIP container round trip, stdlib-only — the second archive
+    format beside the ustar shards, and structurally the opposite one:
+    tar is a sequential block walk, ZIP is enumerated from a trailing
+    central directory (EOCD scan → central walk → per-member local
+    headers), which is exactly how object-storage ZIP listing works at
+    scale (read the tail, never stream the archive). Same 3-member
+    layout and byte statistics as ``tar_shard_members`` so the two
+    containers share one oracle template; text.txt rides DEFLATE, so a
+    hash match also proves the in-container compression round trip.
+    Third-party interop is pinned both directions against stdlib
+    ``zipfile`` in tests/test_zip_codec.py."""
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_zip_encode_fn(), "doc_id long, zip binary")
+    return encoded.mapInPandas(
+        _zip_decode_fn(),
+        "doc_id long, member_idx long, name string, "
+        "n_bytes long, sum_bytes long",
+    )
+
+
+# identical member layout and stats as the tar shards by construction —
+# the shared oracle is the point: two independent container parsers must
+# reproduce the same ground truth
+ZIP_SHARD_MEMBERS_SQL = TAR_SHARD_MEMBERS_SQL
+
+
 QUERIES: dict[str, Query] = {
+    "zip_shard_members": Query(
+        zip_shard_members,
+        ZIP_SHARD_MEMBERS_SQL,
+        "PKZIP shard enumeration via EOCD + central directory, CRC-verified, deflate member",
+    ),
     "decode_image_tga": Query(
         decode_image_tga,
         DECODE_IMAGE_TGA_SQL,

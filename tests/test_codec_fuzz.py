@@ -26,6 +26,8 @@ from simple_map_reduce_ruuner_spark.operators.codecs import (
     _tar_encode_fn,
     _tga_decode_fn,
     _tga_encode_fn,
+    _zip_decode_fn,
+    _zip_encode_fn,
 )
 from simple_map_reduce_ruuner_spark.operators.multimodal import (
     _png_decode_fn,
@@ -46,6 +48,7 @@ CODECS = {
     "gif": (_gif_encode_fn, _gif_decode_fn, "gif"),
     "tga": (_tga_encode_fn, _tga_decode_fn, "tga"),
     "tar": (_tar_encode_fn, _tar_decode_fn, "tar"),
+    "zip": (_zip_encode_fn, _zip_decode_fn, "zip"),
 }
 
 N_FLIPS = 400
