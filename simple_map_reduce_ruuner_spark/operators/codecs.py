@@ -2148,7 +2148,238 @@ def zip_shard_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZIP_SHARD_MEMBERS_SQL = TAR_SHARD_MEMBERS_SQL
 
 
+# ---------------------------------------------------------------------
+# gzip members (RFC 1952: flag walk + deflate + CRC32/ISIZE trailer)
+# ---------------------------------------------------------------------
+GZIP_HEAD_BYTES = TAR_HEAD_BYTES  # member 2 mirrors the shard layout
+
+
+def _gzip_encode_fn():
+    """Factory for the gzip encode kernel: a spec-conformant RFC 1952
+    writer (stdlib zlib only) producing a CONCATENATED two-member
+    stream per doc — the multistream form most naive gzip readers stop
+    after one member of. Member 1 (doc{id}/text.txt) sets FNAME +
+    FEXTRA + FCOMMENT + FHCRC, so the decoder must walk every optional
+    header field and verify the CRC16; member 2 (doc{id}/head.bin,
+    first 48 cycled bytes) sets only FNAME. Raw deflate bodies, CRC32 +
+    ISIZE trailers. Self-contained closure (see
+    multimodal._ppm_encode_fn)."""
+
+    head_n = GZIP_HEAD_BYTES
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def member(name: bytes, data: bytes, full_flags: bool) -> bytes:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(data) + co.flush()
+            flg = 0x08  # FNAME
+            if full_flags:
+                flg |= 0x04 | 0x10 | 0x02  # FEXTRA | FCOMMENT | FHCRC
+            head = bytearray(
+                struct.pack("<BBBBIBB", 0x1F, 0x8B, 8, flg, 0, 0, 255)
+            )
+            if full_flags:
+                extra = b"SM\x04\x00smrr"  # one subfield, 4 data bytes
+                head += struct.pack("<H", len(extra)) + extra
+            head += name + b"\x00"
+            if full_flags:
+                head += b"synthetic member\x00"  # FCOMMENT
+                head += struct.pack("<H", zlib.crc32(bytes(head)) & 0xFFFF)
+            trailer = struct.pack(
+                "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+            )
+            return bytes(head) + body + trailer
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload)
+                t = np.frombuffer(text, dtype=np.uint8)
+                head = (
+                    np.resize(t, head_n)
+                    if t.size
+                    else np.zeros(head_n, dtype=np.uint8)
+                ).tobytes()
+                prefix = b"doc%d/" % doc_id
+                blobs.append(
+                    member(prefix + b"text.txt", text, True)
+                    + member(prefix + b"head.bin", head, False)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "gz": blobs})
+
+    return encode
+
+
+def _gzip_decode_fn():
+    """Factory for the gzip member-enumeration kernel: a REAL RFC 1952
+    parser — magic/CM validation, reserved-flag rejection, FEXTRA /
+    FNAME / FCOMMENT walks, FHCRC verification (CRC32 of the header,
+    low 16 bits), bounded raw-deflate inflation, CRC32 + ISIZE trailer
+    checks, and CONTINUATION across concatenated members until EOF
+    (the multistream semantics of RFC 1952 §2.2). One row per member
+    with exact byte stats. Rejects trailing garbage, truncation, and
+    bombs via an inflated-size cap. Self-contained closure (see
+    multimodal._ppm_encode_fn)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        MAX_MEMBER = 1 << 24  # bomb guard
+
+        def parse(b: bytes):
+            pos = 0
+            if not b:
+                raise ValueError("empty gzip stream")
+            while pos < len(b):
+                start = pos
+                if pos + 10 > len(b):
+                    raise ValueError("truncated gzip header")
+                magic1, magic2, cm, flg, _mtime, _xfl, _os = struct.unpack(
+                    "<BBBBIBB", b[pos : pos + 10]
+                )
+                if (magic1, magic2) != (0x1F, 0x8B):
+                    raise ValueError("bad gzip magic")
+                if cm != 8:
+                    raise ValueError("unsupported gzip compression method")
+                if flg & 0xE0:
+                    raise ValueError("reserved gzip flag bits set")
+                pos += 10
+                if flg & 0x04:  # FEXTRA
+                    if pos + 2 > len(b):
+                        raise ValueError("truncated gzip FEXTRA length")
+                    (xlen,) = struct.unpack("<H", b[pos : pos + 2])
+                    pos += 2
+                    if pos + xlen > len(b):
+                        raise ValueError("truncated gzip FEXTRA")
+                    pos += xlen
+                name = ""
+                if flg & 0x08:  # FNAME
+                    end = b.find(b"\x00", pos)
+                    if end == -1:
+                        raise ValueError("unterminated gzip FNAME")
+                    name = b[pos:end].decode("utf-8")
+                    pos = end + 1
+                if flg & 0x10:  # FCOMMENT
+                    end = b.find(b"\x00", pos)
+                    if end == -1:
+                        raise ValueError("unterminated gzip FCOMMENT")
+                    pos = end + 1
+                if flg & 0x02:  # FHCRC
+                    if pos + 2 > len(b):
+                        raise ValueError("truncated gzip FHCRC")
+                    (stored,) = struct.unpack("<H", b[pos : pos + 2])
+                    if zlib.crc32(b[start:pos]) & 0xFFFF != stored:
+                        raise ValueError("gzip header CRC mismatch")
+                    pos += 2
+                do = zlib.decompressobj(-15)
+                try:
+                    data = do.decompress(b[pos:], MAX_MEMBER + 1)
+                except zlib.error as exc:
+                    raise ValueError("corrupt gzip deflate stream") from exc
+                if len(data) > MAX_MEMBER:
+                    raise ValueError("gzip member too large")
+                if not do.eof:
+                    raise ValueError("truncated gzip deflate stream")
+                pos = len(b) - len(do.unused_data)
+                if pos + 8 > len(b):
+                    raise ValueError("truncated gzip trailer")
+                crc, isize = struct.unpack("<II", b[pos : pos + 8])
+                if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                    raise ValueError("gzip CRC32 mismatch")
+                if len(data) & 0xFFFFFFFF != isize:
+                    raise ValueError("gzip ISIZE mismatch")
+                pos += 8
+                arr = np.frombuffer(data, dtype=np.uint8)
+                yield name, len(data), int(arr.sum(dtype=np.int64))
+
+        for pdf in batches:
+            ids, idxs, names, sizes, sums = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["gz"]):
+                for i, (name, size, tot) in enumerate(parse(bytes(blob))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    names.append(name)
+                    sizes.append(size)
+                    sums.append(tot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "member_idx": pd.Series(idxs, dtype="int64"),
+                    "name": names,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sum_bytes": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return decode
+
+
+def gzip_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RFC 1952 gzip round trip, stdlib-only — the third container
+    beside tar (sequential blocks) and ZIP (central directory): gzip is
+    a pure STREAM, members delimited only by their own
+    header/deflate/trailer framing, so enumeration means walking every
+    optional header field (FEXTRA/FNAME/FCOMMENT/FHCRC all planted by
+    the encoder) and continuing across concatenated members — the
+    multistream semantics naive readers miss. CRC32 + ISIZE verified
+    per member. Third-party interop vs stdlib ``gzip`` is pinned both
+    directions in tests/test_gzip_codec.py. The DuckDB oracle shares
+    the tar/zip template minus the meta member."""
+    df = _with_payload(spark, sf_dir)
+    encoded = df.mapInPandas(_gzip_encode_fn(), "doc_id long, gz binary")
+    return encoded.mapInPandas(
+        _gzip_decode_fn(),
+        "doc_id long, member_idx long, name string, "
+        "n_bytes long, sum_bytes long",
+    )
+
+
+GZIP_MEMBER_STATS_SQL = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text))::BIGINT AS n
+    FROM documents
+),
+full_sum AS (
+    SELECT doc_id, n,
+           coalesce(list_sum(
+             [ {{hb}} for i in range(1, n + 1) ]
+           ), 0)::BIGINT AS s
+    FROM b
+),
+head_sum AS (
+    SELECT doc_id,
+           list_sum(
+             [ {{cb}} for i in range(1, {GZIP_HEAD_BYTES} + 1) ]
+           )::BIGINT AS s
+    FROM b
+)
+SELECT doc_id, 0::BIGINT AS member_idx,
+       'doc' || doc_id || '/text.txt' AS name,
+       n AS n_bytes, s AS sum_bytes
+FROM full_sum
+UNION ALL
+SELECT doc_id, 1, 'doc' || doc_id || '/head.bin', {GZIP_HEAD_BYTES}, s
+FROM head_sum
+""".format(
+    hb=hex_byte_sql("i"),
+    cb=cycled_byte_sql("i-1"),
+)
+
+
 QUERIES: dict[str, Query] = {
+    "gzip_member_stats": Query(
+        gzip_member_stats,
+        GZIP_MEMBER_STATS_SQL,
+        "RFC 1952 gzip multistream enumeration: full flag walk, FHCRC, CRC32/ISIZE",
+    ),
     "zip_shard_members": Query(
         zip_shard_members,
         ZIP_SHARD_MEMBERS_SQL,

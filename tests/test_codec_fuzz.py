@@ -26,6 +26,8 @@ from simple_map_reduce_ruuner_spark.operators.codecs import (
     _tar_encode_fn,
     _tga_decode_fn,
     _tga_encode_fn,
+    _gzip_decode_fn,
+    _gzip_encode_fn,
     _zip_decode_fn,
     _zip_encode_fn,
 )
@@ -49,6 +51,7 @@ CODECS = {
     "tga": (_tga_encode_fn, _tga_decode_fn, "tga"),
     "tar": (_tar_encode_fn, _tar_decode_fn, "tar"),
     "zip": (_zip_encode_fn, _zip_decode_fn, "zip"),
+    "gzip": (_gzip_encode_fn, _gzip_decode_fn, "gz"),
 }
 
 N_FLIPS = 400
