@@ -1331,7 +1331,90 @@ FROM runs GROUP BY 1, 2
 NEARDUP_SHARED_SPAN_SQL = _shared_span_sql()
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup (incoming batch vs existing corpus)
+# --------------------------------------------------------------------------
+
+# Incoming-batch slice: doc_id % INCR_MOD == INCR_REM plays the freshly
+# crawled batch; everything else is the already-ingested corpus. Same
+# self-contained-fixture pattern as mixing.EVAL_MOD.
+INCR_MOD = 10
+INCR_REM = 7
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe an incoming batch against the existing corpus: each incoming
+    doc is classified ``dup_of_corpus`` (normalized text already ingested),
+    ``dup_in_batch`` (first seen earlier in this same batch), or ``new``,
+    with the matching doc_id where one exists.
+
+    This is the continuously-ingested-crawl shape: at 100 TB you never
+    re-dedupe the whole corpus per batch — you maintain a persistent
+    (text_hash → min doc_id) index and anti/left-join each incoming batch
+    against it. Here the "index" is built inline from the corpus slice by
+    the same ``groupBy(hash).min(doc_id)`` that would maintain it
+    incrementally; the join then carries 8-byte digests, not documents,
+    and is hash-partitioned on the digest. Batch-internal first-seen uses
+    a window over the (small) batch only — the corpus is never windowed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", hash60(norm_text(F.col("text"))).alias("h")
+    )
+    incoming = hashed.filter(F.col("doc_id") % INCR_MOD == INCR_REM)
+    corpus_index = (
+        hashed.filter(F.col("doc_id") % INCR_MOD != INCR_REM)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("corpus_doc_id"))
+    )
+    batch_w = Window.partitionBy("h")
+    inc = incoming.withColumn("batch_min", F.min("doc_id").over(batch_w))
+    joined = inc.join(corpus_index, "h", "left")
+    is_corpus_dup = F.col("corpus_doc_id").isNotNull()
+    is_batch_dup = F.col("batch_min") < F.col("doc_id")
+    return joined.select(
+        "doc_id",
+        F.when(is_corpus_dup, F.lit("dup_of_corpus"))
+        .when(is_batch_dup, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.when(is_corpus_dup, F.col("corpus_doc_id"))
+        .when(is_batch_dup, F.col("batch_min"))
+        .cast("long")
+        .alias("match_doc_id"),
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id, {hash60_sql(_NORM_TEXT_SQL)} AS h FROM documents
+),
+corpus AS (
+    SELECT h, min(doc_id) AS corpus_doc_id
+    FROM hashed WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+    GROUP BY h
+),
+b AS (
+    SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS batch_min
+    FROM hashed WHERE doc_id % {INCR_MOD} = {INCR_REM}
+)
+SELECT b.doc_id,
+       CASE WHEN c.corpus_doc_id IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.batch_min < b.doc_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       CAST(CASE WHEN c.corpus_doc_id IS NOT NULL THEN c.corpus_doc_id
+                 WHEN b.batch_min < b.doc_id THEN b.batch_min
+            END AS BIGINT) AS match_doc_id
+FROM b LEFT JOIN corpus c USING (h)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "incremental_dedup": Query(
+        incremental_dedup,
+        INCREMENTAL_DEDUP_SQL,
+        "incoming-batch vs corpus-index dedup (continuous-ingest shape)",
+    ),
     "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, "hash-groupBy exact dedup"),
     "neardup_embedding": Query(
         neardup_embedding,

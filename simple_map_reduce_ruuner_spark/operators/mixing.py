@@ -238,7 +238,114 @@ GROUP BY doc_id
 """
 
 
+def mixture_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan and apply a uniform-over-sources token mixture: per source,
+    the exact integer sampling rate (ppm) that downsamples it toward
+    total_tokens / n_sources, plus the docs/tokens the deterministic
+    hash-Bernoulli pass actually keeps at that rate.
+
+    The production shape is two passes, both cheap: pass 1 is an
+    aggregate-only scan (per-source token totals — a few rows), the rate
+    table is computed on those few rows and BROADCAST, and pass 2 applies
+    ``hash(doc_id) % 1e6 < rate_ppm`` map-side — the corpus itself is
+    never shuffled to be sampled, and the decision is reproducible from
+    doc_id alone (re-running the plan on the same snapshot keeps exactly
+    the same documents, which is what makes the sample auditable).
+    Integer-exact throughout: rate_ppm uses DECIMAL/HUGEINT floor
+    division (an int64 ``total*1e6`` overflows at corpus scale — same
+    class as heavy_hitter_tokens' ppm).
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("nt")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    tot = per_src.select(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    rates = per_src.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("n_tokens") <= 0, F.lit(1_000_000))
+        .otherwise(
+            F.least(
+                F.lit(1_000_000),
+                F.expr(
+                    "CAST(CAST(total AS DECIMAL(38,0)) * 1000000"
+                    " div (k * n_tokens) AS BIGINT)"
+                ),
+            )
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    keep = hash60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % 1_000_000 < F.col("rate_ppm")
+    kept = (
+        per_doc.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("nt").alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "rate_ppm",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+MIXTURE_SAMPLE_PLAN_SQL = f"""
+WITH per_doc AS (
+    SELECT source, doc_id, len({_TOKS_SQL}) AS nt FROM documents
+),
+per_src AS (
+    SELECT source, count(*) AS n_docs, SUM(nt) AS n_tokens
+    FROM per_doc GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total, count(*) AS k FROM per_src),
+rates AS (
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_tokens <= 0 THEN 1000000
+                ELSE least(1000000,
+                     CAST(CAST(total AS HUGEINT) * 1000000
+                          // (k * n_tokens) AS BIGINT))
+           END AS BIGINT) AS rate_ppm
+    FROM per_src, tot
+),
+kept AS (
+    SELECT d.source, count(*) AS kept_docs, SUM(nt) AS kept_tokens
+    FROM per_doc d JOIN rates r USING (source)
+    WHERE {hash60_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < r.rate_ppm
+    GROUP BY d.source
+)
+SELECT r.source, n_docs, n_tokens, rate_ppm,
+       CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept USING (source)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "mixture_sample_plan": Query(
+        mixture_sample_plan,
+        MIXTURE_SAMPLE_PLAN_SQL,
+        "uniform-over-sources mixture: exact ppm rates + deterministic "
+        "hash-Bernoulli sample applied map-side",
+    ),
     "contamination_check": Query(
         contamination_check,
         CONTAMINATION_CHECK_SQL,

@@ -274,6 +274,7 @@ _EXTENSION_MODULES = [
     "operators.clustering",
     "operators.rankstats",
     "operators.codecs",
+    "operators.privacy",
 ]
 
 _EXTENSION_LOADERS = [_module_loader(m) for m in _EXTENSION_MODULES] + [

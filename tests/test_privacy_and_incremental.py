@@ -1,0 +1,149 @@
+"""Semantic pins for the r13 corpus-lifecycle additions: PII scrub,
+incremental (batch-vs-corpus) dedup, and the mixture sampling plan.
+
+Oracle-hash parity is covered by test_oracle_parity for all of these;
+this file pins the properties the hash alone doesn't spell out — the
+redaction actually removes every match, the incremental classifier
+partitions the batch, the sampler is deterministic and within bounds —
+plus the plan shapes (pii_scrub must stay a zero-exchange map)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_map_reduce_ruuner_spark.operators import privacy
+from simple_map_reduce_ruuner_spark.operators.dedup import (
+    INCR_MOD,
+    INCR_REM,
+    incremental_dedup,
+)
+from simple_map_reduce_ruuner_spark.operators.mixing import mixture_sample_plan
+from simple_map_reduce_ruuner_spark.operators.privacy import (
+    _redact,
+    _with_pii,
+    pii_scrub,
+    pii_summary,
+)
+from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+
+def test_redaction_removes_every_match(spark, sf_dir):
+    """After the scrub, none of the three patterns can match anywhere."""
+    docs = _with_pii(load_table(spark, sf_dir, "documents"))
+    red = docs.select(_redact(F.col("text")).alias("t"))
+    residual = red.filter(
+        (F.regexp_count(F.col("t"), F.lit(privacy.EMAIL_RE)) > 0)
+        | (F.regexp_count(F.col("t"), F.lit(privacy.PHONE_RE)) > 0)
+        | (F.regexp_count(F.col("t"), F.lit(privacy.IP_RE)) > 0)
+    )
+    assert residual.count() == 0
+
+
+def test_pii_scrub_counts_multi_type_docs(spark, sf_dir):
+    """A doc hitting two fixture residues reports both span types, and
+    every flagged doc's counts match its residues exactly."""
+    rows = {r["doc_id"]: r for r in pii_scrub(spark, sf_dir).collect()}
+    assert rows, "fixture residues must flag some docs"
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    multi = 0
+    for doc_id, r in rows.items():
+        assert r["n_emails"] == (
+            1 if doc_id % privacy.EMAIL_MOD == privacy.EMAIL_REM else 0
+        )
+        assert r["n_phones"] == (
+            1 if doc_id % privacy.PHONE_MOD == privacy.PHONE_REM else 0
+        )
+        assert r["n_ips"] == (
+            1 if doc_id % privacy.IP_MOD == privacy.IP_REM else 0
+        )
+        if r["n_emails"] + r["n_phones"] + r["n_ips"] > 1:
+            multi += 1
+    # CRT: with 500+ docs the residue classes must intersect somewhere
+    if n_docs >= 77:
+        assert multi > 0
+
+
+def test_pii_scrub_zero_shuffle_plan(spark, sf_dir):
+    """The scrub is a pure narrow map — no hash/range shuffle anywhere.
+    The only exchange allowed is spread_scan's small-file RoundRobin
+    (a no-op at production split counts)."""
+    plan = pii_scrub(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # spread_scan RoundRobin only
+
+
+def test_pii_summary_totals_reconcile(spark, sf_dir):
+    """Summary totals equal the per-doc scrub's column sums."""
+    per_doc = pii_scrub(spark, sf_dir).agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_phones").alias("p"),
+        F.sum("n_ips").alias("i"),
+    ).collect()[0]
+    summ = pii_summary(spark, sf_dir).agg(
+        F.sum("total_emails").alias("e"),
+        F.sum("total_phones").alias("p"),
+        F.sum("total_ips").alias("i"),
+    ).collect()[0]
+    assert (per_doc["e"], per_doc["p"], per_doc["i"]) == (
+        summ["e"],
+        summ["p"],
+        summ["i"],
+    )
+
+
+def test_incremental_dedup_partitions_the_batch(spark, sf_dir):
+    """Every incoming doc is classified exactly once; match_doc_id is
+    null iff 'new', points outside the batch for 'dup_of_corpus' and to
+    an earlier batch doc for 'dup_in_batch'."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % INCR_MOD == INCR_REM)
+        .select("doc_id")
+        .collect()
+    }
+    rows = incremental_dedup(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == incoming_ids
+    assert len(rows) == len(incoming_ids)
+    for r in rows:
+        if r["status"] == "new":
+            assert r["match_doc_id"] is None
+        elif r["status"] == "dup_of_corpus":
+            assert r["match_doc_id"] % INCR_MOD != INCR_REM
+        else:
+            assert r["status"] == "dup_in_batch"
+            assert r["match_doc_id"] % INCR_MOD == INCR_REM
+            assert r["match_doc_id"] < r["doc_id"]
+
+
+def test_mixture_sample_is_deterministic_and_bounded(spark, sf_dir):
+    rows = {r["source"]: r for r in mixture_sample_plan(spark, sf_dir).collect()}
+    again = {
+        r["source"]: r for r in mixture_sample_plan(spark, sf_dir).collect()
+    }
+    assert rows.keys() == again.keys()
+    for src, r in rows.items():
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert 0 <= r["kept_docs"] <= r["n_docs"]
+        assert 0 <= r["kept_tokens"] <= r["n_tokens"]
+        # full-rate sources keep everything (hash % 1e6 < 1e6 always)
+        if r["rate_ppm"] == 1_000_000:
+            assert r["kept_docs"] == r["n_docs"]
+            assert r["kept_tokens"] == r["n_tokens"]
+        a = again[src]
+        assert (r["kept_docs"], r["kept_tokens"]) == (
+            a["kept_docs"],
+            a["kept_tokens"],
+        )
+
+
+def test_mixture_rates_downsample_overrepresented_sources(spark, sf_dir):
+    """The max-token source's rate must be below 1e6 whenever sources
+    are imbalanced (it holds more than the uniform share)."""
+    rows = mixture_sample_plan(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        if r["n_tokens"] * k > total:
+            assert r["rate_ppm"] < 1_000_000
