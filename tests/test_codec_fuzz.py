@@ -28,6 +28,8 @@ from simple_map_reduce_ruuner_spark.operators.codecs import (
     _tga_encode_fn,
     _gzip_decode_fn,
     _gzip_encode_fn,
+    _xz_decode_fn,
+    _xz_encode_fn,
     _zip_decode_fn,
     _zip_encode_fn,
 )
@@ -52,6 +54,7 @@ CODECS = {
     "tar": (_tar_encode_fn, _tar_decode_fn, "tar"),
     "zip": (_zip_encode_fn, _zip_decode_fn, "zip"),
     "gzip": (_gzip_encode_fn, _gzip_decode_fn, "gz"),
+    "xz": (_xz_encode_fn, _xz_decode_fn, "xz"),
 }
 
 N_FLIPS = 400
