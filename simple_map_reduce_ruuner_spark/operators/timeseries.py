@@ -413,7 +413,101 @@ FROM events
 """
 
 
+THROTTLE_COOLDOWN_S = 6 * 3600  # 6-hour suppression window per key
+
+
+def throttle_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed cooldown dedup (alert throttling): per (user_id, event_type),
+    emit an event only if it arrives ≥ cooldown after the LAST EMITTED
+    event of that key; everything in between is suppressed and counted
+    against its emitter. One row per emission with the suppressed count.
+
+    This is the batch twin of keyed ``dropDuplicatesWithinWatermark``
+    semantics (streaming/joins.stream_dedup_events is the stream form):
+    the greedy epoch chain — next emission = first event past
+    last_emit + cooldown — depends on its own previous output, so no
+    window-function rewrite exists. It runs as one Arrow-batched
+    ``applyInPandas`` pass: a single shuffle on the key, O(1) state per
+    key inside the kernel (a numpy scan, not pandas row iteration), and
+    group sizes bounded by per-key event counts — the same partitioning
+    a streaming state store would use, which is why it scales. The
+    DuckDB oracle replays the chain with a recursive CTE (depth =
+    max per-key row count).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cooldown_ns = THROTTLE_COOLDOWN_S * 1_000_000_000
+
+    def chain(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+        eid = pdf["event_id"].to_numpy()
+        emit_idx: list[int] = []
+        suppressed: list[int] = []
+        last = None
+        for i in range(len(ts)):
+            if last is None or ts[i] - last >= cooldown_ns:
+                emit_idx.append(i)
+                suppressed.append(0)
+                last = ts[i]
+            else:
+                suppressed[-1] += 1
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[emit_idx].to_numpy(),
+                "event_type": pdf["event_type"].iloc[emit_idx].to_numpy(),
+                "emit_ts": pdf["ts"].iloc[emit_idx].to_numpy(),
+                "first_event_id": eid[emit_idx].astype("int64"),
+                "n_suppressed": np.asarray(suppressed, dtype="int64"),
+            }
+        )
+
+    return ev.groupBy("user_id", "event_type").applyInPandas(
+        chain,
+        "user_id long, event_type string, emit_ts timestamp_ntz, "
+        "first_event_id long, n_suppressed long",
+    )
+
+
+THROTTLE_SUPPRESS_SQL = f"""
+WITH RECURSIVE ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+chain AS (
+    SELECT user_id, event_type, ts, event_id, rn, ts AS emit_ts
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.event_type, o.ts, o.event_id, o.rn,
+           CASE WHEN o.ts >= c.emit_ts
+                         + INTERVAL {THROTTLE_COOLDOWN_S} seconds
+                THEN o.ts ELSE c.emit_ts END
+    FROM chain c JOIN ordered o
+      ON o.user_id = c.user_id AND o.event_type = c.event_type
+     AND o.rn = c.rn + 1
+)
+SELECT user_id, event_type, emit_ts,
+       CAST(arg_min(event_id, rn) AS BIGINT) AS first_event_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+FROM chain
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "throttle_suppress": Query(
+        throttle_suppress,
+        THROTTLE_SUPPRESS_SQL,
+        "keyed cooldown dedup (alert throttling): greedy epoch chain via "
+        "applyInPandas; recursive-CTE oracle",
+    ),
     "rolling_median_value": Query(
         rolling_median_value,
         ROLLING_MEDIAN_VALUE_SQL,
