@@ -2378,8 +2378,12 @@ FROM head_sum
 # xz blocks (tukaani .xz spec: indexed blocks, footer-first access)
 # ---------------------------------------------------------------------
 XZ_HEAD_BYTES = TAR_HEAD_BYTES  # block 2 mirrors the shard layout
-XZ_DICT_SIZE = 1 << 20  # LZMA2 dict: props byte 16 ↔ 1 MiB
-XZ_PROPS_BYTE = 16
+# 64 KiB dict (props byte 8): documents are far smaller than any dict,
+# and LZMA allocates dict+match-finder state PER COMPRESSOR CALL — with
+# two tiny members per doc the 1 MiB default made allocation, not
+# compression, the cost (measured ~4x on the sf0.1 corpus)
+XZ_DICT_SIZE = 1 << 16
+XZ_PROPS_BYTE = 8
 
 
 def _xz_encode_fn():
@@ -2421,7 +2425,9 @@ def _xz_encode_fn():
                 filters=[
                     {
                         "id": lzma.FILTER_LZMA2,
-                        "preset": 6,
+                        # preset 0: the query measures container logic,
+                        # not ratio — higher presets only add CPU here
+                        "preset": 0,
                         "dict_size": dict_size,
                     }
                 ],

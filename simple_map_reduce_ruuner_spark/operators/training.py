@@ -41,7 +41,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60, hash60_sql
-from simple_map_reduce_ruuner_spark.functions.text import explode_tokens, tokens
+from simple_map_reduce_ruuner_spark.functions.text import (
+    TOKS_SQL,
+    explode_tokens,
+    norm_text,
+    tokens,
+)
 from simple_map_reduce_ruuner_spark.registry import Query
 from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
@@ -299,7 +304,75 @@ FROM c GROUP BY 1
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level train/val/test split: the assignment key is the
+    normalized-text digest (exact_dedup's group key), not the doc_id —
+    so duplicate texts land in the SAME split by construction, closing
+    the classic leakage hole where ``dataset_split`` can put two copies
+    of one document on both sides of the train/test fence.
+
+    Per (split, source): docs, distinct text groups, tokens. Still
+    map-side assignment (hash of a hash — no join against a group
+    table); the only shuffle is the final aggregate, whose
+    distinct-group count rides 8-byte digests. At 100 TB this is the
+    same one-pass scan as dataset_split plus a count-distinct.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    h = hash60(norm_text(F.col("text")))
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("gsplit:"), h.cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+    )
+    per_doc = docs.select(
+        split.alias("split"),
+        "source",
+        h.alias("grp"),
+        F.size(tokens(F.col("text"))).alias("nt"),
+    )
+    return per_doc.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("grp").cast("long").alias("n_groups"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+
+
+_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_GRP_SQL = hash60_sql(_NORM_TEXT_SQL)
+_GBUCKET_SQL = (
+    hash60_sql(f"'gsplit:' || CAST({_GRP_SQL} AS VARCHAR)")
+    + f" % {SPLIT_BUCKETS}"
+)
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH per_doc AS (
+    SELECT CASE WHEN {_GBUCKET_SQL} < {TRAIN_LT} THEN 'train'
+                WHEN {_GBUCKET_SQL} < {VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           {_GRP_SQL} AS grp,
+           len({{toks}}) AS nt
+    FROM documents
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM per_doc
+GROUP BY split, source
+""".format(toks=TOKS_SQL)
+
+
 QUERIES: dict[str, Query] = {
+    "leakage_safe_split": Query(
+        leakage_safe_split,
+        LEAKAGE_SAFE_SPLIT_SQL,
+        "group-keyed split: duplicate texts never straddle train/test",
+    ),
     "webdataset_shard_plan": Query(
         webdataset_shard_plan,
         WEBDATASET_SHARD_PLAN_SQL,

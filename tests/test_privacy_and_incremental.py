@@ -138,6 +138,42 @@ def test_mixture_sample_is_deterministic_and_bounded(spark, sf_dir):
         )
 
 
+def test_leakage_safe_split_never_splits_duplicates(spark, sf_dir):
+    """The property dataset_split lacks: two docs with identical
+    normalized text must land in the same split. Recomputed per doc and
+    cross-checked against the aggregate's group accounting."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.functions.hashing import hash60
+    from simple_map_reduce_ruuner_spark.functions.text import norm_text
+    from simple_map_reduce_ruuner_spark.operators.training import (
+        SPLIT_BUCKETS,
+        TRAIN_LT,
+        VAL_LT,
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(norm_text(F.col("text")))
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("gsplit:"), h.cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+    )
+    per_group = docs.select(h.alias("grp"), split.alias("split")).groupBy(
+        "grp"
+    ).agg(F.count_distinct("split").alias("n_splits"))
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+
+    agg = leakage_safe_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in agg) == docs.count()
+    assert all(r.n_groups <= r.n_docs for r in agg)
+
+
 def test_mixture_rates_downsample_overrepresented_sources(spark, sf_dir):
     """The max-token source's rate must be below 1e6 whenever sources
     are imbalanced (it holds more than the uniform share)."""
