@@ -512,7 +512,66 @@ GROUP BY doc_id
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair, cnt, n_types): adjacent CHARACTER-pair frequencies over
+    the corpus — the statistic a BPE tokenizer trainer's first merge
+    maximizes (cnt weights each word type by its corpus occurrences;
+    n_types is how many distinct word types contain the pair).
+
+    Scale shape — the two-level trick every BPE trainer uses: aggregate
+    the corpus to (word type, count) FIRST (vocabulary-bounded, the
+    word_count shuffle), then explode character pairs over the small
+    type table with the count carried as a weight. The corpus is
+    scanned once and never exploded per character; pair rows are
+    bounded by Σ|type| over the vocabulary, not by corpus tokens.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    types = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = types.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("long").alias("cnt"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        .where(F.length("pair") == 2)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH types AS (
+    SELECT w, count(*) AS wc
+    FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+    GROUP BY w
+),
+pairs AS (
+    SELECT wc, unnest([ w[i : i + 1] for i in range(1, len(w)) ]) AS pair
+    FROM types
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM pairs
+WHERE len(pair) = 2
+GROUP BY pair
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "bpe_pair_counts": Query(
+        bpe_pair_counts,
+        BPE_PAIR_COUNTS_SQL,
+        "BPE first-merge statistic: char-pair counts over the weighted "
+        "word-type table (vocabulary-bounded, corpus scanned once)",
+    ),
     "doc_lm_familiarity": Query(
         doc_lm_familiarity,
         DOC_LM_FAMILIARITY_SQL,
