@@ -142,3 +142,38 @@ def stream_dedup_events(
             "value",
         )
     )
+
+
+def stream_cooldown_dedup(
+    spark: SparkSession, input_dir: str, cooldown: str = "6 hours"
+) -> DataFrame:
+    """Streaming keyed-cooldown dedup: ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type) with the cooldown as the watermark delay —
+    the stream form of ``operators.timeseries.throttle_suppress``
+    (alert throttling).
+
+    Contract vs the batch greedy chain: a key's state entry lives until
+    the watermark passes the KEPT row's event time + cooldown, so
+    (a) every key emits at least once (keys never vanish), (b) no two
+    emissions of one key are ever closer than the cooldown (a second
+    row is kept only once the watermark passed expiry, and non-late
+    rows sit above the watermark), and (c) the per-key emission count
+    never exceeds the batch chain's — any cooldown-spaced subset is
+    bounded by the greedy (earliest-first) selection, which is maximal
+    for interval scheduling. WHICH row of a batch represents a key is
+    arrival order, not event-time order (the operator keeps the first
+    arrival), so row-level equality with the batch chain is not part of
+    the contract — the properties are pinned in tests/test_streaming.py.
+    """
+    src = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    events = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", cooldown)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("emit_ts"),
+            "event_id",
+        )
+    )

@@ -217,6 +217,76 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def test_stream_cooldown_dedup_contract(spark, sf_dir, tmp_path):
+    """Streaming keyed-cooldown dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type)) vs the batch greedy chain
+    (throttle_suppress): the operator keeps first ARRIVALS, so exact
+    rows are batch/arrival-order dependent; the pinned contract is
+    (a) every key emits at least once, (b) no two emissions of one key
+    within the cooldown, (c) per-key emissions never exceed the batch
+    greedy count (cooldown-spaced subsets are bounded by the maximal
+    earliest-first selection)."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.operators.timeseries import (
+        THROTTLE_COOLDOWN_S,
+        throttle_suppress,
+    )
+    from simple_map_reduce_ruuner_spark.streaming.joins import (
+        stream_cooldown_dedup,
+    )
+
+    # time-ordered files so the watermark advances like a real stream
+    src_dir = tmp_path / "cooldown_stream"
+    src_dir.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    tiled = ev.withColumn(
+        "_tile", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        stage = tmp_path / f"stage_{i}"
+        tiled.where(F.col("_tile") == i).drop("_tile").coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.move(part, src_dir / f"{i:02d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+
+    out = _run_stream(
+        spark,
+        stream_cooldown_dedup(spark, str(src_dir)),
+        "cooldown_stream_test",
+        str(tmp_path / "ckpt_cooldown"),
+        mode="append",
+    ).collect()
+    assert out
+
+    emitted: dict[tuple, list] = {}
+    for r in out:
+        emitted.setdefault((r.user_id, r.event_type), []).append(r.emit_ts)
+
+    all_keys = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    batch_counts: dict[tuple, int] = {}
+    for r in throttle_suppress(spark, sf_dir).collect():
+        k = (r.user_id, r.event_type)
+        batch_counts[k] = batch_counts.get(k, 0) + 1
+
+    assert emitted.keys() == all_keys  # (a)
+    for k, ts_list in emitted.items():
+        ts_list.sort()
+        for a, b in zip(ts_list, ts_list[1:]):  # (b)
+            assert (b - a).total_seconds() >= THROTTLE_COOLDOWN_S
+        assert len(ts_list) <= batch_counts[k]  # (c)
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_session_window_exact_gap_merges(spark):
     """Boundary semantics the oracle must mirror: an event arriving
     EXACTLY gap seconds after its predecessor merges into the same Spark
