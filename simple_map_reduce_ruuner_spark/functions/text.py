@@ -19,6 +19,10 @@ WS = r"\s+"
 # copy in oracle strings is grep-guarded against drift.
 TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
 
+# DuckDB twin of norm_text() below, same single-source rule as TOKS_SQL
+# (review-found: three modules carried byte-identical private copies).
+NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
 
 def explode_tokens(df, text_col: str = "text", out: str = "token", keep=()):
     """``df`` → one row per whitespace token of ``text_col`` (lowercased,

@@ -2570,6 +2570,8 @@ def _xz_decode_fn():
                 un_size_field, p = get_varint(hdr, p)
             fid, p = get_varint(hdr, p)
             psz, p = get_varint(hdr, p)
+            if p + psz > hsz - 4:  # props may not reach padding/CRC
+                raise ValueError("bad xz filter props length")
             props = hdr[p : p + psz]
             p += psz
             if fid != 0x21 or psz != 1:

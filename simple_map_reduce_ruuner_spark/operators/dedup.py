@@ -80,7 +80,9 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+from simple_map_reduce_ruuner_spark.functions.text import (
+    NORM_TEXT_SQL as _NORM_TEXT_SQL,
+)
 
 EXACT_DEDUP_SQL = f"""
 SELECT {hash60_sql(_NORM_TEXT_SQL)} AS text_hash,

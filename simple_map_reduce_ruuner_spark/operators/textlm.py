@@ -44,7 +44,9 @@ from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_sca
 
 from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _TOKS_SQL
 _TOK_ROWS_SQL = f"SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents"
-_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+from simple_map_reduce_ruuner_spark.functions.text import (
+    NORM_TEXT_SQL as _NORM_TEXT_SQL,
+)
 
 MIN_BIGRAM_COUNT = 5
 MIN_PAIR_COUNT = 20  # token_pmi: min docs containing both tokens
@@ -532,6 +534,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     pairs = types.select(
+        "w",
         "wc",
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
@@ -541,7 +544,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("pair")
         .agg(
             F.sum("wc").cast("long").alias("cnt"),
-            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.count_distinct("w").cast("long").alias("n_types"),
         )
         .where(F.length("pair") == 2)
     )
@@ -554,11 +557,11 @@ WITH types AS (
     GROUP BY w
 ),
 pairs AS (
-    SELECT wc, unnest([ w[i : i + 1] for i in range(1, len(w)) ]) AS pair
+    SELECT w, wc, unnest([ w[i : i + 1] for i in range(1, len(w)) ]) AS pair
     FROM types
 )
 SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt,
-       CAST(count(*) AS BIGINT) AS n_types
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types
 FROM pairs
 WHERE len(pair) = 2
 GROUP BY pair

@@ -423,7 +423,7 @@ def throttle_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its emitter. One row per emission with the suppressed count.
 
     This is the batch twin of keyed ``dropDuplicatesWithinWatermark``
-    semantics (streaming/joins.stream_dedup_events is the stream form):
+    semantics (streaming/joins.stream_cooldown_dedup is the stream form):
     the greedy epoch chain — next emission = first event past
     last_emit + cooldown — depends on its own previous output, so no
     window-function rewrite exists. It runs as ONE group-boundary-aware
@@ -555,7 +555,7 @@ QUERIES: dict[str, Query] = {
         throttle_suppress,
         THROTTLE_SUPPRESS_SQL,
         "keyed cooldown dedup (alert throttling): greedy epoch chain via "
-        "applyInPandas; recursive-CTE oracle",
+        "group-boundary-aware mapInPandas; recursive-CTE oracle",
     ),
     "rolling_median_value": Query(
         rolling_median_value,

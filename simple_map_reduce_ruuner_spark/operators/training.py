@@ -341,7 +341,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+from simple_map_reduce_ruuner_spark.functions.text import (
+    NORM_TEXT_SQL as _NORM_TEXT_SQL,
+)
 _GRP_SQL = hash60_sql(_NORM_TEXT_SQL)
 _GBUCKET_SQL = (
     hash60_sql(f"'gsplit:' || CAST({_GRP_SQL} AS VARCHAR)")

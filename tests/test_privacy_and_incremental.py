@@ -58,7 +58,8 @@ def test_pii_scrub_counts_multi_type_docs(spark, sf_dir):
         )
         if r["n_emails"] + r["n_phones"] + r["n_ips"] > 1:
             multi += 1
-    # CRT: with 500+ docs the residue classes must intersect somewhere
+    # CRT: any 77 (= 7*11) consecutive doc_ids contain an email+phone
+    # overlap, so past that window a multi-type doc must exist
     if n_docs >= 77:
         assert multi > 0
 

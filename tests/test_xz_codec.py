@@ -139,6 +139,24 @@ def test_parser_rejections():
         _decode([bytes(b3)])
 
 
+def test_oversized_props_varint_rejected_not_indexerror():
+    """A header whose props-size varint reaches into the padding/CRC
+    region (header CRC recomputed so the author-controlled CRC check
+    passes) must raise ValueError, not IndexError (review-found: an
+    empty props slice used to hit props[0])."""
+    blob = bytearray(bytes(_encode([b"guard me " * 8], [2])["xz"][0]))
+    # first block header starts after the 12-byte stream header
+    hsz = (blob[12] + 1) * 4
+    hdr = bytearray(blob[12 : 12 + hsz])
+    # layout for block 0 (no size fields): [size][flags][fid][psz][props]...
+    assert hdr[3] == 0x01  # props size varint
+    hdr[3] = 0x20  # claim 32 props bytes — runs past the header
+    hdr[-4:] = struct.pack("<I", zlib.crc32(bytes(hdr[:-4])))
+    blob[12 : 12 + hsz] = hdr
+    with pytest.raises(ValueError, match="props length"):
+        _decode([bytes(blob)])
+
+
 def test_bomb_guard_caps_inflated_size():
     """A tiny LZMA2 stream inflating past the cap is rejected at the
     bound, not after allocating the whole expansion."""

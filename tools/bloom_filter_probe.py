@@ -190,9 +190,10 @@ def main() -> int:
         "probe_side_shuffle_records_off": probe_off,
         "shuffle_records_pruned_x": round(probe_off / max(probe_on, 1), 1),
         "plan_evidence": evidence,
-        "thresholds_lowered": {
-            "applicationSideScanSizeThreshold": "10MB (stock 10GB)",
-            "creationSideThreshold": "100MB (stock 10MB)",
+        "thresholds_adjusted": {
+            "applicationSideScanSizeThreshold": "10MB (LOWERED from stock 10GB)",
+            "creationSideThreshold": "100MB (RAISED from stock 10MB so the"
+            " filtered build side still qualifies to create the filter)",
         },
         "note": (
             "broadcast disabled (-1) to force the 100 TB SMJ shape; "
