@@ -202,7 +202,143 @@ GROUP BY user_id, event_type, island
 """
 
 
+# PSI drift monitor: fixed deterministic bin domain + Laplace smoothing
+PSI_SPLIT_TS = "2024-01-16"  # baseline = first half of the event range
+PSI_BIN_WIDTH = 25
+PSI_N_BINS = 20  # values 0..500 → buckets 0..19 (capped)
+PSI_ALERT = 0.2  # the conventional "significant shift" threshold
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: Population Stability Index of the value
+    distribution, baseline (first half of the time range) vs current
+    (second half) — the standard production drift monitor for feature
+    and label distributions between two snapshots.
+
+    PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over a FIXED bin domain
+    (20 × width-25 buckets, cap at the last bin) with Laplace smoothing
+    (c+1)/(n+B), so empty bins are well-defined and the statistic is a
+    deterministic function of integer counts — both engines compute the
+    same rationals and differ only in ln() ulps, far below the 6-decimal
+    rounding. Scale shape: one partial→final aggregate on the
+    (type, period, bucket) key — at most |types|·2·B groups regardless
+    of corpus size; the PSI fold then runs over that tiny table joined
+    against the generated full bin domain (empty bins must contribute —
+    a bucket present only in the baseline is exactly what drift means).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_N_BINS - 1)
+    ).cast("long")
+    period = F.when(
+        F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp_ntz"), "base"
+    ).otherwise("curr")
+    counts = (
+        ev.select(
+            "event_type", period.alias("period"), bucket.alias("bucket")
+        )
+        .groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    domain = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(0, {PSI_N_BINS - 1})")).alias(
+                "bucket"
+            ),
+        )
+    )
+    base = counts.filter(F.col("period") == "base").select(
+        "event_type", "bucket", F.col("c").alias("cb")
+    )
+    curr = counts.filter(F.col("period") == "curr").select(
+        "event_type", "bucket", F.col("c").alias("cc")
+    )
+    filled = (
+        domain.join(base, ["event_type", "bucket"], "left")
+        .join(curr, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    totals = filled.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    p = (F.col("cb") + 1) / (F.col("nb") + PSI_N_BINS)
+    q = (F.col("cc") + 1) / (F.col("nc") + PSI_N_BINS)
+    per_bin = filled.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "nb",
+        "nc",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    return per_bin.groupBy("event_type").agg(
+        F.max("nb").cast("long").alias("n_base"),
+        F.max("nc").cast("long").alias("n_curr"),
+        F.round(F.sum("term"), 6).alias("psi"),
+        (F.round(F.sum("term"), 6) > PSI_ALERT).alias("drifted"),
+    )
+
+
+VALUE_DRIFT_PSI_SQL = f"""
+WITH counts AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}' THEN 'base'
+                ELSE 'curr' END AS period,
+           least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
+                 {PSI_N_BINS - 1}) AS bucket,
+           count(*) AS c
+    FROM events
+    GROUP BY 1, 2, 3
+),
+domain AS (
+    SELECT event_type, unnest(range(0, {PSI_N_BINS})) AS bucket
+    FROM (SELECT DISTINCT event_type FROM events)
+),
+filled AS (
+    SELECT d.event_type, d.bucket,
+           coalesce(b.c, 0) AS cb, coalesce(c.c, 0) AS cc
+    FROM domain d
+    LEFT JOIN (SELECT * FROM counts WHERE period = 'base') b
+           ON b.event_type = d.event_type AND b.bucket = d.bucket
+    LEFT JOIN (SELECT * FROM counts WHERE period = 'curr') c
+           ON c.event_type = d.event_type AND c.bucket = d.bucket
+),
+tot AS (
+    SELECT event_type, SUM(cb) AS nb, SUM(cc) AS nc
+    FROM filled GROUP BY event_type
+),
+terms AS (
+    SELECT f.event_type, t.nb, t.nc,
+           ((f.cb + 1) / CAST(t.nb + {PSI_N_BINS} AS DOUBLE)
+            - (f.cc + 1) / CAST(t.nc + {PSI_N_BINS} AS DOUBLE))
+           * ln(((f.cb + 1) / CAST(t.nb + {PSI_N_BINS} AS DOUBLE))
+                / ((f.cc + 1) / CAST(t.nc + {PSI_N_BINS} AS DOUBLE)))
+               AS term
+    FROM filled f JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(nb) AS BIGINT) AS n_base,
+       CAST(max(nc) AS BIGINT) AS n_curr,
+       ROUND(SUM(term), 6) AS psi,
+       ROUND(SUM(term), 6) > {PSI_ALERT} AS drifted
+FROM terms
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "value_drift_psi": Query(
+        value_drift_psi,
+        VALUE_DRIFT_PSI_SQL,
+        "PSI drift monitor: baseline-vs-current value distribution per "
+        "event_type over a fixed smoothed bin domain",
+    ),
     "table_profile": Query(
         table_profile,
         _table_profile_sql(),
