@@ -2806,6 +2806,10 @@ def _sqlite_encode_fn():
 
         import numpy as np
 
+        # one connection per kernel: DELETE + VACUUM between docs beats
+        # per-doc connect/create (serialize() snapshots current content)
+        con = sqlite3.connect(":memory:")
+        con.execute("create table docs(id integer primary key, body blob)")
         for pdf in batches:
             blobs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -2816,18 +2820,16 @@ def _sqlite_encode_fn():
                     if t.size
                     else np.zeros(head_n, dtype=np.uint8)
                 ).tobytes()
-                con = sqlite3.connect(":memory:")
-                con.execute(
-                    "create table docs(id integer primary key, body blob)"
-                )
+                con.execute("delete from docs")
                 con.executemany(
                     "insert into docs values (?, ?)",
                     [(0, text), (1, head)],
                 )
                 con.commit()
+                con.execute("vacuum")  # drop freed pages from the image
                 blobs.append(bytes(con.serialize()))
-                con.close()
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "db": blobs})
+        con.close()
 
     return encode
 

@@ -28,6 +28,8 @@ from simple_map_reduce_ruuner_spark.operators.codecs import (
     _tga_encode_fn,
     _gzip_decode_fn,
     _gzip_encode_fn,
+    _sqlite_decode_fn,
+    _sqlite_encode_fn,
     _xz_decode_fn,
     _xz_encode_fn,
     _zip_decode_fn,
@@ -55,6 +57,7 @@ CODECS = {
     "zip": (_zip_encode_fn, _zip_decode_fn, "zip"),
     "gzip": (_gzip_encode_fn, _gzip_decode_fn, "gz"),
     "xz": (_xz_encode_fn, _xz_decode_fn, "xz"),
+    "sqlite": (_sqlite_encode_fn, _sqlite_decode_fn, "db"),
 }
 
 N_FLIPS = 400
