@@ -307,7 +307,102 @@ FROM terms
 """
 
 
+def chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence + Cramér's V over the
+    (source × lang) document contingency table — the categorical
+    association report (are sources language-skewed?) that complements
+    the numeric families (moments, ranks, PSI drift).
+
+    Exactness: observed counts are exact integers; expected counts
+    ne = row_total·col_total/N and the (o−ne)²/ne terms are the only
+    floats, summed over the generated FULL source×lang domain (zero
+    cells contribute their expected mass — omitting them understates
+    the statistic). Both engines fold the same ≤ r·c rationals; the
+    6-decimal rounding sits far above summation-order ulps. Scale
+    shape: ONE partial/final aggregate on the (source, lang) key —
+    the contingency table is key-domain bounded, every later step runs
+    on ≤ r·c rows with broadcast totals.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rows = cell.groupBy("source").agg(F.sum("o").alias("rs"))
+    cols = cell.groupBy("lang").agg(F.sum("o").alias("cs"))
+    domain = rows.crossJoin(cols)  # r×c grid with both margins attached
+    filled = domain.join(cell, ["source", "lang"], "left").select(
+        "source",
+        "rs",
+        "cs",
+        F.coalesce("o", F.lit(0)).alias("o"),
+    )
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("source").alias("r"),
+        F.count_distinct("lang").alias("c"),
+    )
+    ne = F.col("rs") * F.col("cs") / F.col("n")
+    terms = filled.join(F.broadcast(tot)).select(
+        "n",
+        "r",
+        "c",
+        ((F.col("o") - ne) * (F.col("o") - ne) / ne).alias("term"),
+    )
+    agg = terms.groupBy("n", "r", "c").agg(F.sum("term").alias("chi2"))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    v = F.sqrt(
+        F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("r").cast("long").alias("n_sources"),
+        F.col("c").cast("long").alias("n_langs"),
+        dof.cast("long").alias("dof"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+CHISQ_SOURCE_LANG_SQL = """
+WITH cell AS (
+    SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+),
+rows_t AS (SELECT source, SUM(o) AS rs FROM cell GROUP BY source),
+cols_t AS (SELECT lang, SUM(o) AS cs FROM cell GROUP BY lang),
+tot AS (
+    SELECT SUM(o) AS n, count(DISTINCT source) AS r,
+           count(DISTINCT lang) AS c
+    FROM cell
+),
+filled AS (
+    SELECT r_.source, c_.lang, r_.rs, c_.cs, coalesce(cell.o, 0) AS o
+    FROM rows_t r_
+    CROSS JOIN cols_t c_
+    LEFT JOIN cell ON cell.source = r_.source AND cell.lang = c_.lang
+),
+agg AS (
+    SELECT t.n, t.r, t.c,
+           SUM((f.o - f.rs * f.cs / CAST(t.n AS DOUBLE))
+               * (f.o - f.rs * f.cs / CAST(t.n AS DOUBLE))
+               / (f.rs * f.cs / CAST(t.n AS DOUBLE))) AS chi2
+    FROM filled f, tot t
+    GROUP BY t.n, t.r, t.c
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(r AS BIGINT) AS n_sources,
+       CAST(c AS BIGINT) AS n_langs,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "chisq_source_lang": Query(
+        chisq_source_lang,
+        CHISQ_SOURCE_LANG_SQL,
+        "chi-square independence + Cramér's V over the source×lang "
+        "contingency table (zero cells included)",
+    ),
     "spearman_spend_orders": Query(
         spearman_spend_orders,
         SPEARMAN_SPEND_ORDERS_SQL,
