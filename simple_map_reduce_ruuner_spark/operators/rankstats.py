@@ -396,7 +396,126 @@ FROM agg
 """
 
 
+MWU_SPLIT_TS = "2024-01-16"  # same snapshot split as value_drift_psi
+
+
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U per event_type: did the value distribution SHIFT
+    between the baseline (first half of the time range) and current
+    (second half) snapshots? The nonparametric twin of value_drift_psi
+    — U is rank-based, so it detects location shift without binning.
+
+    Exactness (house integer discipline): average tie ranks are carried
+    2×-scaled — a tie group occupying ranks s+1..s+c has
+    2·avg = 2s + c + 1, an integer — so 2R₁ and u2 = 2U₁ =
+    2R₁ − n₁(n₁+1) are EXACT integers; the only float is the
+    rank-biserial effect size r = 1 − 2U₁/(n₁n₂) (one IEEE division,
+    rounded). Products widen to DECIMAL(38,0) before arithmetic —
+    n₁(n₁+1) alone wraps int64 at ~3e9 rows per type.
+
+    Scale shape: events aggregate ONCE to the (event_type, value,
+    period) contingency — value is 2-decimal bounded, so the aggregate
+    is key-domain bounded — and the rank cumsum windows run over that
+    small table, never the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    period_is_base = F.col("ts") < F.lit(MWU_SPLIT_TS).cast("timestamp_ntz")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    cell = (
+        ev.select(
+            "event_type",
+            cents.alias("v"),
+            period_is_base.cast("int").alias("is_base"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("is_base").alias("nb"),
+            F.sum(1 - F.col("is_base")).alias("nc"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cell.select(
+        "event_type",
+        "nb",
+        "nc",
+        F.coalesce(F.sum(F.col("nb") + F.col("nc")).over(w), F.lit(0)).alias(
+            "s"
+        ),
+    )
+    # 2·avg rank of the tie group = 2s + (nb+nc) + 1
+    two_avg = 2 * F.col("s") + F.col("nb") + F.col("nc") + 1
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("nb").cast("long").alias("n_base"),
+        F.sum("nc").cast("long").alias("n_curr"),
+        F.sum(
+            F.col("nb").cast("decimal(38,0)") * two_avg.cast("decimal(38,0)")
+        ).alias("two_r1"),
+    )
+    u2 = F.col("two_r1") - F.col("n_base").cast("decimal(38,0)") * (
+        F.col("n_base") + 1
+    ).cast("decimal(38,0)")
+    return agg.select(
+        "event_type",
+        "n_base",
+        "n_curr",
+        u2.cast("long").alias("u2"),
+        F.round(
+            1
+            - u2.cast("double")
+            / (F.col("n_base").cast("double") * F.col("n_curr")),
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+MANNWHITNEY_VALUE_SHIFT_SQL = f"""
+WITH cell AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+           SUM(CASE WHEN ts < TIMESTAMP '{MWU_SPLIT_TS}'
+                    THEN 1 ELSE 0 END) AS nb,
+           SUM(CASE WHEN ts < TIMESTAMP '{MWU_SPLIT_TS}'
+                    THEN 0 ELSE 1 END) AS nc
+    FROM events
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, nb, nc,
+           coalesce(SUM(nb + nc) OVER (
+               PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+    FROM cell
+),
+agg AS (
+    SELECT event_type,
+           CAST(SUM(nb) AS BIGINT) AS n_base,
+           CAST(SUM(nc) AS BIGINT) AS n_curr,
+           SUM(CAST(nb AS HUGEINT)
+               * CAST(2 * s + nb + nc + 1 AS HUGEINT)) AS two_r1
+    FROM ranked
+    GROUP BY event_type
+)
+SELECT event_type, n_base, n_curr,
+       CAST(two_r1 - CAST(n_base AS HUGEINT)
+                     * CAST(n_base + 1 AS HUGEINT) AS BIGINT) AS u2,
+       ROUND(1 - CAST(two_r1 - CAST(n_base AS HUGEINT)
+                              * CAST(n_base + 1 AS HUGEINT) AS DOUBLE)
+                 / (CAST(n_base AS DOUBLE) * n_curr), 6) AS rank_biserial
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "mannwhitney_value_shift": Query(
+        mannwhitney_value_shift,
+        MANNWHITNEY_VALUE_SHIFT_SQL,
+        "Mann–Whitney U snapshot shift test: 2x-scaled tie ranks keep "
+        "U exact-integer; one IEEE division for the effect size",
+    ),
     "chisq_source_lang": Query(
         chisq_source_lang,
         CHISQ_SOURCE_LANG_SQL,
