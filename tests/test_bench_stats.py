@@ -82,3 +82,54 @@ def test_pick_noisy_selects_subsecond_and_bursty():
 def test_pick_noisy_zero_guard():
     # a 0.0 rep (clock resolution) must not divide by zero
     assert bench.pick_noisy({"q": [0.0, 0.0, 0.0]}, failed=set()) == ["q"]
+
+
+def test_proc_delta_computes_steal_share():
+    from bench import proc_delta
+
+    before = {
+        "loadavg_1m": 1.0,
+        "cpu_total_jiffies": 1000,
+        "cpu_idle_jiffies": 400,
+        "cpu_steal_jiffies": 10,
+    }
+    after = {
+        "loadavg_1m": 8.0,
+        "cpu_total_jiffies": 2000,
+        "cpu_idle_jiffies": 500,
+        "cpu_steal_jiffies": 210,
+    }
+    d = proc_delta(before, after)
+    assert d["steal_pct"] == 20.0  # (210-10)/(2000-1000)
+    assert d["busy_pct"] == 70.0  # (1000-100-200)/1000
+    assert d["loadavg_1m_after"] == 8.0
+    # missing counters (non-Linux /proc) degrade to loadavg only
+    assert "steal_pct" not in proc_delta({}, {})
+
+
+def test_load_prev_full_picks_highest_round_numerically(tmp_path):
+    """r9 must NOT beat r14 lexicographically ('r9' > 'r14')."""
+    import json as _json
+
+    from bench import load_prev_full
+
+    for n, val in [(9, 1.0), (13, 2.0), (14, 3.0)]:
+        (tmp_path / f"BENCH_FULL_r{n}.json").write_text(
+            _json.dumps({"value": val})
+        )
+    name, doc = load_prev_full(str(tmp_path))
+    assert name == "BENCH_FULL_r14.json" and doc["value"] == 3.0
+    assert load_prev_full(str(tmp_path / "empty")) == (None, None)
+
+
+def test_machine_index_probe_uses_min_and_discards_warmup():
+    """Contract pins: min statistic (steal is one-sided) and the
+    discarded rep-0 codegen warm-up — inspected statically so the test
+    doesn't need a SparkSession."""
+    import inspect
+
+    from bench import machine_index_probe
+
+    src = inspect.getsource(machine_index_probe)
+    assert "min(ts)" in src
+    assert "rep > 0" in src

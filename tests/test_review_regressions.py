@@ -162,3 +162,33 @@ def test_image_oracles_index_bytes_not_characters(spark, tmp_path):
         got = sorted(map(tuple, fn(spark, sf_dir).collect()))
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want, fn.__name__
+
+
+def test_mannwhitney_one_sided_split_is_null_both_engines(spark):
+    """An event_type with every event on ONE side of the snapshot split
+    makes n_base*n_curr = 0: Spark's non-ANSI x/0 yields NULL while
+    DuckDB yields Infinity — both sides must pin NULL (advice-found)."""
+    from simple_map_reduce_ruuner_spark.operators.rankstats import (
+        mannwhitney_of,
+    )
+
+    t_pre = datetime.datetime(2024, 1, 10)
+    t_post = datetime.datetime(2024, 1, 20)
+    df = spark.createDataFrame(
+        [
+            ("only_pre", t_pre, 1.0),
+            ("only_pre", t_pre, 2.0),
+            ("both", t_pre, 1.0),
+            ("both", t_post, 2.0),
+        ],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    rows = {r.event_type: r for r in mannwhitney_of(df).collect()}
+    assert rows["only_pre"].n_curr == 0
+    assert rows["only_pre"].rank_biserial is None
+    assert rows["both"].rank_biserial is not None
+    duck = duckdb.sql(
+        "SELECT CASE WHEN 2 > 0 AND 0 > 0 THEN"
+        " ROUND(1 - CAST(4 AS DOUBLE) / (CAST(2 AS DOUBLE) * 0), 6) END"
+    ).fetchone()[0]
+    assert duck is None
