@@ -711,11 +711,13 @@ def decode_image_png(
 
     df = _with_payload(spark, sf_dir)
     encoded = df.mapInPandas(_png_encode_fn(), "doc_id long, png binary")
-    kernel = (
-        codec_backends.pil_image_decode_fn("png", "png")
-        if codec_backends.resolve_backend("png", backend) == "native"
-        else _png_decode_fn()
-    )
+    resolved = codec_backends.resolve_backend("png", backend)
+    if resolved == "native":
+        kernel = codec_backends.pil_image_decode_fn("png", "png")
+    elif resolved == "numpy":
+        kernel = codec_backends.numpy_png_decode_fn()
+    else:
+        kernel = _png_decode_fn()
     return encoded.mapInPandas(
         kernel,
         "doc_id long, width long, height long, "

@@ -441,8 +441,17 @@ def throttle_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    cooldown_ns = THROTTLE_COOLDOWN_S * 1_000_000_000
-    par = spark.sparkContext.defaultParallelism
+    return throttle_of(ev, THROTTLE_COOLDOWN_S)
+
+
+def throttle_of(ev: DataFrame, cooldown_s: int) -> DataFrame:
+    """Kernel of :func:`throttle_suppress` over any (user_id,
+    event_type, ts, event_id) frame with a configurable cooldown —
+    factored for the randomized differential fuzz (r13 verdict item 6),
+    which drives it with tiny Arrow batches so groups straddle batch
+    boundaries."""
+    cooldown_ns = cooldown_s * 1_000_000_000
+    par = ev.sparkSession.sparkContext.defaultParallelism
 
     def kernel(batches):
         import numpy as np
@@ -522,13 +531,16 @@ def throttle_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-THROTTLE_SUPPRESS_SQL = f"""
+def throttle_oracle_sql(cooldown_s: int, table: str = "events") -> str:
+    """The recursive-CTE chain replay for any cooldown/table — shared
+    by the registry oracle and the randomized differential fuzz."""
+    return f"""
 WITH RECURSIVE ordered AS (
     SELECT user_id, event_type, ts, event_id,
            row_number() OVER (
                PARTITION BY user_id, event_type ORDER BY ts, event_id
            ) AS rn
-    FROM events
+    FROM {table}
 ),
 chain AS (
     SELECT user_id, event_type, ts, event_id, rn, ts AS emit_ts
@@ -536,7 +548,7 @@ chain AS (
     UNION ALL
     SELECT o.user_id, o.event_type, o.ts, o.event_id, o.rn,
            CASE WHEN o.ts >= c.emit_ts
-                         + INTERVAL {THROTTLE_COOLDOWN_S} seconds
+                         + INTERVAL {cooldown_s} seconds
                 THEN o.ts ELSE c.emit_ts END
     FROM chain c JOIN ordered o
       ON o.user_id = c.user_id AND o.event_type = c.event_type
@@ -548,6 +560,9 @@ SELECT user_id, event_type, emit_ts,
 FROM chain
 GROUP BY 1, 2, 3
 """
+
+
+THROTTLE_SUPPRESS_SQL = throttle_oracle_sql(THROTTLE_COOLDOWN_S)
 
 
 QUERIES: dict[str, Query] = {

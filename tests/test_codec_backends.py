@@ -93,3 +93,93 @@ def test_auto_honors_env_var(spark, sf_dir, monkeypatch):
     assert codec_backends.resolve_backend("wav", "auto") == "stdlib"
     with pytest.raises(ValueError, match="auto\\|stdlib\\|native"):
         codec_backends.resolve_backend("wav", "fast")
+
+
+def test_numpy_png_backend_identical_rows(spark, sf_dir):
+    """The batch-vectorized numpy unfilter (r13 verdict item 3) must be
+    byte-identical to the stdlib scanline kernel on the real corpus —
+    every oracle row stays green under either backend."""
+    from simple_map_reduce_ruuner_spark.operators.multimodal import (
+        decode_image_png,
+    )
+
+    std = sorted(
+        map(tuple, decode_image_png(spark, sf_dir, backend="stdlib").collect())
+    )
+    vec = sorted(
+        map(tuple, decode_image_png(spark, sf_dir, backend="numpy").collect())
+    )
+    assert std and std == vec
+
+
+def test_numpy_png_kernel_all_filters_and_rejections():
+    """Local differential over synthetic payloads wide enough that every
+    (w, h) combination — hence all five scanline filters, including
+    Paeth rows — appears; plus the rejection contract (ValueError, same
+    messages as the stdlib kernel) and the empty-batch shape."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_map_reduce_ruuner_spark.operators.multimodal import (
+        _png_decode_fn,
+        _png_encode_fn,
+    )
+
+    n = 300  # doc_id spans 30 (w,h) combos x10
+    rng = np.random.default_rng(11)
+    payloads = [
+        rng.integers(0, 256, size=int(rng.integers(1, 300)), dtype=np.uint8)
+        .tobytes()
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype="int64"), "payload": payloads}
+    )
+    enc = pd.concat(list(_png_encode_fn()([pdf])), ignore_index=True)
+    out_std = pd.concat(list(_png_decode_fn()([enc])), ignore_index=True)
+    out_vec = pd.concat(
+        list(codec_backends.numpy_png_decode_fn()([enc])), ignore_index=True
+    )
+    assert out_std.equals(out_vec)
+
+    vec = codec_backends.numpy_png_decode_fn()
+    with pytest.raises(ValueError, match="bad signature"):
+        list(vec([pd.DataFrame({"doc_id": [1], "png": [b"nope"]})]))
+    flipped = bytearray(enc["png"][0])
+    flipped[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        list(vec([pd.DataFrame({"doc_id": [1], "png": [bytes(flipped)]})]))
+    empty = pd.concat(
+        list(
+            vec(
+                [
+                    pd.DataFrame(
+                        {
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "png": pd.Series([], dtype=object),
+                        }
+                    )
+                ]
+            )
+        ),
+        ignore_index=True,
+    )
+    assert len(empty) == 0 and set(empty.dtypes) == {np.dtype("int64")}
+
+
+def test_explicit_numpy_backend_errors_for_other_formats(spark, sf_dir):
+    """backend='numpy' exists only where a vectorized kernel does; an
+    explicit request for another format fails at plan time."""
+    from simple_map_reduce_ruuner_spark.operators.codecs import (
+        decode_image_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="numpy backend exists only"):
+        decode_image_jpeg(spark, sf_dir, backend="numpy")
+    assert codec_backends.resolve_backend("png", "numpy") == "numpy"
+
+
+def test_auto_env_numpy_degrades_to_stdlib_for_other_formats(monkeypatch):
+    monkeypatch.setenv(codec_backends.ENV_VAR, "numpy")
+    assert codec_backends.resolve_backend("png", "auto") == "numpy"
+    assert codec_backends.resolve_backend("jpeg", "auto") == "stdlib"
