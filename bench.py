@@ -296,8 +296,38 @@ def main() -> None:
                 failed.add(name)
                 print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
 
-    for _ in range(reps):
+    # Heap/cache telemetry (r14, judge item 2): JVM heap after each
+    # round-robin pass, and an experiment arm that drops the session
+    # caches between passes (SPARK_GRAFT_BENCH_CLEAR_CACHES=1) — the
+    # A/B that tests whether the _REGISTERED_CACHES checkpoint blocks
+    # accumulate enough heap pressure to explain cross-round drift.
+    clear_between = (
+        os.environ.get("SPARK_GRAFT_BENCH_CLEAR_CACHES", "0") == "1"
+    )
+    heap_trace: list[dict] = []
+
+    def record_heap(label: str) -> None:
+        try:
+            rt = spark._jvm.java.lang.Runtime.getRuntime()
+            heap_trace.append(
+                {
+                    "at": label,
+                    "heap_used_mb": round(
+                        (rt.totalMemory() - rt.freeMemory()) / 1e6
+                    ),
+                    "heap_total_mb": round(rt.totalMemory() / 1e6),
+                }
+            )
+        except Exception:
+            pass
+
+    record_heap("start")
+    for i in range(reps):
         timed_pass(names)
+        record_heap(f"pass{i + 1}")
+        if clear_between:
+            n_drop = clear_session_caches(sf_dir)
+            record_heap(f"pass{i + 1}_cleared_{n_drop}")
 
     # Adaptive extra reps (r10): sub-second queries' 3-rep medians are
     # dominated by this VM's CPU-steal bursts (r9: a burst hitting 2 of
@@ -310,6 +340,7 @@ def main() -> None:
     noisy = [n for n in names if n in set(pick_noisy(samples, failed))]
     for _ in range(extra_passes):
         timed_pass(noisy)
+    record_heap("end")
 
     mi_end = machine_index_probe(spark)
     proc_after = proc_snapshot()
@@ -493,6 +524,8 @@ def main() -> None:
         "vs_r01_plain": vs_prev,
         "vs_r01_trimmed": vs_prev_trimmed,
         "machine": machine,
+        "heap_trace": heap_trace,
+        "cleared_caches_between_passes": clear_between,
         "vs_prev_round": vs_prev_round,
         "vs_prev_round_machine_normalized": vs_prev_round_norm,
         **prev_block,

@@ -416,7 +416,9 @@ N_CELLS = 16
 NPROBE = 2
 
 
-def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cell_scores(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> DataFrame:
     """(vec_id, cent_id, sim, rk): cosine of every vector against every
     centroid, ranked per vector. Centroids are the first N_CELLS vectors —
     deterministic stand-ins for k-means centroids (real deployments train
@@ -445,7 +447,7 @@ def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_path = os.path.join(sf_dir, "embeddings.parquet")
-    n_cells, dim = N_CELLS, DIM
+    dim = DIM
 
     def _load_centroids(path):
         """(cent_ids, C) sorted by vec_id — exactly the rows the old
@@ -519,7 +521,13 @@ def _cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(score, "vec_id long, cent_id long, sim double, rk int")
 
 
-def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
     """Top-k within the query's NPROBE nearest IVF cells — the
     inverted-file ANN pattern (Sivic & Zisserman 2003 visual words /
     FAISS IVF): coarse-quantize every vector to its nearest centroid
@@ -533,11 +541,11 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cells = _cell_scores(spark, sf_dir)
+    cells = _cell_scores(spark, sf_dir, n_cells)
     assign = cells.where(F.col("rk") == 1).select("vec_id", F.col("cent_id").alias("cell"))
     vecs = emb.join(assign, "vec_id")
     probes = (
-        cells.where((F.col("vec_id") < N_QUERIES) & (F.col("rk") <= NPROBE))
+        cells.where((F.col("vec_id") < N_QUERIES) & (F.col("rk") <= nprobe))
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
     q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
