@@ -1467,3 +1467,104 @@ QUERIES: dict[str, Query] = {
         "scale path; oracle generated for the sf0.01 gate N)",
     ),
 }
+
+
+def neardup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup twin of :func:`incremental_dedup`: classify each incoming
+    doc (doc_id % INCR_MOD == INCR_REM, the same batch slice) against
+    the corpus by banded MinHash-LSH instead of the exact hash — the
+    continuous-ingest near-dup shape. At 100 TB you never re-band the
+    corpus per batch: you maintain a persistent (band, band_sig) →
+    min doc_id index and LEFT-join each incoming batch's bands against
+    it. Here the index is built inline from the corpus slice by the
+    same groupBy that would maintain it incrementally; the join carries
+    band signatures (4 ints), never documents or shingles, and no
+    corpus×corpus pair is ever formed.
+
+    Emits one row per incoming doc: status ('neardup_of_corpus' |
+    'novel'), the minimum matching corpus doc over all bands, and how
+    many of the N_BANDS bands hit (a crude confidence).
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    rows_per_band = N_PERMS // N_BANDS
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.array(
+                    *[
+                        F.col(f"h{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_sig"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    banded = wide.select("doc_id", F.explode(band_rows).alias("b")).select(
+        "doc_id",
+        F.col("b.band").alias("band"),
+        F.col("b.band_sig").alias("band_sig"),
+    )
+    is_incoming = F.col("doc_id") % INCR_MOD == INCR_REM
+    corpus_index = (
+        banded.filter(~is_incoming)
+        .groupBy("band", "band_sig")
+        .agg(F.min("doc_id").alias("corpus_doc_id"))
+    )
+    incoming = banded.filter(is_incoming)
+    hits = incoming.join(corpus_index, ["band", "band_sig"], "left")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.min("corpus_doc_id").alias("match_doc_id"),
+        F.count("corpus_doc_id").cast("long").alias("n_band_hits"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.when(
+            F.col("match_doc_id").isNotNull(), F.lit("neardup_of_corpus")
+        )
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+        F.col("match_doc_id").cast("long").alias("match_doc_id"),
+        "n_band_hits",
+    )
+
+
+def _incremental_lsh_sql() -> str:
+    rows_per_band = N_PERMS // N_BANDS
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+banded AS (
+    SELECT doc_id, CAST(floor(perm / {rows_per_band}) AS INTEGER) AS band,
+           list(minhash ORDER BY perm) AS band_sig
+    FROM sig GROUP BY 1, 2
+),
+corpus AS (
+    SELECT band, band_sig, min(doc_id) AS corpus_doc_id
+    FROM banded WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+    GROUP BY 1, 2
+),
+hits AS (
+    SELECT b.doc_id, c.corpus_doc_id
+    FROM banded b
+    LEFT JOIN corpus c ON c.band = b.band AND c.band_sig = b.band_sig
+    WHERE b.doc_id % {INCR_MOD} = {INCR_REM}
+)
+SELECT doc_id,
+       CASE WHEN min(corpus_doc_id) IS NOT NULL THEN 'neardup_of_corpus'
+            ELSE 'novel' END AS status,
+       CAST(min(corpus_doc_id) AS BIGINT) AS match_doc_id,
+       CAST(count(corpus_doc_id) AS BIGINT) AS n_band_hits
+FROM hits
+GROUP BY doc_id
+"""
+
+
+NEARDUP_INCREMENTAL_LSH_SQL = _incremental_lsh_sql()
+
+QUERIES["neardup_incremental_lsh"] = Query(
+    neardup_incremental_lsh,
+    NEARDUP_INCREMENTAL_LSH_SQL,
+    "incoming-batch vs corpus banded-LSH near-dup (continuous-ingest "
+    "shape; index join carries band signatures only)",
+)

@@ -627,3 +627,112 @@ QUERIES["part_abc_classes"] = Query(
     PART_ABC_CLASSES_SQL,
     "ABC/Pareto classification via exact cumulative-share bucketing",
 )
+
+
+OLS_ORIGIN_TS = "2024-01-01"  # x origin: seconds since this instant
+
+
+def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type ordinary-least-squares trend of value over time —
+    the regression member of the statistics family (moments → ranks →
+    PSI → chi-square → Mann-Whitney → OLS).
+
+    House integer discipline: x = whole seconds since OLS_ORIGIN_TS,
+    y = value cents, so every sufficient statistic (n, Σx, Σy, Σxy,
+    Σx²) is an exact integer accumulated in DECIMAL(38,0) — n·Σx²
+    alone is ~4e20 at fleet row counts, past int64. The only floats
+    are the two final divisions, computed from exact integer
+    numerators/denominators in the same expression shape in both
+    engines and rounded:
+
+        slope     = 3600 · (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)   [cents/hour]
+        intercept = (Σy·den − num·Σx) / (n·den)             [cents at origin]
+
+    Degenerate guard: den = 0 (all events of a type at one timestamp)
+    → NULL in both engines. One partial→final aggregate bounded by
+    |event_type|; no window, no shuffle beyond the agg exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # x must be the SAME exact integer in both engines: event ts carry
+    # microseconds, and DuckDB's epoch() is a fractional DOUBLE — so
+    # both sides take exact integer MICROseconds from the origin
+    # (timestampdiff on the naive timestamp, not unix_timestamp — see
+    # rolling_hour_value) and floor-divide to whole seconds (positive
+    # domain: origin precedes the data, so DIV == //).
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit(OLS_ORIGIN_TS).cast("timestamp_ntz"), F.col("ts")
+    )
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long").cast(
+        "decimal(38,0)"
+    )
+    agg = (
+        ev.select("event_type", us.alias("us"), y.alias("y"))
+        .select(
+            "event_type",
+            F.expr("us DIV 1000000").cast("decimal(38,0)").alias("x"),
+            "y",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(
+        F.lit(3600.0) * num.cast("double") / den.cast("double"), 6
+    )
+    intercept = F.round(
+        (F.col("sy") * den - num * F.col("sx")).cast("double")
+        / (F.col("n") * den).cast("double"),
+        6,
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(den != 0, slope).alias("slope_cents_per_hour"),
+        F.when(den != 0, intercept).alias("intercept_cents"),
+    )
+
+
+OLS_VALUE_TREND_SQL = f"""
+WITH pts AS (
+    SELECT event_type,
+           CAST((epoch_us(ts) - epoch_us(TIMESTAMP '{OLS_ORIGIN_TS}'))
+                // 1000000 AS HUGEINT) AS x,
+           CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                AS HUGEINT) AS y
+    FROM events
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+           ROUND(3600.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope_cents_per_hour,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+           ROUND(CAST(sy * (n * sxx - sx * sx)
+                      - (n * sxy - sx * sy) * sx AS DOUBLE)
+                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6)
+       END AS intercept_cents
+FROM agg
+"""
+
+
+QUERIES["ols_value_trend"] = Query(
+    ols_value_trend,
+    OLS_VALUE_TREND_SQL,
+    "per-type OLS value trend: exact DECIMAL sufficient statistics, "
+    "two IEEE divisions",
+)

@@ -603,3 +603,106 @@ QUERIES: dict[str, Query] = {
         "per-event session-id assignment (lag gap flag + running sum)",
     ),
 }
+
+
+EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 1, 8  # alpha = 1/8: exact binary scale
+
+
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of value over the
+    event stream: s₀ = y₀, sₜ = yₜ/8 + sₜ₋₁·7/8 — the classic smoothing
+    baseline (load averages, latency smoothing, anomaly thresholds).
+
+    Like :func:`throttle_suppress`, the recurrence consumes its own
+    previous OUTPUT, so no window rewrite exists — this is the second
+    member of the sequential-recurrence family and reuses its scan
+    shape: one keyed shuffle, key-then-time-sorted partitions, a
+    group-boundary-aware ``mapInPandas`` with O(1) carry state across
+    Arrow batches. Cross-engine exactness: y is integer cents, α = 1/8
+    is an exact binary fraction, and both engines evaluate the SAME
+    IEEE expression (y/8.0 + s·7.0/8.0) in the same order per step, so
+    the doubles agree bit-for-bit and are emitted RAW — rounding is
+    deliberately absent: every EWMA value is an exact binary fraction
+    (denominator 8^t), so fixed-decimal rounding lands on exact .5
+    ties where numpy (half-even) and DuckDB (half-away) disagree
+    (found by the parity gate at 6 decimals). The
+    DuckDB oracle replays the chain with a recursive CTE (the
+    throttle_suppress pattern).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        # cents cast happens SPARK-side with the house decimal cast so
+        # the kernel never re-derives integers from doubles in pandas
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    par = ev.sparkSession.sparkContext.defaultParallelism
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cur_key = None
+        s = 0.0
+        for pdf in batches:
+            u = pdf["user_id"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            cents = pdf["cents"].to_numpy()
+            out = np.empty(len(u), dtype="float64")
+            for i in range(len(u)):
+                y = float(cents[i])
+                if u[i] != cur_key:
+                    cur_key = u[i]
+                    s = y
+                else:
+                    s = y / 8.0 + s * 7.0 / 8.0
+                out[i] = s
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(u, dtype="int64"),
+                    "event_id": pd.Series(eid, dtype="int64"),
+                    "ewma_cents": pd.Series(out),
+                }
+            )
+
+    return (
+        ev.repartition(par, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            kernel, "user_id long, event_id long, ewma_cents double"
+        )
+    )
+
+
+EWMA_VALUE_SQL = """
+WITH RECURSIVE ordered AS (
+    SELECT user_id, event_id,
+           CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                AS DOUBLE) AS y,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+chain AS (
+    SELECT user_id, event_id, rn, y AS s
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.event_id, o.rn, o.y / 8.0 + c.s * 7.0 / 8.0
+    FROM chain c JOIN ordered o
+      ON o.user_id = c.user_id AND o.rn = c.rn + 1
+)
+SELECT user_id, event_id, s AS ewma_cents
+FROM chain
+"""
+
+
+QUERIES["ewma_value"] = Query(
+    ewma_value,
+    EWMA_VALUE_SQL,
+    "per-user EWMA of value (alpha=1/8): sequential recurrence via "
+    "group-boundary mapInPandas; recursive-CTE oracle",
+)

@@ -184,3 +184,84 @@ def test_mixture_rates_downsample_overrepresented_sources(spark, sf_dir):
     for r in rows:
         if r["n_tokens"] * k > total:
             assert r["rate_ppm"] < 1_000_000
+
+
+def test_neardup_incremental_consistent_with_full_lsh(spark, sf_dir):
+    """The incremental classification must agree with the full banded-LSH
+    candidate set: an incoming doc is 'neardup_of_corpus' iff the full
+    pair list links it to at least one corpus-slice doc, and the match
+    is the minimum such doc."""
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        neardup_incremental_lsh,
+        neardup_minhash_lsh,
+    )
+
+    inc = {
+        r.doc_id: (r.status, r.match_doc_id, r.n_band_hits)
+        for r in neardup_incremental_lsh(spark, sf_dir).collect()
+    }
+    pairs = neardup_minhash_lsh(spark, sf_dir).collect()
+
+    def is_batch(d):
+        return d % INCR_MOD == INCR_REM
+
+    corpus_matches: dict[int, list[int]] = {}
+    for p in pairs:
+        for a, b in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if is_batch(a) and not is_batch(b):
+                corpus_matches.setdefault(a, []).append(b)
+    # every incoming doc classified exactly once
+    n_incoming = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % INCR_MOD == INCR_REM)
+        .count()
+    )
+    assert len(inc) == n_incoming
+    for doc, (status, match, hits) in inc.items():
+        want = corpus_matches.get(doc)
+        if want:
+            assert status == "neardup_of_corpus" and match == min(want), doc
+            assert hits >= 1
+        else:
+            assert status == "novel" and match is None and hits == 0, doc
+
+
+def test_ewma_first_event_and_decay(spark, sf_dir):
+    """Per user: the first event's EWMA equals its own cents value, and
+    every step's EWMA lies between the previous EWMA and the new value
+    (convexity of s = y/8 + 7s/8)."""
+    from simple_map_reduce_ruuner_spark.operators.timeseries import ewma_value
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("value").cast("decimal(12,2)") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    order = {
+        (r.user_id, r.event_id): (i, r.cents)
+        for u, rows in (
+            (u, sorted(g, key=lambda r: (r.ts, r.event_id)))
+            for u, g in __import__("itertools").groupby(
+                sorted(ev.collect(), key=lambda r: r.user_id),
+                key=lambda r: r.user_id,
+            )
+        )
+        for i, r in enumerate(rows)
+    }
+    got = ewma_value(spark, sf_dir).collect()
+    assert len(got) == len(order)
+    by_user: dict[int, list] = {}
+    for r in got:
+        idx, cents = order[(r.user_id, r.event_id)]
+        by_user.setdefault(r.user_id, []).append((idx, cents, r.ewma_cents))
+    for rows in by_user.values():
+        rows.sort()
+        assert abs(rows[0][1] - rows[0][2]) < 1e-6  # s0 = y0
+        for (_, _, prev_s), (_, y, s) in zip(rows, rows[1:]):
+            lo, hi = min(prev_s, y), max(prev_s, y)
+            assert lo - 1e-6 <= s <= hi + 1e-6
