@@ -213,3 +213,256 @@ QUERIES: dict[str, Query] = {
         "GK sketch rank-error-bound report (hash-checkable twin of the rows-only sketch)",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Deterministic sketch structures with EXACT oracles: count-min + bloom.
+# Unlike HLL/GK (engine-internal sketches, rows-only), these are built
+# from the repo's own portable hash family, so the ORACLE can replay the
+# sketch bit-for-bit — the sketch itself is the hash-checked output.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # hash rows (minhash_perm 0..3)
+CMS_WIDTH = 256  # counters per row
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def countmin_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the document
+    token stream, with its overestimate property CHECKED against exact
+    counts for the heavy hitters: one row per heavy token with the
+    exact count, the CMS estimate (min over CMS_DEPTH rows of the
+    counter each row hashes the token into), and the exact overshoot.
+
+    The sketch is deterministic — counters are sums over the portable
+    minhash_perm hash family — so DuckDB replays it exactly: this is
+    the sketch-family pattern where the ORACLE can hash-check the
+    sketch itself (HLL/GK get bounded-error twins instead). Scale
+    shape: the counter table is a (row, col) aggregate bounded by
+    CMS_DEPTH x CMS_WIDTH regardless of corpus size; estimates join
+    the heavy-hitter tokens (broadcast-small) against it.
+    """
+    from simple_map_reduce_ruuner_spark.functions.hashing import (
+        hash60,
+        minhash_perm,
+    )
+    from simple_map_reduce_ruuner_spark.functions.text import explode_tokens
+    from simple_map_reduce_ruuner_spark.operators.mixing import HH_K
+    from simple_map_reduce_ruuner_spark.sources.tables import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = explode_tokens(docs).select(
+        "token", hash60(F.col("token")).alias("h")
+    )
+    # counter table: CMS_DEPTH aggregates in ONE pass via explode of the
+    # (row, col) pairs — the shuffle carries (row, col) keys, bounded
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            (minhash_perm(F.col("h"), r) % CMS_WIDTH).alias(
+                                "col"
+                            ),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = toks.groupBy("token", "h").agg(F.count(F.lit(1)).alias("exact"))
+    total = toks.select(F.count(F.lit(1)).alias("total"))
+    heavy = counts.join(F.broadcast(total)).filter(
+        F.col("exact") * HH_K > F.col("total")
+    )
+    probes = heavy.select(
+        "token",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (minhash_perm(F.col("h"), r) % CMS_WIDTH).alias("col"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "exact", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    est = (
+        probes.join(cells, ["row", "col"])
+        .groupBy("token", "exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("exact").cast("long").alias("exact"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact"))
+        .cast("long")
+        .alias("overshoot"),
+    )
+
+
+def _countmin_sql() -> str:
+    from simple_map_reduce_ruuner_spark.functions.hashing import (
+        hash60_sql,
+        minhash_perm_sql,
+    )
+    from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL
+    from simple_map_reduce_ruuner_spark.operators.mixing import HH_K
+
+    h = hash60_sql("token")
+    rc_rows = " UNION ALL ".join(
+        f"SELECT token, {r} AS row, ({minhash_perm_sql(h, r)}) % {CMS_WIDTH} AS col FROM toks"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest({TOKS_SQL}) AS token FROM documents
+),
+rc AS ({rc_rows}),
+cells AS (
+    SELECT row, col, count(*) AS cnt FROM rc GROUP BY 1, 2
+),
+counts AS (
+    SELECT token, count(*) AS exact FROM toks GROUP BY token
+),
+total AS (SELECT count(*) AS total FROM toks),
+heavy AS (
+    SELECT token, exact FROM counts, total WHERE exact * {HH_K} > total
+),
+probes AS (
+    SELECT h.token, h.exact, {0} AS row,
+           ({minhash_perm_sql(hash60_sql("h.token"), 0)}) % {CMS_WIDTH} AS col
+    FROM heavy h
+    {"".join(f" UNION ALL SELECT h.token, h.exact, {r}, ({minhash_perm_sql(hash60_sql('h.token'), r)}) % {CMS_WIDTH} FROM heavy h" for r in range(1, CMS_DEPTH))}
+)
+SELECT p.token,
+       CAST(p.exact AS BIGINT) AS exact,
+       CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+       CAST(min(c.cnt) - p.exact AS BIGINT) AS overshoot
+FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY p.token, p.exact
+"""
+
+
+COUNTMIN_SKETCH_TOKENS_SQL = _countmin_sql()
+
+
+def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bloom-filter sizing report: distinct tokens, bits set
+    in a BLOOM_BITS/BLOOM_HASHES filter built from the portable hash
+    family, fill ratio and predicted false-positive rate in ppm —
+    the numbers a 100 TB deployment uses to size per-partition bloom
+    indexes for scan pruning (and the deterministic twin of the AQE
+    runtime bloom join measured in BLOOM_FILTER_r13.json).
+
+    Exact-oracle sketch, same pattern as the count-min: bits_set is a
+    COUNT DISTINCT over (hash_i(token) % BLOOM_BITS), fully replayable;
+    fpr is the standard (bits_set/m)^k computed from exact integers
+    with one rounded double per row.
+    """
+    from simple_map_reduce_ruuner_spark.functions.hashing import (
+        hash60,
+        minhash_perm,
+    )
+    from simple_map_reduce_ruuner_spark.functions.text import explode_tokens
+    from simple_map_reduce_ruuner_spark.sources.tables import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = explode_tokens(docs, keep=("source",)).select(
+        "source", hash60(F.col("token")).alias("h")
+    )
+    bits = toks.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    (minhash_perm(F.col("h"), r) % BLOOM_BITS)
+                    for r in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("bit"),
+    )
+    per_source = bits.groupBy("source").agg(
+        F.countDistinct("bit").alias("bits_set")
+    )
+    distinct_tokens = toks.groupBy("source").agg(
+        F.countDistinct("h").alias("n_tokens")
+    )
+    fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_BITS))
+    return (
+        distinct_tokens.join(per_source, "source")
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.round(fill * 1e6).cast("long").alias("fill_ppm"),
+            # fill^k via explicit multiplies, NOT pow(): Java Math.pow
+            # and C libm may differ in the last ulp; x*x*x is the same
+            # IEEE sequence in both engines
+            F.round(fill * fill * fill * 1e6)
+            .cast("long")
+            .alias("fpr_ppm"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    from simple_map_reduce_ruuner_spark.functions.hashing import (
+        hash60_sql,
+        minhash_perm_sql,
+    )
+    from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL
+
+    h = hash60_sql("token")
+    bit_rows = " UNION ALL ".join(
+        f"SELECT source, ({minhash_perm_sql(h, r)}) % {BLOOM_BITS} AS bit FROM toks"
+        for r in range(BLOOM_HASHES)
+    )
+    return f"""
+WITH toks AS (
+    SELECT source, unnest({TOKS_SQL}) AS token FROM documents
+),
+bits AS ({bit_rows}),
+per_source AS (
+    SELECT source, count(DISTINCT bit) AS bits_set FROM bits GROUP BY source
+),
+dt AS (
+    SELECT source, count(DISTINCT {h}) AS n_tokens FROM toks GROUP BY source
+)
+SELECT d.source,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.bits_set AS BIGINT) AS bits_set,
+       CAST(ROUND(CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)} * 1e6)
+            AS BIGINT) AS fill_ppm,
+       CAST(ROUND((CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})
+                  * (CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})
+                  * (CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})
+                  * 1e6) AS BIGINT) AS fpr_ppm
+FROM dt d JOIN per_source p USING (source)
+"""
+
+
+BLOOM_INDEX_PLAN_SQL = _bloom_sql()
+
+QUERIES["countmin_sketch_tokens"] = Query(
+    countmin_sketch_tokens,
+    COUNTMIN_SKETCH_TOKENS_SQL,
+    "deterministic count-min sketch over tokens, overestimate checked "
+    "exactly for heavy hitters (oracle replays the sketch)",
+)
+QUERIES["bloom_index_plan"] = Query(
+    bloom_index_plan,
+    BLOOM_INDEX_PLAN_SQL,
+    "per-source bloom sizing: bits set + exact-integer fill/FPR ppm "
+    "from the portable hash family",
+)

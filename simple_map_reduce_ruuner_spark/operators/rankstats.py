@@ -736,3 +736,139 @@ QUERIES["ols_value_trend"] = Query(
     "per-type OLS value trend: exact DECIMAL sufficient statistics, "
     "two IEEE divisions",
 )
+
+
+def welch_t_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic per event_type between the
+    same baseline/current snapshot split as :func:`mannwhitney_value_shift`
+    — the PARAMETRIC shift test beside the nonparametric U (a location
+    shift flags in both; a pure shape change flags only in U).
+
+    Exactness: per-period sums of cents and squared cents accumulate in
+    DECIMAL(38,0) (Σy² reaches ~1e17 per million rows and n·Σy² far
+    past int64). The floats are the final mean/variance/t/df
+    expressions, written in the SAME operation order in both engines
+    (sample variance via the computational formula
+    (n·Σy² − (Σy)²) / (n·(n−1)) on exact integer operands, one sqrt),
+    rounded at emission. Degenerates: a period with n < 2, or both
+    sample variances zero, yields NULL t/df in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    period_is_base = F.col("ts") < F.lit(MWU_SPLIT_TS).cast("timestamp_ntz")
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long").cast(
+        "decimal(38,0)"
+    )
+    base = F.when(period_is_base, F.lit(1)).otherwise(F.lit(0))
+    agg = (
+        ev.select("event_type", y.alias("y"), base.alias("b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("b").cast("decimal(38,0)").alias("n1"),
+            F.sum(1 - F.col("b")).cast("decimal(38,0)").alias("n2"),
+            F.sum(F.col("y") * F.col("b")).alias("s1"),
+            F.sum(F.col("y") * (1 - F.col("b"))).alias("s2"),
+            F.sum(F.col("y") * F.col("y") * F.col("b")).alias("q1"),
+            F.sum(F.col("y") * F.col("y") * (1 - F.col("b"))).alias("q2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    v1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    v2 = (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    se1 = v1 / n1d
+    se2 = v2 / n2d
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    t = F.when(
+        ok & ((se1 + se2) > 0),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6),
+    )
+    df = F.when(
+        ok & (se1 > 0) & (se2 > 0),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1)),
+            6,
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_base"),
+        F.col("n2").cast("long").alias("n_curr"),
+        t.alias("t_stat"),
+        df.alias("welch_df"),
+    )
+
+
+WELCH_T_VALUE_SHIFT_SQL = f"""
+WITH pts AS (
+    SELECT event_type,
+           CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                AS HUGEINT) AS y,
+           CASE WHEN ts < TIMESTAMP '{MWU_SPLIT_TS}' THEN 1 ELSE 0 END AS b
+    FROM events
+),
+agg AS (
+    SELECT event_type,
+           CAST(SUM(b) AS HUGEINT) AS n1,
+           CAST(SUM(1 - b) AS HUGEINT) AS n2,
+           SUM(y * b) AS s1, SUM(y * (1 - b)) AS s2,
+           SUM(y * y * b) AS q1, SUM(y * y * (1 - b)) AS q2
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_base,
+       CAST(n2 AS BIGINT) AS n_curr,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                 (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                  / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                  / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE)) > 0
+       THEN ROUND(
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                  / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                  / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE)), 6)
+       END AS t_stat,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                 CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                 / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) > 0
+             AND CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                 / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE) > 0
+       THEN ROUND(
+           (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+            / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+            + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+            / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
+           * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+              / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+              + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+              / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / ((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+              * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                 / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - 1)
+              + (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                 / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
+              * (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                 / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / (CAST(n2 AS DOUBLE) - 1)), 6)
+       END AS welch_df
+FROM agg
+"""
+
+
+QUERIES["welch_t_value_shift"] = Query(
+    welch_t_value_shift,
+    WELCH_T_VALUE_SHIFT_SQL,
+    "Welch unequal-variance t between snapshots: exact DECIMAL sums, "
+    "same-order IEEE tail in both engines",
+)
