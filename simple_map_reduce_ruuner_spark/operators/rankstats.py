@@ -872,3 +872,114 @@ QUERIES["welch_t_value_shift"] = Query(
     "Welch unequal-variance t between snapshots: exact DECIMAL sums, "
     "same-order IEEE tail in both engines",
 )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as IDENTICAL
+# double literals in both engines (a decimal literal parses to the same
+# IEEE double in Spark and DuckDB; computing log10 at runtime would
+# trust two libm implementations to agree instead).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (Newcomb 1881 / Benford 1938; a staple
+    data-quality monitor for financial facts). One row per leading
+    digit 1-9: observed count, expected count (milli-units), and the
+    chi-square contribution (obs − n·p)²/(n·p), rounded.
+
+    Exactness: digits come from the STRING form of exact integer cents
+    (no float log10 on the data path); expected/chi² are the only
+    floats, computed from exact integer counts against embedded double
+    literals in the same expression shape both engines. Digits with
+    zero observations still emit (generated 1-9 domain). Scale: one
+    digit-keyed aggregate (9 groups), total broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    obs = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = orders.select(F.count(F.lit(1)).alias("n"))
+    p = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, pd in BENFORD_P.items() for x in (d, pd)]
+        ),
+        F.col("digit"),
+    )
+    exp = F.col("n").cast("double") * p
+    filled = (
+        digits.join(obs, "digit", "left")
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+            exp.alias("e"),
+        )
+    )
+    chi = (F.col("obs").cast("double") - F.col("e")) * (
+        F.col("obs").cast("double") - F.col("e")
+    ) / F.col("e")
+    return filled.select(
+        F.col("digit").cast("long").alias("digit"),
+        "obs",
+        F.round(F.col("e") * 1000).cast("long").alias("expected_milli"),
+        # empty input: n = 0 makes every expected count 0 — NULL in
+        # both engines (ANSI Spark would otherwise raise on the /0)
+        F.when(F.col("e") > 0, F.round(chi, 6)).alias("chi2_term"),
+    )
+
+
+def _benford_sql() -> str:
+    cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items())
+    return f"""
+WITH obs AS (
+    SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit,
+           count(*) AS obs
+    FROM orders GROUP BY 1
+),
+total AS (SELECT count(*) AS n FROM orders),
+digits AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT CAST(d.digit AS BIGINT) AS digit,
+       CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+       CAST(ROUND(CAST(t.n AS DOUBLE)
+                  * (CASE d.digit {cases} END) * 1000) AS BIGINT)
+           AS expected_milli,
+       CASE WHEN t.n > 0 THEN
+           ROUND((CAST(coalesce(o.obs, 0) AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * (CASE d.digit {cases} END))
+                 * (CAST(coalesce(o.obs, 0) AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * (CASE d.digit {cases} END))
+                 / (CAST(t.n AS DOUBLE) * (CASE d.digit {cases} END)), 6)
+       END AS chi2_term
+FROM digits d LEFT JOIN obs o ON o.digit = d.digit, total t
+"""
+
+
+BENFORD_PRICE_DIGITS_SQL = _benford_sql()
+
+QUERIES["benford_price_digits"] = Query(
+    benford_price_digits,
+    BENFORD_PRICE_DIGITS_SQL,
+    "Benford first-digit audit of order totals: string-derived digits "
+    "of exact cents, embedded-literal expectations, chi-square terms",
+)

@@ -706,3 +706,70 @@ QUERIES["ewma_value"] = Query(
     "per-user EWMA of value (alpha=1/8): sequential recurrence via "
     "group-boundary mapInPandas; recursive-CTE oracle",
 )
+
+
+def interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of per-user inter-arrival gaps — the
+    ops-side arrival-process profile (burstiness, session boundaries,
+    throttle/cooldown tuning all read off this table).
+
+    Integer-exact everywhere: gaps are exact integer MICROSECONDS from
+    consecutive events of the same user (lag over (ts, event_id)), and
+    the log2 bucket is ``length(bin(gap))`` — the binary-string length
+    equals floor(log2)+1 for positive ints, so no float log touches the
+    data; both engines compute the identical bucket. Output one row per
+    (event bucket): count, exact min/max gap. Scale: one user-keyed
+    window, then a 64-group-bounded aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id", us.alias("us"))
+        .select(
+            (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    bucket = F.when(
+        F.col("gap_us") > 0, F.length(F.bin(F.col("gap_us")))
+    ).otherwise(F.lit(0))
+    return (
+        gaps.select(bucket.cast("long").alias("log2_bucket"), "gap_us")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+INTERARRIVAL_HIST_SQL = """
+WITH gaps AS (
+    SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+)
+SELECT CAST(CASE WHEN gap_us > 0 THEN length(bin(gap_us)) ELSE 0 END
+            AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUERIES["interarrival_hist"] = Query(
+    interarrival_hist,
+    INTERARRIVAL_HIST_SQL,
+    "log2-bucketed per-user inter-arrival gaps via binary-string "
+    "length: float-free bucketing, 64-group-bounded aggregate",
+)

@@ -145,6 +145,7 @@ CACHE_FAMILIES: dict[str, tuple[str, ...]] = {
         "minhash_signatures",
         "neardup_clusters",
         "neardup_editdist",
+        "neardup_incremental_lsh",
         "neardup_lsh_verified",
         "neardup_minhash_lsh",
         "neardup_shared_span",
