@@ -158,8 +158,23 @@ def load_prev_full(here: str) -> tuple[str | None, dict | None]:
     close-of-round full document (per-query plain medians + , from r14
     on, its machine_index). Lets every bench run publish round-over-
     round ratios and, when both sides carry a machine_index,
-    machine-normalized ones."""
+    machine-normalized ones.
+
+    Caveat (review-found): once the CURRENT round's close file is
+    committed, a rerun within the same round self-compares against it
+    (ratios ~1.0). Set SPARK_GRAFT_BENCH_PREV=<file> to pin the
+    baseline explicitly — the published `vs_prev_file` always names
+    what was used."""
     import glob
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if override:
+        path = os.path.join(here, override)
+        try:
+            with open(path) as fh:
+                return os.path.basename(path), json.load(fh)
+        except (OSError, ValueError):
+            return None, None
 
     def round_no(p: str) -> int:
         m = re.search(r"BENCH_FULL_r(\d+)", p)

@@ -255,10 +255,15 @@ def countmin_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = explode_tokens(docs).select(
         "token", hash60(F.col("token")).alias("h")
     )
-    # counter table: CMS_DEPTH aggregates in ONE pass via explode of the
-    # (row, col) pairs — the shuffle carries (row, col) keys, bounded
+    # ONE corpus tokenization: cells/total/heavy all derive from the
+    # (token, exact) aggregate, whose shuffle Spark reuses across the
+    # three consumers (ReusedExchange) — the first form re-exploded the
+    # corpus three times (review-found). Counter cells weight each
+    # token's (row, col) pair by its exact count: identical sums.
+    counts = toks.groupBy("token", "h").agg(F.count(F.lit(1)).alias("exact"))
     cells = (
-        toks.select(
+        counts.select(
+            "exact",
             F.explode(
                 F.array(
                     *[
@@ -271,13 +276,12 @@ def countmin_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for r in range(CMS_DEPTH)
                     ]
                 )
-            ).alias("rc")
+            ).alias("rc"),
         )
         .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact").alias("cnt"))
     )
-    counts = toks.groupBy("token", "h").agg(F.count(F.lit(1)).alias("exact"))
-    total = toks.select(F.count(F.lit(1)).alias("total"))
+    total = counts.select(F.sum("exact").alias("total"))
     heavy = counts.join(F.broadcast(total)).filter(
         F.col("exact") * HH_K > F.col("total")
     )
@@ -377,11 +381,19 @@ def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.functions.text import explode_tokens
     from simple_map_reduce_ruuner_spark.sources.tables import spread_scan
 
+    import functools
+    import operator
+
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    toks = explode_tokens(docs, keep=("source",)).select(
-        "source", hash60(F.col("token")).alias("h")
+    # ONE corpus tokenization: both consumers derive from the distinct
+    # (source, h) aggregate, whose shuffle Spark reuses
+    # (ReusedExchange) — duplicate tokens can't add bits anyway
+    uniq = (
+        explode_tokens(docs, keep=("source",))
+        .select("source", hash60(F.col("token")).alias("h"))
+        .distinct()
     )
-    bits = toks.select(
+    bits = uniq.select(
         "source",
         F.explode(
             F.array(
@@ -395,10 +407,15 @@ def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = bits.groupBy("source").agg(
         F.countDistinct("bit").alias("bits_set")
     )
-    distinct_tokens = toks.groupBy("source").agg(
-        F.countDistinct("h").alias("n_tokens")
+    distinct_tokens = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
     )
     fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_BITS))
+    # fill^k via explicit left-assoc multiplies DERIVED FROM the
+    # constant, NOT pow(): Java Math.pow and C libm may differ in the
+    # last ulp, and a hardcoded x*x*x would silently desync from a
+    # future BLOOM_HASHES edit (review-found)
+    fpr = functools.reduce(operator.mul, [fill] * BLOOM_HASHES)
     return (
         distinct_tokens.join(per_source, "source")
         .select(
@@ -406,12 +423,7 @@ def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("bits_set").cast("long").alias("bits_set"),
             F.round(fill * 1e6).cast("long").alias("fill_ppm"),
-            # fill^k via explicit multiplies, NOT pow(): Java Math.pow
-            # and C libm may differ in the last ulp; x*x*x is the same
-            # IEEE sequence in both engines
-            F.round(fill * fill * fill * 1e6)
-            .cast("long")
-            .alias("fpr_ppm"),
+            F.round(fpr * 1e6).cast("long").alias("fpr_ppm"),
         )
     )
 
@@ -444,9 +456,7 @@ SELECT d.source,
        CAST(p.bits_set AS BIGINT) AS bits_set,
        CAST(ROUND(CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)} * 1e6)
             AS BIGINT) AS fill_ppm,
-       CAST(ROUND((CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})
-                  * (CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})
-                  * (CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})
+       CAST(ROUND({" * ".join([f"(CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)})"] * BLOOM_HASHES)}
                   * 1e6) AS BIGINT) AS fpr_ppm
 FROM dt d JOIN per_source p USING (source)
 """

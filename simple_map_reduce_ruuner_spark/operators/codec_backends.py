@@ -310,6 +310,16 @@ def numpy_png_decode_fn():
                 raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
             if len(stream) != want or not d.eof:
                 raise ValueError("PNG raster size mismatch")
+            # filter types validate PER IMAGE, in scanline order, so a
+            # batch mixing corrupt images raises the SAME first error
+            # as the stdlib kernel (review-found: the batch-level check
+            # reported a later image's structural error first)
+            fb = np.frombuffer(stream, dtype=np.uint8).reshape(
+                h, 1 + w * 3
+            )[:, 0]
+            bad = fb[fb > 4]
+            if bad.size:
+                raise ValueError(f"unknown PNG filter type {int(bad[0])}")
             return w, h, stream
 
         empty = {
@@ -344,11 +354,7 @@ def numpy_png_decode_fn():
                 ftypes[i, :h] = arr[:, 0]
                 filt[i, :h, : 3 * w] = arr[:, 1:]
             row_mask = np.arange(mh)[None, :] < hs[:, None]
-            bad = row_mask & (ftypes > 4)  # padding is -1, real types 0..4
-            if bad.any():
-                raise ValueError(
-                    f"unknown PNG filter type {int(ftypes[bad][0])}"
-                )
+            # filter types already validated per image inside parse()
             recon = np.zeros((n, mh, ms), dtype=np.uint8)
             prev = np.zeros((n, ms), dtype=np.uint8)
             for t in range(mh):

@@ -2605,9 +2605,13 @@ def _xz_decode_fn():
                 data = dec.decompress(comp, MAX_BLOCK + 1)
             except lzma.LZMAError as exc:
                 raise ValueError("corrupt xz LZMA2 data") from exc
-            # A block stalled at the max_length bound (eof unset but the
-            # input was NOT exhausted) is an over-large block, not a
-            # truncated one — diagnose it as such.
+            # A block stalled at the max_length bound (eof unset, input
+            # NOT exhausted) is an over-large block, not a truncated
+            # one. DEFENSIVE: under current CPython, decompress() fills
+            # max_length whenever more output exists, so the len check
+            # already fires first (verified empirically + pinned by
+            # test_bomb_guard_caps_inflated_size); the second disjunct
+            # only matters if that implementation detail ever changes.
             if len(data) > MAX_BLOCK or (
                 not dec.eof and not dec.needs_input
             ):

@@ -646,9 +646,15 @@ def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and rounded:
 
         slope     = 3600 · (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)   [cents/hour]
-        intercept = (Σy·den − num·Σx) / (n·den)             [cents at origin]
+        intercept = ȳ − (num/den)·x̄                         [cents at origin]
 
-    Degenerate guard: den = 0 (all events of a type at one timestamp)
+    The intercept deliberately runs in doubles over the exact parts
+    (sy/n − (num/den)·(sx/n), five IEEE ops in the same order both
+    engines): the all-integer form Σy·den − num·Σx scales ~n³x²ȳ and
+    overflows DECIMAL(38,0)/HUGEINT around 2e6 rows per type — Spark
+    would silently NULL while DuckDB raises, breaking parity exactly
+    at fleet scale (review-found). Degenerate guard: den = 0 (all
+    events of a type at one timestamp)
     → NULL in both engines. One partial→final aggregate bounded by
     |event_type|; no window, no shuffle beyond the agg exchange.
     """
@@ -686,9 +692,11 @@ def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = F.round(
         F.lit(3600.0) * num.cast("double") / den.cast("double"), 6
     )
+    nd = F.col("n").cast("double")
     intercept = F.round(
-        (F.col("sy") * den - num * F.col("sx")).cast("double")
-        / (F.col("n") * den).cast("double"),
+        F.col("sy").cast("double") / nd
+        - (num.cast("double") / den.cast("double"))
+        * (F.col("sx").cast("double") / nd),
         6,
     )
     return agg.select(
@@ -722,9 +730,10 @@ SELECT event_type,
                  / CAST(n * sxx - sx * sx AS DOUBLE), 6)
        END AS slope_cents_per_hour,
        CASE WHEN n * sxx - sx * sx <> 0 THEN
-           ROUND(CAST(sy * (n * sxx - sx * sx)
-                      - (n * sxy - sx * sy) * sx AS DOUBLE)
-                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6)
+           ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
        END AS intercept_cents
 FROM agg
 """
@@ -907,9 +916,15 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    # Benford applies to positive magnitudes; a zero/negative total
+    # (refunds in a non-TPC-H dataset) would make the string's first
+    # char '0'/'-' — Spark's lax int cast NULLs it while DuckDB's
+    # strict CAST raises (review-found). Restrict BOTH the digit rows
+    # and n to positive totals in both engines.
+    pos = orders.select(cents.alias("cents")).where(F.col("cents") > 0)
     obs = (
-        orders.select(
-            F.substring(cents.cast("string"), 1, 1)
+        pos.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
             .cast("int")
             .alias("digit")
         )
@@ -917,7 +932,7 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("obs"))
     )
     digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
-    total = orders.select(F.count(F.lit(1)).alias("n"))
+    total = pos.select(F.count(F.lit(1)).alias("n"))
     p = F.element_at(
         F.create_map(
             *[F.lit(x) for d, pd in BENFORD_P.items() for x in (d, pd)]
@@ -950,14 +965,18 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _benford_sql() -> str:
     cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items())
     return f"""
-WITH obs AS (
-    SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                            AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
-               AS digit,
-           count(*) AS obs
-    FROM orders GROUP BY 1
+WITH pos AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
 ),
-total AS (SELECT count(*) AS n FROM orders),
+obs AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS obs
+    FROM pos GROUP BY 1
+),
+total AS (SELECT count(*) AS n FROM pos),
 digits AS (SELECT unnest(range(1, 10)) AS digit)
 SELECT CAST(d.digit AS BIGINT) AS digit,
        CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
