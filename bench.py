@@ -64,49 +64,62 @@ def median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def _probe_plan_once(spark) -> float:
+    """One timed execution of the FROZEN r14 calibration plan — DO NOT
+    EDIT the plan or its constants: cross-round BENCH deltas are
+    normalized by its timing, so comparability depends on the plan
+    staying byte-stable. (r15 moved the plan here verbatim from
+    machine_index_probe so the per-pass trace can reuse it.)"""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 12_000_000, 1, 32)
+        .select(
+            (F.col("id") % 1_000_003).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("c"), F.max("h").alias("m"))
+        .orderBy(F.desc("c"), "k")
+        .limit(100)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def probe_stat(ts: list[float]) -> tuple[float, list[float]]:
+    """(machine_index, warm_reps) from raw probe timings INCLUDING the
+    warm-up rep: rep 0 pays the probe's own whole-stage-codegen compile
+    (fixed-cost JVM work, measured 8.7 s vs 3.0 s warm) and is
+    discarded; the MIN of the warm reps is the index — steal
+    contamination is one-sided (a burst only slows a rep), so min is
+    the steal-robust capability estimate (back-to-back 3-rep medians
+    measured 4.1 s vs 2.0 s on this VM; the mins agreed far closer).
+    Pure over a timing list so the contract is testable without a
+    SparkSession (ADVICE r14: the old test pinned source spelling)."""
+    warm = ts[1:]
+    return min(warm), warm
+
+
 def machine_index_probe(spark, reps: int = 5) -> dict:
-    """FROZEN r14 calibration probe — DO NOT EDIT this plan or its
-    constants: cross-round BENCH deltas are normalized by its timing,
-    so comparability depends on the code staying byte-stable.
+    """FROZEN r14 calibration probe (plan in :func:`_probe_plan_once`,
+    warm-up/min contract in :func:`probe_stat`).
 
     ~5 s of CPU + shuffle on a pinned synthetic input (no file
     dependency): sha2 over 12M generated rows (CPU / codegen), a
     1M-key hash aggregate (map-side partial + one exchange), and a
-    top-100 sort. The MIN of `reps` runs is `machine_index` — steal
-    contamination is one-sided (a burst only slows a rep), so min is
-    the steal-robust capability estimate (back-to-back 3-rep medians
-    measured 4.1 s vs 2.0 s on this VM; the mins agreed far closer). A
-    slower sandbox scales this number and real queries together, so
-    `ratio_this/ratio_prev ÷ index_this/index_prev` isolates code
-    regressions from environment drift (the r13 98→146 s scare).
-
-    The first execution is a DISCARDED warm-up: it pays the probe's
-    own whole-stage-codegen compile (measured 8.7 s vs 3.0 s warm),
-    which is fixed-cost JVM work, not machine speed."""
-    from pyspark.sql import functions as F
-
-    ts: list[float] = []
-    for rep in range(reps + 1):
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 12_000_000, 1, 32)
-            .select(
-                (F.col("id") % 1_000_003).alias("k"),
-                F.sha2(F.col("id").cast("string"), 256).alias("h"),
-            )
-            .groupBy("k")
-            .agg(F.count("*").alias("c"), F.max("h").alias("m"))
-            .orderBy(F.desc("c"), "k")
-            .limit(100)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        if rep > 0:  # rep 0 = codegen warm-up, discarded
-            ts.append(time.perf_counter() - t0)
+    top-100 sort. A slower sandbox scales this number and real queries
+    together, so `ratio_this/ratio_prev ÷ index_this/index_prev`
+    isolates code regressions from environment drift (the r13 98→146 s
+    scare)."""
+    raw = [_probe_plan_once(spark) for _ in range(reps + 1)]
+    index, warm = probe_stat(raw)
     return {
-        "machine_index": round(min(ts), 3),
-        "machine_index_reps": [round(x, 3) for x in ts],
+        "machine_index": round(index, 3),
+        "machine_index_reps": [round(x, 3) for x in warm],
     }
 
 
@@ -160,10 +173,13 @@ def load_prev_full(here: str) -> tuple[str | None, dict | None]:
     round ratios and, when both sides carry a machine_index,
     machine-normalized ones.
 
-    Caveat (review-found): once the CURRENT round's close file is
-    committed, a rerun within the same round self-compares against it
-    (ratios ~1.0). Set SPARK_GRAFT_BENCH_PREV=<file> to pin the
-    baseline explicitly — the published `vs_prev_file` always names
+    Self-comparison guard (ADVICE r14): once the CURRENT round's close
+    file is committed, a naive newest-file default makes any rerun in
+    the same round self-compare (ratios ~1.0, observed live in r14).
+    The current round is derived the same way the registry LRU does —
+    max committed CORRECTNESS_r{N}.json + 1 — and any BENCH_FULL_r*
+    at or past it is skipped. SPARK_GRAFT_BENCH_PREV=<file> still pins
+    the baseline explicitly; the published `vs_prev_file` always names
     what was used."""
     import glob
 
@@ -180,8 +196,23 @@ def load_prev_full(here: str) -> tuple[str | None, dict | None]:
         m = re.search(r"BENCH_FULL_r(\d+)", p)
         return int(m.group(1)) if m else -1
 
+    def cround(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", p)
+        return int(m.group(1)) if m else -1
+
+    correctness_rounds = [
+        cround(p) for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    current = max(correctness_rounds, default=None)
+    current = current + 1 if current is not None else None
+
     cands = sorted(
-        glob.glob(os.path.join(here, "BENCH_FULL_r*.json")), key=round_no
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_FULL_r*.json"))
+            if current is None or round_no(p) < current
+        ),
+        key=round_no,
     )
     if not cands:
         return None, None
@@ -297,7 +328,18 @@ def main() -> None:
     # timed run (they are keyed per sf_dir and never touched again).
     clear_session_caches(warm_dir)
 
-    def timed_pass(run_names) -> None:
+    # Per-pass machine trace (r15, judge item 7): the r14 B2 run
+    # degraded 2.0 → 5.1 DURING the run and only the start/end probes
+    # caught it. One single-rep frozen-plan probe closes each
+    # round-robin pass (~3 s each; codegen already warm from mi_start),
+    # time-locating drift, and per-query normalization below uses the
+    # probe nearest each rep (its own pass's) instead of one
+    # whole-run index.
+    machine_trace: list[dict] = []
+    pass_ids: dict[str, list[int]] = {n: [] for n in names}
+
+    def timed_pass(run_names, label: str) -> None:
+        pid = len(machine_trace)  # this pass's trace slot
         for name in run_names:
             if name in failed:
                 continue
@@ -307,9 +349,13 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 samples[name].append(time.perf_counter() - t0)
+                pass_ids[name].append(pid)
             except Exception as exc:
                 failed.add(name)
                 print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        machine_trace.append(
+            {"at": label, "probe_s": round(_probe_plan_once(spark), 3)}
+        )
 
     # Heap/cache telemetry (r14, judge item 2): JVM heap after each
     # round-robin pass, and an experiment arm that drops the session
@@ -338,7 +384,7 @@ def main() -> None:
 
     record_heap("start")
     for i in range(reps):
-        timed_pass(names)
+        timed_pass(names, f"pass{i + 1}")
         record_heap(f"pass{i + 1}")
         if clear_between:
             n_drop = clear_session_caches(sf_dir)
@@ -353,8 +399,8 @@ def main() -> None:
     # (sub-1s queries sum to ~55 s/pass at sf0.1).
     extra_passes = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2"))
     noisy = [n for n in names if n in set(pick_noisy(samples, failed))]
-    for _ in range(extra_passes):
-        timed_pass(noisy)
+    for j in range(extra_passes):
+        timed_pass(noisy, f"extra{j + 1}")
     record_heap("end")
 
     mi_end = machine_index_probe(spark)
@@ -370,7 +416,32 @@ def main() -> None:
         "machine_index_start_reps": mi_start["machine_index_reps"],
         "machine_index_end": mi_end["machine_index"],
         "machine_index_end_reps": mi_end["machine_index_reps"],
+        # one single-rep probe per round-robin pass (r15): time-locates
+        # mid-run drift that start/end probes straddle
+        "machine_trace": machine_trace,
         "proc": proc_delta(proc_before, proc_after),
+    }
+
+    # Nearest-probe rep normalization (r15): scale every rep by
+    # (machine_index / its own pass's probe) so reps from a pass the
+    # machine degraded under are corrected by THAT pass's drift, not a
+    # whole-run average. With a steady machine probe_s ≈ machine_index
+    # and this is a no-op.
+    def trace_normed(n: str) -> list[float]:
+        mi = machine["machine_index"]
+        out = []
+        for x, pid in zip(samples[n], pass_ids[n]):
+            p = machine_trace[pid]["probe_s"] if pid < len(machine_trace) else 0
+            out.append(x * (mi / p) if p > 0 and mi > 0 else x)
+        return out
+
+    normed = {n: trace_normed(n) for n in names}
+    queries_trace_norm = {
+        n: (round(query_stat(normed[n]), 3) if normed[n] else -1.0)
+        for n in names
+    }
+    plain_trace_norm = {
+        n: (round(median(normed[n]), 3) if normed[n] else -1.0) for n in names
     }
 
     timings = {
@@ -492,6 +563,7 @@ def main() -> None:
     )
     vs_prev_round: dict[str, float] = {}
     vs_prev_round_norm: dict[str, float] = {}
+    vs_prev_round_trace_norm: dict[str, float] = {}
     prev_block: dict = {}
     if prev_full and prev_full.get("sf") != sf:
         # a dev run at another scale must not publish a cross-sf ratio
@@ -512,6 +584,13 @@ def main() -> None:
             prev_block["machine_drift"] = round(drift, 3)
             vs_prev_round_norm = {
                 n: round(r / drift, 3) for n, r in vs_prev_round.items()
+            }
+            # within-run drift handled by the nearest-probe column,
+            # cross-round drift by the index ratio
+            vs_prev_round_trace_norm = {
+                n: round(plain_trace_norm[n] / prev_plain[n] / drift, 3)
+                for n in names
+                if prev_plain.get(n, 0) > 0 and plain_trace_norm.get(n, 0) > 0
             }
 
     doc = {
@@ -543,6 +622,8 @@ def main() -> None:
         "cleared_caches_between_passes": clear_between,
         "vs_prev_round": vs_prev_round,
         "vs_prev_round_machine_normalized": vs_prev_round_norm,
+        "queries_trace_normalized": queries_trace_norm,
+        "vs_prev_round_trace_normalized": vs_prev_round_trace_norm,
         **prev_block,
     }
     print(json.dumps(doc))

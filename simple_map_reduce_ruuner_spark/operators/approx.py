@@ -362,7 +362,8 @@ COUNTMIN_SKETCH_TOKENS_SQL = _countmin_sql()
 
 
 def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source bloom-filter sizing report: distinct tokens, bits set
+    """Per-source bloom-filter sizing report: distinct token hashes
+    (hash-distinct, not string-distinct — see n_token_hashes), bits set
     in a BLOOM_BITS/BLOOM_HASHES filter built from the portable hash
     family, fill ratio and predicted false-positive rate in ppm —
     the numbers a 100 TB deployment uses to size per-partition bloom
@@ -407,8 +408,12 @@ def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = bits.groupBy("source").agg(
         F.countDistinct("bit").alias("bits_set")
     )
+    # "token hashes", not tokens: the count is distinct over the 60-bit
+    # portable hash, so a (vanishingly rare) hash collision undercounts
+    # by one — the same semantics the filter itself sees (ADVICE r14:
+    # the old n_tokens name overstated what is measured)
     distinct_tokens = uniq.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_tokens")
+        F.count(F.lit(1)).alias("n_token_hashes")
     )
     fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_BITS))
     # fill^k via explicit left-assoc multiplies DERIVED FROM the
@@ -420,7 +425,7 @@ def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_tokens.join(per_source, "source")
         .select(
             "source",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_token_hashes").cast("long").alias("n_token_hashes"),
             F.col("bits_set").cast("long").alias("bits_set"),
             F.round(fill * 1e6).cast("long").alias("fill_ppm"),
             F.round(fpr * 1e6).cast("long").alias("fpr_ppm"),
@@ -449,10 +454,11 @@ per_source AS (
     SELECT source, count(DISTINCT bit) AS bits_set FROM bits GROUP BY source
 ),
 dt AS (
-    SELECT source, count(DISTINCT {h}) AS n_tokens FROM toks GROUP BY source
+    SELECT source, count(DISTINCT {h}) AS n_token_hashes
+    FROM toks GROUP BY source
 )
 SELECT d.source,
-       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(d.n_token_hashes AS BIGINT) AS n_token_hashes,
        CAST(p.bits_set AS BIGINT) AS bits_set,
        CAST(ROUND(CAST(p.bits_set AS DOUBLE) / {float(BLOOM_BITS)} * 1e6)
             AS BIGINT) AS fill_ppm,

@@ -663,8 +663,11 @@ def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # microseconds, and DuckDB's epoch() is a fractional DOUBLE — so
     # both sides take exact integer MICROseconds from the origin
     # (timestampdiff on the naive timestamp, not unix_timestamp — see
-    # rolling_hour_value) and floor-divide to whole seconds (positive
-    # domain: origin precedes the data, so DIV == //).
+    # rolling_hour_value) and truncate-divide to whole seconds. Spark
+    # DIV and DuckDB // BOTH truncate toward zero (DuckDB -7 // 2 =
+    # -3, measured — it is NOT Python floor division), so the parity
+    # holds even for timestamps before the origin (ADVICE r14: an
+    # earlier comment claimed it relied on the positive domain).
     us = F.timestamp_diff(
         "MICROSECOND", F.lit(OLS_ORIGIN_TS).cast("timestamp_ntz"), F.col("ts")
     )

@@ -157,6 +157,10 @@ CACHE_FAMILIES: dict[str, tuple[str, ...]] = {
     # dedup._EMB_BUILD_CACHE: single member, but rep 1 pays the
     # collect+broadcast build and later reps ride it
     "emb_broadcast": ("neardup_embedding",),
+    # ivf.build_ivf_index: content-keyed ON-DISK index (outlives the
+    # session); the first member to run on a corpus pays the build,
+    # every later invocation probes the materialized index
+    "ivf_index": ("ann_topk_ivf_indexed", "ivf_index_stats"),
 }
 
 
@@ -276,6 +280,7 @@ _EXTENSION_MODULES = [
     "operators.rankstats",
     "operators.codecs",
     "operators.privacy",
+    "operators.ivf",
 ]
 
 _EXTENSION_LOADERS = [_module_loader(m) for m in _EXTENSION_MODULES] + [

@@ -122,14 +122,39 @@ def test_load_prev_full_picks_highest_round_numerically(tmp_path):
     assert load_prev_full(str(tmp_path / "empty")) == (None, None)
 
 
-def test_machine_index_probe_uses_min_and_discards_warmup():
-    """Contract pins: min statistic (steal is one-sided) and the
-    discarded rep-0 codegen warm-up — inspected statically so the test
-    doesn't need a SparkSession."""
-    import inspect
+def test_probe_stat_discards_warmup_and_takes_min():
+    """Behavior contract (ADVICE r14 replaced the old source-substring
+    pin): rep 0 is the codegen warm-up and never counts — even when it
+    is the fastest raw timing — and the index is the MIN of the warm
+    reps (steal is one-sided)."""
+    from bench import probe_stat
 
-    from bench import machine_index_probe
+    index, warm = probe_stat([8.7, 3.0, 2.9, 3.1, 5.0, 3.05])
+    assert index == 2.9
+    assert warm == [3.0, 2.9, 3.1, 5.0, 3.05]
+    # a warm-up faster than every warm rep still must not win
+    index, warm = probe_stat([0.1, 3.0, 3.2])
+    assert index == 3.0 and warm == [3.0, 3.2]
 
-    src = inspect.getsource(machine_index_probe)
-    assert "min(ts)" in src
-    assert "rep > 0" in src
+
+def test_load_prev_full_skips_current_rounds_own_close_file(tmp_path):
+    """ADVICE r14: after the round-N close file is committed, a rerun
+    in round N must not self-compare. Current round = max
+    CORRECTNESS_r* + 1; BENCH_FULL files at/past it are skipped."""
+    import json as _json
+
+    from bench import load_prev_full
+
+    for n, val in [(13, 2.0), (14, 3.0), (15, 4.0)]:
+        (tmp_path / f"BENCH_FULL_r{n}.json").write_text(
+            _json.dumps({"value": val})
+        )
+    # artifacts say the last completed round is 14 -> current is 15
+    for n in (13, 14):
+        (tmp_path / f"CORRECTNESS_r{n}.json").write_text("{}")
+    name, doc = load_prev_full(str(tmp_path))
+    assert name == "BENCH_FULL_r14.json" and doc["value"] == 3.0
+    # once round 15's CORRECTNESS lands, its bench becomes the baseline
+    (tmp_path / "CORRECTNESS_r15.json").write_text("{}")
+    name, doc = load_prev_full(str(tmp_path))
+    assert name == "BENCH_FULL_r15.json" and doc["value"] == 4.0

@@ -30,6 +30,9 @@ FAMILY_HELPERS = {
     "simhash": {"simhash"},
     "cotrading": {"_cotrading_counts"},
     "emb_broadcast": {"neardup_embedding"},
+    # on-disk content-keyed index rather than session_cache, but the
+    # same cold/rider bench semantics: first member builds, rest reuse
+    "ivf_index": {"build_ivf_index"},
 }
 
 _OPS_DIR = os.path.join(
