@@ -182,19 +182,36 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, not corpus size; the unigram table broadcasts. One ln
     per output row on an exact integer ratio (the tfidf determinism
     pattern).
+
+    ONE corpus tokenization (r15, the CMS/Bloom ReusedExchange fix):
+    the unigram table and BOTH pair-join sides consume the distinct
+    (doc_id, token) aggregate through subtree-identical plans — the
+    join sides disambiguate via alias, NOT pre-renamed projections,
+    because a Project under the join's doc_id exchange makes the
+    subtrees differ and defeats exchange reuse (the r14 plan re-scanned
+    the corpus 3× through the explode for exactly that reason).
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    # the explicit null filters are semantic no-ops (doc_id is the PK;
+    # tokens come from split) but make the base subtree CANONICALLY
+    # IDENTICAL to what the pair join infers from its keys (isnotnull
+    # pushed below the distinct) — without them the unigram branch
+    # plans its own scan+explode instead of riding the reused exchange
     d = (
         explode_tokens(docs, keep=("doc_id",))
+        .where(F.col("doc_id").isNotNull() & F.col("token").isNotNull())
         .distinct()
     )
     df_t = d.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    a = d.select("doc_id", F.col("token").alias("token_a"))
-    b = d.select("doc_id", F.col("token").alias("token_b"))
     pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("token_a") < F.col("token_b"))
+        d.alias("pa")
+        .join(d.alias("pb"), "doc_id")
+        .where(F.col("pa.token") < F.col("pb.token"))
+        .select(
+            F.col("pa.token").alias("token_a"),
+            F.col("pb.token").alias("token_b"),
+        )
         .groupBy("token_a", "token_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= MIN_PAIR_COUNT)
