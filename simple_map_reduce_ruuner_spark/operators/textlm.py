@@ -40,7 +40,11 @@ from simple_map_reduce_ruuner_spark.functions.text import (
 )
 from simple_map_reduce_ruuner_spark.operators.dedup import SIMHASH_BITS
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
+from simple_map_reduce_ruuner_spark.sources.tables import (
+    ckpt,
+    load_table,
+    spread_scan,
+)
 
 from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _TOKS_SQL
 _TOK_ROWS_SQL = f"SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents"
@@ -585,12 +589,172 @@ GROUP BY pair
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative BPE training (r15): k greedy merges, not just the first statistic
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+# Symbol separator for the merge-state encoding. Every symbol is wrapped
+# SEP<sym>SEP and symbols are concatenated, so a word's state looks like
+# SEP a SEP SEP b SEP …; the merge of (l, r) is then a plain string
+# replace of SEP l SEP SEP r SEP with SEP lr SEP — and because replace
+# in BOTH engines (Java String.replace / DuckDB replace, differentially
+# pinned in tests) substitutes non-overlapping occurrences LEFT TO
+# RIGHT, the substitution IS the greedy BPE merge rule ("aaa" with
+# merge (a,a) → [aa, a]). Word types containing the separator byte are
+# excluded up front in both engines (none exist in whitespace tokens).
+_BSEP = "\x1f"
+
+# symbols back out of the encoding: split on the inter-symbol SEP SEP,
+# trim the word-boundary SEPs, drop empties (pure-empty states)
+_BPE_SYMS = (
+    "filter(transform(split(enc, concat(char(31), char(31))),"
+    " x -> btrim(x, char(31))), x -> x != '')"
+)
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, k: int = BPE_MERGES
+) -> DataFrame:
+    """(step, left_sym, right_sym, cnt): the first ``k`` greedy BPE
+    merges over the corpus (Sennrich et al. 2016) — the trained
+    tokenizer's merge table, extending :func:`bpe_pair_counts` (one
+    merge statistic) to the full training loop.
+
+    Per iteration: weighted adjacent-pair counts over the CURRENT
+    symbolization, argmax with the total order (cnt DESC, left ASC,
+    right ASC), then the merge applied to every word type via the
+    separator-encoded string replace (see ``_BSEP``). Deterministic
+    end-to-end, so the DuckDB oracle replays all k steps as chained
+    CTEs (the ewma/throttle recursive-replay discipline).
+
+    Scale shape (the pagerank-style ckpt'd loop, `graph.py:62-75`): the
+    corpus is scanned ONCE total — iterations run on the (word type,
+    count) table, so the per-iteration shuffle is bounded by |vocab| ×
+    avg symbols, never corpus tokens; the 1-row argmax broadcasts into
+    the map-side merge. Each iteration's state is lazily
+    localCheckpoint'd — the argmax and the merge both consume it, and
+    without the checkpoint the re-derivation doubles per level (2^k).
+    Reference parity note: the reference (`Master.java:174-208`) has no
+    tokenizer training; north-star text-analysis extension.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    types = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(~F.col("w").contains(_BSEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    enc0 = F.concat(
+        F.lit(_BSEP),
+        F.array_join(
+            F.expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"),
+            _BSEP + _BSEP,
+        ),
+        F.lit(_BSEP),
+    )
+    t = types.select(enc0.alias("enc"), "wc")
+
+    # ANSI-safe adjacent pairs: zip of the two length-guarded slices —
+    # no index expression can ever go out of bounds, and slice length 0
+    # gives [] for 0/1-symbol states (sequence(1, size-1) would yield
+    # the DESCENDING [1, 0] there)
+    n1 = "greatest(size(syms) - 1, 0)"
+    pair_arr = f"arrays_zip(slice(syms, 1, {n1}), slice(syms, 2, {n1}))"
+
+    merges: list[DataFrame] = []
+    for step in range(1, k + 1):
+        t = ckpt(t, eager=False)
+        pc = (
+            t.select("wc", F.expr(_BPE_SYMS).alias("syms"))
+            .select("wc", F.explode(F.expr(pair_arr)).alias("p"))
+            .select("wc", F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"))
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+        sep = F.lit(_BSEP)
+        t = t.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("enc"),
+                F.concat(sep, F.col("l"), sep, sep, F.col("r"), sep),
+                F.concat(sep, F.col("l"), F.col("r"), sep),
+            ).alias("enc"),
+            "wc",
+        )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Chained k-step replay: each block recomputes pair counts from the
+    previous state, takes the same (cnt DESC, l, r) argmax, and applies
+    the same separator-encoded replace."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    syms = f"[trim(x, {sep}) for x in str_split(enc, {sep2})]"
+    blocks = [
+        f"""types AS (
+    SELECT w, count(*) AS wc
+    FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+    WHERE strpos(w, {sep}) = 0
+    GROUP BY w
+),
+t0 AS (
+    SELECT {sep} || array_to_string([w[i] for i in range(1, len(w) + 1)],
+                                    {sep2}) || {sep} AS enc, wc
+    FROM types
+)"""
+    ]
+    for s in range(1, k + 1):
+        blocks.append(
+            f"""p{s} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r, SUM(wc) AS cnt
+    FROM (SELECT {syms} AS syms, wc FROM t{s - 1}) sy,
+         LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+    GROUP BY 1, 2
+),
+b{s} AS (SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1),
+t{s} AS (
+    SELECT replace(enc, {sep} || l || {sep2} || r || {sep},
+                   {sep} || l || r || {sep}) AS enc, wc
+    FROM t{s - 1}, b{s}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM b{s}"
+        for s in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + union
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql(BPE_MERGES)
+
+
 QUERIES: dict[str, Query] = {
     "bpe_pair_counts": Query(
         bpe_pair_counts,
         BPE_PAIR_COUNTS_SQL,
         "BPE first-merge statistic: char-pair counts over the weighted "
         "word-type table (vocabulary-bounded, corpus scanned once)",
+    ),
+    "bpe_train_merges": Query(
+        bpe_train_merges,
+        BPE_TRAIN_MERGES_SQL,
+        "k greedy BPE merges (ckpt'd iterative loop; oracle replays all "
+        "k steps as chained CTEs)",
     ),
     "doc_lm_familiarity": Query(
         doc_lm_familiarity,
