@@ -41,10 +41,13 @@ def test_build_is_reused_then_rebuilt(spark, sf_dir, index_base):
 
 
 def test_index_key_is_content_addressed(sf_dir):
-    k_default = ivf._index_key(sf_dir, ivf.IVF_CELLS)
-    assert ivf._index_key(sf_dir, ivf.IVF_CELLS) == k_default
-    assert ivf._index_key(sf_dir, ivf.IVF_CELLS + 1) != k_default
-    assert ivf._index_key("/root/testdata/sf0.01", ivf.IVF_CELLS) != k_default
+    k_default = ivf._index_key(sf_dir, ivf.IVF_CELLS, 1)
+    assert ivf._index_key(sf_dir, ivf.IVF_CELLS, 1) == k_default
+    assert ivf._index_key(sf_dir, ivf.IVF_CELLS + 1, 1) != k_default
+    assert ivf._index_key(sf_dir, ivf.IVF_CELLS, 2) != k_default
+    assert (
+        ivf._index_key("/root/testdata/sf0.01", ivf.IVF_CELLS, 1) != k_default
+    )
 
 
 def test_manifest_and_layout(spark, sf_dir, index_base):
