@@ -1294,6 +1294,10 @@ def _gif_decode_fn():
         import numpy as np
 
         CLEAR, EOI = 256, 257
+        # root table built ONCE per kernel, copied per image: the
+        # per-image listcomp was 9 % of decode tottime (r15 profile,
+        # GIF_PROFILE_r15.json); bytes are immutable so sharing is safe
+        roots = [bytes([i]) for i in range(256)] + [b"", b""]
 
         def skip_subblocks(b: bytes, pos: int) -> int:
             while True:
@@ -1326,7 +1330,7 @@ def _gif_decode_fn():
             filled = 0
             acc = n = pos = 0
             cs, next_code = 9, 258
-            table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+            table: list[bytes] = roots.copy()
             prev: bytes | None = None
             while True:
                 while n < cs:
