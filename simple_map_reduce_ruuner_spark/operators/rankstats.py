@@ -1005,3 +1005,110 @@ QUERIES["benford_price_digits"] = Query(
     "Benford first-digit audit of order totals: string-derived digits "
     "of exact cents, embedded-literal expectations, chi-square terms",
 )
+
+
+def ks_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_base, n_cur, ks_stat): two-sample
+    Kolmogorov–Smirnov D per event_type across the same baseline/
+    current snapshot split as the U and Welch tests — the
+    DISTRIBUTION-SHAPE member of the shift family (a location shift
+    flags in all three; a variance/shape change with equal medians
+    flags here first). D = max over pooled distinct values of
+    |F̂₁(x) − F̂₂(x)|, the standard ties-respecting two-sample form.
+
+    Plan shape: one (event_type, cents) pre-aggregate bounds the
+    window input to |type| × |distinct cents| rows regardless of event
+    count; the running-count window and the final max are per-type.
+    Exactness: counts are exact integers all the way; the ONLY floats
+    are the two count/total divisions and their difference, written in
+    the same operation order in both engines (the tfidf discipline),
+    rounded at emission. Degenerate: a type with an empty side yields
+    NULL (no distribution to compare).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    base = F.when(
+        F.col("ts") < F.lit(MWU_SPLIT_TS).cast("timestamp_ntz"), F.lit(1)
+    ).otherwise(F.lit(0))
+    g = (
+        ev.select("event_type", y.alias("cents"), base.alias("b"))
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum("b").alias("c1"),
+            F.sum(1 - F.col("b")).alias("c2"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    run = g.select(
+        "event_type",
+        F.sum("c1").over(w_run).alias("r1"),
+        F.sum("c2").over(w_run).alias("r2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    per_type = run.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("r1").cast("double") / F.col("n1")
+                - F.col("r2").cast("double") / F.col("n2")
+            )
+        ).alias("d"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return per_type.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_base"),
+        F.col("n2").cast("long").alias("n_cur"),
+        F.when(ok, F.round(F.col("d"), 6)).otherwise(F.lit(None)).alias(
+            "ks_stat"
+        ),
+    )
+
+
+KS_VALUE_SHIFT_SQL = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           SUM(CASE WHEN ts < TIMESTAMP '{MWU_SPLIT_TS}'
+                    THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN ts < TIMESTAMP '{MWU_SPLIT_TS}'
+                    THEN 0 ELSE 1 END) AS c2
+    FROM events
+    GROUP BY 1, 2
+),
+run AS (
+    SELECT event_type,
+           SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS r1,
+           SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS r2,
+           SUM(c1) OVER (PARTITION BY event_type) AS n1,
+           SUM(c2) OVER (PARTITION BY event_type) AS n2
+    FROM g
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_base,
+       CAST(MAX(n2) AS BIGINT) AS n_cur,
+       CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+           ROUND(MAX(abs(CAST(r1 AS DOUBLE) / n1
+                         - CAST(r2 AS DOUBLE) / n2)), 6)
+       END AS ks_stat
+FROM run
+GROUP BY event_type
+"""
+
+QUERIES["ks_value_shift"] = Query(
+    ks_value_shift,
+    KS_VALUE_SHIFT_SQL,
+    "two-sample Kolmogorov-Smirnov D per event_type over the snapshot "
+    "split: ties-respecting ECDF max-gap on exact integer counts",
+)

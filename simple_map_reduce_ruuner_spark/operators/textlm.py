@@ -613,6 +613,62 @@ _BPE_SYMS = (
 )
 
 
+def _bpe_state_chain(
+    spark: SparkSession, sf_dir: str, k: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """([best₁..best_k], final state): the k-iteration greedy merge loop
+    over the (word type, count) table, shared by the trainer (which
+    emits the merge table) and the encoder (which tokenizes with the
+    final state). State rows carry (w, enc, wc); see
+    :func:`bpe_train_merges` for the algorithm and oracle discipline."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    types = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(~F.col("w").contains(_BSEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    enc0 = F.concat(
+        F.lit(_BSEP),
+        F.array_join(
+            F.expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"),
+            _BSEP + _BSEP,
+        ),
+        F.lit(_BSEP),
+    )
+    t = types.select("w", enc0.alias("enc"), "wc")
+
+    # ANSI-safe adjacent pairs: zip of the two length-guarded slices —
+    # no index expression can ever go out of bounds, and slice length 0
+    # gives [] for 0/1-symbol states (sequence(1, size-1) would yield
+    # the DESCENDING [1, 0] there)
+    n1 = "greatest(size(syms) - 1, 0)"
+    pair_arr = f"arrays_zip(slice(syms, 1, {n1}), slice(syms, 2, {n1}))"
+
+    merges: list[DataFrame] = []
+    for _step in range(1, k + 1):
+        t = ckpt(t, eager=False)
+        pc = (
+            t.select("wc", F.expr(_BPE_SYMS).alias("syms"))
+            .select("wc", F.explode(F.expr(pair_arr)).alias("p"))
+            .select("wc", F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"))
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        merges.append(pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1))
+        sep = F.lit(_BSEP)
+        t = t.crossJoin(F.broadcast(merges[-1])).select(
+            "w",
+            F.replace(
+                F.col("enc"),
+                F.concat(sep, F.col("l"), sep, sep, F.col("r"), sep),
+                F.concat(sep, F.col("l"), F.col("r"), sep),
+            ).alias("enc"),
+            "wc",
+        )
+    return merges, t
+
+
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, k: int = BPE_MERGES
 ) -> DataFrame:
@@ -638,69 +694,69 @@ def bpe_train_merges(
     Reference parity note: the reference (`Master.java:174-208`) has no
     tokenizer training; north-star text-analysis extension.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    types = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .where(~F.col("w").contains(_BSEP))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
-    enc0 = F.concat(
-        F.lit(_BSEP),
-        F.array_join(
-            F.expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"),
-            _BSEP + _BSEP,
-        ),
-        F.lit(_BSEP),
-    )
-    t = types.select(enc0.alias("enc"), "wc")
-
-    # ANSI-safe adjacent pairs: zip of the two length-guarded slices —
-    # no index expression can ever go out of bounds, and slice length 0
-    # gives [] for 0/1-symbol states (sequence(1, size-1) would yield
-    # the DESCENDING [1, 0] there)
-    n1 = "greatest(size(syms) - 1, 0)"
-    pair_arr = f"arrays_zip(slice(syms, 1, {n1}), slice(syms, 2, {n1}))"
-
-    merges: list[DataFrame] = []
-    for step in range(1, k + 1):
-        t = ckpt(t, eager=False)
-        pc = (
-            t.select("wc", F.expr(_BPE_SYMS).alias("syms"))
-            .select("wc", F.explode(F.expr(pair_arr)).alias("p"))
-            .select("wc", F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"))
-            .groupBy("l", "r")
-            .agg(F.sum("wc").alias("cnt"))
+    merges, _ = _bpe_state_chain(spark, sf_dir, k)
+    out = None
+    for step, best in enumerate(merges, start=1):
+        row = best.select(
+            F.lit(step).cast("long").alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").cast("long").alias("cnt"),
         )
-        best = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
-        merges.append(
-            best.select(
-                F.lit(step).cast("long").alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("cnt").cast("long").alias("cnt"),
-            )
-        )
-        sep = F.lit(_BSEP)
-        t = t.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("enc"),
-                F.concat(sep, F.col("l"), sep, sep, F.col("r"), sep),
-                F.concat(sep, F.col("l"), F.col("r"), sep),
-            ).alias("enc"),
-            "wc",
-        )
-
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
+        out = row if out is None else out.unionAll(row)
     return out
 
 
-def _bpe_train_sql(k: int) -> str:
-    """Chained k-step replay: each block recomputes pair counts from the
-    previous state, takes the same (cnt DESC, l, r) argmax, and applies
-    the same separator-encoded replace."""
+def bpe_encode_docs(
+    spark: SparkSession, sf_dir: str, k: int = BPE_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, n_chars, chars_per_token_milli): the
+    APPLY side of the trainer — every document tokenized with the k
+    trained merges, reported as per-doc token accounting (the number a
+    training pipeline budgets sequence packing and cost with).
+
+    Scale shape: the merge loop runs once on the vocabulary (shared
+    chain with :func:`bpe_train_merges`); per-type token count is
+    ``size(split(enc))`` over the FINAL state — no re-tokenization per
+    document — and the doc pass is one explode + one join on the word
+    type + a per-doc aggregate. Exact integers end to end (no IEEE
+    anywhere). Degenerate contract, identical in both engines: words
+    containing the separator byte don't join (none exist in whitespace
+    tokens), and if the corpus runs out of distinct pairs before k
+    merges the state chain goes empty (cross join with an empty argmax)
+    — a corpus that small has no meaningful BPE vocabulary.
+    """
+    _, t = _bpe_state_chain(spark, sf_dir, k)
+    per_type = t.select(
+        "w",
+        F.expr("size(split(enc, concat(char(31), char(31))))").alias("n_tok"),
+        F.char_length("w").alias("n_ch"),
+    )
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    return (
+        words.join(per_type, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_ch").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_chars * 1000 div n_tokens").alias("chars_per_token_milli"),
+        )
+    )
+
+
+def _bpe_chain_blocks(k: int) -> list[str]:
+    """The shared k-step CTE chain (types → t0 → p/b/t per step); each
+    block recomputes pair counts from the previous state, takes the
+    same (cnt DESC, l, r) argmax, and applies the same
+    separator-encoded replace. States carry w for the encoder."""
     sep = "chr(31)"
     sep2 = f"{sep} || {sep}"
     syms = f"[trim(x, {sep}) for x in str_split(enc, {sep2})]"
@@ -712,7 +768,8 @@ def _bpe_train_sql(k: int) -> str:
     GROUP BY w
 ),
 t0 AS (
-    SELECT {sep} || array_to_string([w[i] for i in range(1, len(w) + 1)],
+    SELECT w,
+           {sep} || array_to_string([w[i] for i in range(1, len(w) + 1)],
                                     {sep2}) || {sep} AS enc, wc
     FROM types
 )"""
@@ -727,20 +784,43 @@ t0 AS (
 ),
 b{s} AS (SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1),
 t{s} AS (
-    SELECT replace(enc, {sep} || l || {sep2} || r || {sep},
+    SELECT w, replace(enc, {sep} || l || {sep2} || r || {sep},
                    {sep} || l || r || {sep}) AS enc, wc
     FROM t{s - 1}, b{s}
 )"""
         )
+    return blocks
+
+
+def _bpe_train_sql(k: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({s} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
         f" CAST(cnt AS BIGINT) AS cnt FROM b{s}"
         for s in range(1, k + 1)
     )
-    return "WITH " + ",\n".join(blocks) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_chain_blocks(k)) + "\n" + union
+
+
+def _bpe_encode_sql(k: int) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    tail = f""",
+tl AS (SELECT w, len(str_split(enc, {sep2})) AS n_tok, len(w) AS n_ch
+       FROM t{k}),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_ch) AS BIGINT) AS n_chars,
+       CAST(sum(n_ch) * 1000 // sum(n_tok) AS BIGINT)
+           AS chars_per_token_milli
+FROM tok JOIN tl USING (w)
+GROUP BY doc_id"""
+    return "WITH " + ",\n".join(_bpe_chain_blocks(k)) + tail
 
 
 BPE_TRAIN_MERGES_SQL = _bpe_train_sql(BPE_MERGES)
+BPE_ENCODE_DOCS_SQL = _bpe_encode_sql(BPE_MERGES)
 
 
 QUERIES: dict[str, Query] = {
@@ -755,6 +835,12 @@ QUERIES: dict[str, Query] = {
         BPE_TRAIN_MERGES_SQL,
         "k greedy BPE merges (ckpt'd iterative loop; oracle replays all "
         "k steps as chained CTEs)",
+    ),
+    "bpe_encode_docs": Query(
+        bpe_encode_docs,
+        BPE_ENCODE_DOCS_SQL,
+        "per-doc token accounting under the k trained BPE merges "
+        "(apply side: vocabulary tokenized once, one doc join)",
     ),
     "doc_lm_familiarity": Query(
         doc_lm_familiarity,
