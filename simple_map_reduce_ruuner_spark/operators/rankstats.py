@@ -1112,3 +1112,104 @@ QUERIES["ks_value_shift"] = Query(
     "two-sample Kolmogorov-Smirnov D per event_type over the snapshot "
     "split: ties-respecting ECDF max-gap on exact integer counts",
 )
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation_name, n_suppliers, top_share_milli, hhi): Herfindahl–
+    Hirschman concentration of supplier revenue within each nation —
+    the market-concentration complement to :func:`gini_spend_ppm`
+    (Gini measures inequality of the whole distribution; HHI weights
+    the TOP of it, which is what procurement-risk review looks at).
+
+    HHI = Σ shareᵢ² over suppliers, share = supplier revenue / nation
+    revenue. Revenue sums are exact BIGINT cents aggregated once from
+    lineitem (extendedprice×(1−discount) in exact DECIMAL before the
+    cents cast); squares and totals widen to DECIMAL(38,0). The final
+    number is Σsᵢ²/(Σs)² with BOTH operands cast to double before one
+    multiply and one divide, same order both engines (the decimal
+    square of a 1e16-cents national total would overflow 38 digits —
+    the OLS lesson); top_share_milli stays exact integer. NULL HHI on
+    zero national revenue.
+
+    Scale shape: one lineitem aggregate keyed by suppkey (the big
+    shuffle), a broadcast supplier→nation join, then a
+    |nation|-bounded aggregate. No window, no driver state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    ).cast("decimal(14,4)")
+    per_sup = li.groupBy("l_suppkey").agg(
+        F.floor(F.sum(cents) * 100).cast("long").alias("rev_cents")
+    )
+    joined = (
+        per_sup.join(F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    d = F.col("rev_cents").cast("decimal(38,0)")
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(d).alias("tot"),
+        F.sum(d * d).alias("sq"),
+        F.max(d).alias("mx"),
+    )
+    ok = F.col("tot") > 0
+    return agg.select(
+        F.col("n_name").alias("nation_name"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.when(ok, F.expr("CAST(mx * 1000 div tot AS BIGINT)"))
+        .otherwise(F.lit(None))
+        .alias("top_share_milli"),
+        F.when(
+            ok,
+            F.round(
+                F.col("sq").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None))
+        .alias("hhi"),
+    )
+
+
+NATION_SUPPLIER_HHI_SQL = """
+WITH per_sup AS (
+    SELECT l_suppkey,
+           CAST(floor(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(12,2))
+                        - CAST(l_discount AS DECIMAL(12,2)))
+                     AS DECIMAL(14,4))) * 100) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY l_suppkey
+),
+agg AS (
+    SELECT n.n_name,
+           count(*) AS n_suppliers,
+           sum(CAST(rev_cents AS HUGEINT)) AS tot,
+           sum(CAST(rev_cents AS HUGEINT) * rev_cents) AS sq,
+           max(CAST(rev_cents AS HUGEINT)) AS mx
+    FROM per_sup p
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+)
+SELECT n_name AS nation_name,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CASE WHEN tot > 0
+            THEN CAST(mx * 1000 // tot AS BIGINT) END AS top_share_milli,
+       CASE WHEN tot > 0
+            THEN ROUND(CAST(sq AS DOUBLE)
+                       / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+       END AS hhi
+FROM agg
+"""
+
+QUERIES["nation_supplier_hhi"] = Query(
+    nation_supplier_hhi,
+    NATION_SUPPLIER_HHI_SQL,
+    "Herfindahl supplier-revenue concentration per nation: exact cents "
+    "sums, double-cast-before-multiply final ratio, exact top share",
+)

@@ -773,3 +773,125 @@ QUERIES["interarrival_hist"] = Query(
     "log2-bucketed per-user inter-arrival gaps via binary-string "
     "length: float-free bucketing, 64-group-bounded aggregate",
 )
+
+
+ACF_LAGS = 3  # lags 1..3
+
+
+def value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, lag, n_pairs, acf): lag-1..ACF_LAGS autocorrelation
+    of event values per event_type — the periodicity/stickiness signal
+    a monitoring pipeline runs beside the EWMA (a high lag-k ACF says
+    the smoother's residuals are structured, not noise).
+
+    Definition: Pearson correlation over the (yₜ, yₜ₋ₗ) pairs of the
+    (ts, event_id)-ordered series — the standard sample ACF up to the
+    edge-effect convention, computed on the PAIRED means (exact for
+    cross-engine parity; the "divide by overall mean" textbook variant
+    differs only at O(lag/n)).
+
+    Exactness (the welch/OLS discipline): all six sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) over exact
+    cents — order-independent, so partial aggregation can't flip a
+    digit — and the final r is a handful of IEEE ops written in the
+    SAME order in both engines: num/den where den =
+    sqrt(vx·vy) with vx, vy cast to double BEFORE the multiply (the
+    decimal product nΣx²·nΣy² would overflow 38 digits exactly at
+    fleet scale — the OLS intercept lesson). NULL on zero variance or
+    n < 2 in both engines.
+
+    Scale shape: one keyed window (event_type ordered by ts, event_id)
+    produces all ACF_LAGS lag columns in a single pass; the stack to
+    (lag, x, y) rows multiplies by ACF_LAGS before the
+    |event_type|×ACF_LAGS-bounded aggregate. No driver-side state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        y.alias("y"),
+        *[F.lag(y, L).over(w).alias(f"x{L}") for L in range(1, ACF_LAGS + 1)],
+    )
+    stack = ", ".join(f"{L}, y, x{L}" for L in range(1, ACF_LAGS + 1))
+    pairs = lagged.select(
+        "event_type",
+        F.expr(f"stack({ACF_LAGS}, {stack}) AS (lag, y, x)"),
+    ).where(F.col("x").isNotNull())
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        pairs.select("event_type", "lag", d("x").alias("x"), d("y").alias("y"))
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ok = (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(ok, F.round(num / F.sqrt(vx * vy), 6))
+        .otherwise(F.lit(None))
+        .alias("acf"),
+    )
+
+
+def _acf_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(y, {L}) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        f" AS x{L}"
+        for L in range(1, ACF_LAGS + 1)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT event_type, {L} AS lag, y, x{L} AS x FROM lagged"
+        f" WHERE x{L} IS NOT NULL"
+        for L in range(1, ACF_LAGS + 1)
+    )
+    return f"""
+WITH base AS (
+    SELECT event_type, ts, event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM events
+),
+lagged AS (SELECT event_type, y, {lag_cols} FROM base),
+pairs AS ({unpivot}),
+agg AS (
+    SELECT event_type, lag,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS acf
+FROM agg
+"""
+
+
+VALUE_ACF_SQL = _acf_sql()
+
+QUERIES["value_acf"] = Query(
+    value_acf,
+    VALUE_ACF_SQL,
+    "lag-1..3 autocorrelation per event_type: exact decimal sufficient "
+    "statistics, one pinned-order IEEE expression (welch discipline)",
+)
