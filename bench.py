@@ -178,9 +178,14 @@ def load_prev_full(here: str) -> tuple[str | None, dict | None]:
     the same round self-compare (ratios ~1.0, observed live in r14).
     The current round is derived the same way the registry LRU does —
     max committed CORRECTNESS_r{N}.json + 1 — and any BENCH_FULL_r*
-    at or past it is skipped. SPARK_GRAFT_BENCH_PREV=<file> still pins
-    the baseline explicitly; the published `vs_prev_file` always names
-    what was used."""
+    at or past it is skipped. Sequencing assumption (review-noted):
+    the driver commits CORRECTNESS_r{N} at round close, BEFORE any
+    round-{N+1} bench runs, so in the normal flow the newest surviving
+    candidate is exactly the previous round. In an exotic state (e.g.
+    BENCH_FULL_r{N} committed mid-round but the round never closed) a
+    later run would baseline one round further back — visible in the
+    published `vs_prev_file`, and SPARK_GRAFT_BENCH_PREV=<file> pins
+    the baseline explicitly."""
     import glob
 
     override = os.environ.get("SPARK_GRAFT_BENCH_PREV")

@@ -85,10 +85,22 @@ _POSTINGS_SCHEMA = "vec_id long, embedding array<float>, dist2 long, cell int"
 
 def _index_key(sf_dir: str, n_cells: int, n_iters: int) -> str:
     """Content key: any change to the embeddings parquet (size/mtime of
-    every part), the training params, or the on-disk format invalidates."""
+    every part), the training params, or the on-disk format invalidates.
+    The quantization constants are part of the key (review-found): a
+    QSCALE/DIM change would otherwise silently reuse an index built
+    under the OLD quantization while the oracle replays with the new —
+    the format version only covers the LAYOUT, not the math."""
     stats = _parquet_file_stats(os.path.join(sf_dir, "embeddings.parquet"))
     raw = json.dumps(
-        [INDEX_FORMAT_VERSION, os.path.realpath(sf_dir), n_cells, n_iters, stats]
+        [
+            INDEX_FORMAT_VERSION,
+            os.path.realpath(sf_dir),
+            n_cells,
+            n_iters,
+            QSCALE,
+            DIM,
+            stats,
+        ]
     )
     return hashlib.md5(raw.encode()).hexdigest()
 

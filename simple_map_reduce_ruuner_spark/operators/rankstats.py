@@ -1053,13 +1053,19 @@ def ks_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w_all).alias("n1"),
         F.sum("c2").over(w_all).alias("n2"),
     )
+    # the ECDF difference is guarded PER ROW, not just at emission: a
+    # type with an empty side has n=0 on every row, and under Spark 4's
+    # default ANSI mode an eager x/0 inside the aggregate ABORTS the
+    # query where DuckDB returns NULL (review-found, reproduced live —
+    # and the empty side is exactly the new-event-type drift case this
+    # monitor exists for). try_divide yields NULL there in both modes.
     per_type = run.groupBy("event_type").agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
         F.max(
             F.abs(
-                F.col("r1").cast("double") / F.col("n1")
-                - F.col("r2").cast("double") / F.col("n2")
+                F.try_divide(F.col("r1").cast("double"), F.col("n1"))
+                - F.try_divide(F.col("r2").cast("double"), F.col("n2"))
             )
         ).alias("d"),
     )

