@@ -1568,3 +1568,60 @@ QUERIES["neardup_incremental_lsh"] = Query(
     "incoming-batch vs corpus banded-LSH near-dup (continuous-ingest "
     "shape; index join carries band signatures only)",
 )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_unique, n_dupes, dup_rate_milli): per-source
+    exact-duplicate rate — the curation dashboard number that decides
+    which upstream feed gets throttled or re-crawled. Complements
+    :func:`exact_dedup` (which lists the groups) with the per-feed
+    rollup an operator actually watches.
+
+    Same 8-byte digest discipline: the shuffle carries (source,
+    text_hash) pairs, never documents; one partial→final
+    count-distinct-shaped aggregate bounded by |source| × |distinct
+    texts per source|. A doc duplicated ACROSS sources counts against
+    each source that carries it (per-feed accountability, matching how
+    incremental_dedup attributes batch dupes); all integers exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source", hash60(norm_text(F.col("text"))).alias("text_hash")
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_unique"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dupes"),
+            F.expr("(n_docs - n_unique) * 1000 div n_docs")
+            .cast("long")
+            .alias("dup_rate_milli"),
+        )
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT {hash60_sql(_NORM_TEXT_SQL)}) AS BIGINT)
+           AS n_unique,
+       CAST(count(*) - count(DISTINCT {hash60_sql(_NORM_TEXT_SQL)})
+            AS BIGINT) AS n_dupes,
+       CAST((count(*) - count(DISTINCT {hash60_sql(_NORM_TEXT_SQL)}))
+            * 1000 // count(*) AS BIGINT) AS dup_rate_milli
+FROM documents
+GROUP BY source
+"""
+
+QUERIES["dedup_rate_by_source"] = Query(
+    dedup_rate_by_source,
+    DEDUP_RATE_BY_SOURCE_SQL,
+    "per-source exact-duplicate rate off the 60-bit digest: the "
+    "curation feed-health rollup (exact integers, digest-keyed shuffle)",
+)
