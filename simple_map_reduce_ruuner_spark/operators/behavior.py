@@ -290,3 +290,112 @@ QUERIES["nation_yoy_growth"] = Query(
     NATION_YOY_GROWTH_SQL,
     "per-nation yearly revenue with exact-ppm year-over-year growth",
 )
+
+
+def session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t1, t2, t3, n_paths, rank): within-session event-type trigram
+    census — the path-mining extension of ``event_transitions``' bigram
+    matrix, with the session boundary enforced (a 30-minute-gap
+    re-entry must not fabricate a path across sessions; the transition
+    matrix deliberately ignores that boundary, this query is the
+    sessionized complement).
+
+    One exchange, one sort: sessionization (running sum of gap flags,
+    the ``sessionize_events`` idiom) and both lookaheads share the same
+    (user_id | ts, event_id) window. Instead of re-partitioning by
+    (user, session), the trigram keeps a row only when
+    ``lead(session_seq, 2)`` still equals the row's own session —
+    session_seq is non-decreasing within a user, so the third event
+    sharing the session implies the second does too.
+
+    Output is |event_type|³-bounded (125 rows here), so the rank runs
+    as a single-partition window over the aggregate — bounded by the
+    type alphabet, never by events — under the total order
+    (n_paths DESC, t1, t2, t3): deterministic in both engines with no
+    tie hazard.
+    """
+    from simple_map_reduce_ruuner_spark.streaming.windows import (
+        SESSION_GAP_SECONDS,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.timestamp_diff("SECOND", prev_ts, F.col("ts"))
+    is_new = F.when(
+        prev_ts.isNull() | (gap_sec > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    tri = (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+            sess.alias("s1"),
+            F.lead(sess, 2).over(w).alias("s3"),
+        )
+        .where(F.col("s3") == F.col("s1"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    w_rank = Window.orderBy(
+        F.desc("n_paths"), F.asc("t1"), F.asc("t2"), F.asc("t3")
+    )
+    return tri.select(
+        "t1", "t2", "t3", "n_paths",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    )
+
+
+def _session_trigrams_sql() -> str:
+    from simple_map_reduce_ruuner_spark.streaming.windows import (
+        SESSION_GAP_SECONDS,
+    )
+
+    return f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts)
+                        > {SESSION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS s1
+    FROM flagged
+),
+tri AS (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3,
+           s1,
+           lead(s1, 2) OVER w AS s3
+    FROM sessed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM tri WHERE s3 = s1
+    GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n_paths,
+       CAST(row_number() OVER (ORDER BY n_paths DESC, t1, t2, t3)
+            AS BIGINT) AS rank
+FROM agg
+"""
+
+
+SESSION_TRIGRAMS_SQL = _session_trigrams_sql()
+
+QUERIES["session_trigrams"] = Query(
+    session_trigrams,
+    SESSION_TRIGRAMS_SQL,
+    "within-session event-type trigram paths: one user-keyed exchange, "
+    "session guard via lead(session_seq, 2), type-alphabet-bounded rank",
+)

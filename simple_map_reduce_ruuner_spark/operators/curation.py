@@ -411,6 +411,114 @@ FROM m JOIN stats USING (event_type)
 """
 
 
+
+
+MAD_K_NUM = 7  # |x - median| > (7/2) * MAD  (the classic 3.5x rule,
+MAD_K_DEN = 2  # held as a ratio so the test below is pure integers)
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, median_milli, mad_e4, n_outliers, outlier_ppm):
+    robust median/MAD outlier census per event_type — the
+    outlier-resistant twin of ``value_anomalies`` (whose mean/sigma
+    baseline is itself dragged by the very outliers it hunts; the
+    3.5x-MAD rule is the curation-pipeline standard, Iglewicz & Hoaglin
+    1993).
+
+    Exactness via even scaling: on x2 = 2x(integer cents), both median
+    passes interpolate midpoints of EVEN integers, so every percentile
+    is an integer-valued double (exact in IEEE far past 2^53/4e15 -- at
+    cents scale, values to 2e13) and casts back to BIGINT losslessly in
+    both engines. The outlier test clears all fractions:
+        |x - m| > (7/2) * MAD   <=>   4*|x2 - m2| > 7 * mad4
+    with m2 = median(2c) and mad4 = median(2*|x2 - m2|) = 4*MAD_cents —
+    pure BIGINT comparison, no IEEE anywhere in the verdict. Outputs
+    re-scale exactly: median_milli = 5*m2 (value x 10^3), mad_e4 =
+    25*mad4 (value x 10^4). Degenerate contract (both engines): if more
+    than half the group sits AT the median, MAD = 0 and every value off
+    the median flags — the documented limiting behavior of the rule.
+
+    Scale shape: two exact percentile passes (per-group buffering
+    anchors, |event_type|-bounded output broadcast back — the
+    ``winsorized_values`` contract; at 100 TB swap them for the GK
+    sketch twin) plus one integer partial/final census aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x2 = (F.round(F.col("value") * 100) * 2).cast("long")
+    base = ev.select("event_type", x2.alias("x2"))
+    med = base.groupBy("event_type").agg(
+        F.percentile("x2", F.lit(0.5)).cast("long").alias("m2")
+    )
+    devs = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "x2",
+        "m2",
+        (F.abs(F.col("x2") - F.col("m2")) * 2).alias("dev2"),
+    )
+    mad = devs.groupBy("event_type").agg(
+        F.percentile("dev2", F.lit(0.5)).cast("long").alias("mad4")
+    )
+    flagged = devs.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "m2",
+        "mad4",
+        (F.col("dev2") * 2 > MAD_K_NUM * F.col("mad4")).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("m2").alias("m2"),
+            F.min("mad4").alias("mad4"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("m2") * 5).alias("median_milli"),
+            (F.col("mad4") * 25).alias("mad_e4"),
+            "n_outliers",
+            F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+        )
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(round(value * 100) * 2 AS BIGINT) AS x2
+    FROM events
+),
+med AS (
+    SELECT event_type, CAST(quantile_cont(x2, 0.5) AS BIGINT) AS m2
+    FROM base GROUP BY 1
+),
+devs AS (
+    SELECT b.event_type, b.x2, m.m2, abs(b.x2 - m.m2) * 2 AS dev2
+    FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, CAST(quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+    FROM devs GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(d.m2) * 5 AS median_milli,
+       min(a.mad4) * 25 AS mad_e4,
+       CAST(sum(CASE WHEN d.dev2 * 2 > {MAD_K_NUM} * a.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN d.dev2 * 2 > {MAD_K_NUM} * a.mad4
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           AS outlier_ppm
+FROM devs d JOIN mad a USING (event_type)
+GROUP BY 1
+"""
+
+
+
+
 CDC_DIV = 16
 CDC_SHINGLE = 3
 from simple_map_reduce_ruuner_spark.functions.text import TOKS_SQL as _CDC_TOKS_SQL
@@ -569,6 +677,12 @@ QUERIES: dict[str, Query] = {
         value_anomalies,
         VALUE_ANOMALIES_SQL,
         "3-sigma anomaly flags via exact integer moment algebra (no float agg)",
+    ),
+    "mad_outliers": Query(
+        mad_outliers,
+        MAD_OUTLIERS_SQL,
+        "median/MAD 3.5x robust outlier census: even-scaled integer-exact "
+        "percentiles, pure-BIGINT verdict",
     ),
     "quality_deciles": Query(
         quality_deciles,

@@ -895,3 +895,124 @@ QUERIES["value_acf"] = Query(
     "lag-1..3 autocorrelation per event_type: exact decimal sufficient "
     "statistics, one pinned-order IEEE expression (welch discipline)",
 )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, cp_pos, cp_frac_milli, dev_ppm): CUSUM-style
+    changepoint localization per event_type — WHERE in the series the
+    mean shifted, the localization complement to the family's detectors
+    (ks_value_shift says IF the split halves differ; this says where the
+    break sits and how hard the cumulative path pulls away from a
+    constant-mean line).
+
+    Statistic, kept exact the welch/OLS/ACF way: over the (ts, event_id)
+    ordered cents yᵢ of one event_type, the scaled deviation at k is
+        D_k = n·S_k − k·S_n      (S_k = prefix sum, all DECIMAL(38,0))
+    which is n·(S_k − k·ȳ) with the division cleared — so argmax/max of
+    |D_k| is the classic CUSUM changepoint estimator with zero IEEE ops.
+    Headroom: |D| ≤ 2·n·Σ|y| ≤ 2·10⁸·(10⁸·10⁶) = 2·10²² ≪ 10³⁸ at a
+    100 TB per-type series — no overflow cliff (the OLS lesson, sized).
+    cp_pos is the EARLIEST k attaining the max (exact decimal equality
+    join, deterministic in both engines); dev_ppm = 10⁶·max|D| div
+    (n·Σ|y|) is the integer-exact normalized pull, range [0, 2·10⁶],
+    NULL when the series is all-zero (n·Σ|y| = 0 — guarded, ANSI-safe).
+
+    Scale shape: one exchange on event_type; the ordered-prefix and
+    whole-partition windows share the same sort, then two
+    |event_type|-bounded aggregates (max, then earliest-argmax via the
+    equality join — broadcast, 5 rows). No driver state, no floats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    devs = ev.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum(d38(y)).over(w_cum).alias("s_k"),
+        F.sum(d38(y)).over(w_all).alias("s_n"),
+        F.count(F.lit(1)).over(w_all).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.abs(y))).over(w_all).alias("gross"),
+    ).select(
+        "event_type",
+        "k",
+        "n",
+        "gross",
+        F.abs(
+            F.col("n") * F.col("s_k") - d38(F.col("k")) * F.col("s_n")
+        ).alias("abs_dev"),
+    )
+    peaks = devs.groupBy("event_type").agg(F.max("abs_dev").alias("max_dev"))
+    return (
+        devs.join(F.broadcast(peaks), "event_type")
+        .where(F.col("abs_dev") == F.col("max_dev"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("nn"),
+            F.min("k").alias("cp_pos"),
+            F.min("gross").alias("g"),
+            F.min("max_dev").alias("md"),
+        )
+        .select(
+            "event_type",
+            F.col("nn").cast("long").alias("n"),
+            "cp_pos",
+            F.expr("CAST(cp_pos * 1000 div nn AS BIGINT)").alias(
+                "cp_frac_milli"
+            ),
+            F.when(
+                F.col("nn") * F.col("g") > 0,
+                F.expr("CAST((md * 1000000) div (nn * g) AS BIGINT)"),
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = """
+WITH base AS (
+    SELECT event_type, ts, event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM events
+),
+devs AS (
+    SELECT event_type,
+           CAST(row_number() OVER wo AS BIGINT) AS k,
+           CAST(count(*) OVER wa AS HUGEINT) AS n,
+           sum(CAST(abs(y) AS HUGEINT)) OVER wa AS gross,
+           abs(CAST(count(*) OVER wa AS HUGEINT)
+                   * (sum(CAST(y AS HUGEINT)) OVER wc)
+               - CAST(row_number() OVER wo AS HUGEINT)
+                   * (sum(CAST(y AS HUGEINT)) OVER wa)) AS abs_dev
+    FROM base
+    WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id),
+           wc AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING),
+           wa AS (PARTITION BY event_type)
+),
+peaks AS (
+    SELECT event_type, max(abs_dev) AS max_dev FROM devs GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(min(d.n) AS BIGINT) AS n,
+       min(d.k) AS cp_pos,
+       CAST(min(d.k) * 1000 // min(d.n) AS BIGINT) AS cp_frac_milli,
+       CASE WHEN min(d.n) * min(d.gross) > 0 THEN
+           CAST(min(p.max_dev) * 1000000 // (min(d.n) * min(d.gross))
+                AS BIGINT)
+       END AS dev_ppm
+FROM devs d JOIN peaks p USING (event_type)
+WHERE d.abs_dev = p.max_dev
+GROUP BY 1
+"""
+
+
+QUERIES["cusum_changepoint"] = Query(
+    cusum_changepoint,
+    CUSUM_CHANGEPOINT_SQL,
+    "CUSUM changepoint per event_type: exact n*S_k - k*S_n deviation, "
+    "earliest argmax, integer-normalized pull (zero IEEE ops)",
+)

@@ -235,3 +235,91 @@ def test_ks_value_shift_one_sided_type_is_null_not_ansi_crash(spark, tmp_path):
         r[0]: r for r in con.execute(q.oracle).fetchall()
     }
     assert duck["error"][3] is None
+
+
+def test_cusum_changepoint_allzero_type_is_null_both_engines(spark, tmp_path):
+    """An event_type whose values are ALL zero has n*gross = 0: dev_ppm
+    must be NULL in BOTH engines (not an ANSI divide-by-zero abort), and
+    cp_pos must still localize deterministically to the earliest row
+    (every |D_k| is 0, the argmax tie-break)."""
+    import duckdb
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.registry import all_queries
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    doctored = src.withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(0.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = tmp_path / "events_dir"
+    doctored.coalesce(1).write.parquet(str(out))
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    shutil.move(part, str(sfdir / "events.parquet"))
+
+    q = all_queries()["cusum_changepoint"]
+    rows = {r["event_type"]: r for r in q.fn(spark, str(sfdir)).collect()}
+    assert rows["error"]["dev_ppm"] is None
+    assert rows["error"]["cp_pos"] == 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sfdir}/events.parquet')"
+    )
+    duck = {r[0]: r for r in con.execute(q.oracle).fetchall()}
+    assert duck["error"][4] is None
+    assert duck["error"][2] == 1
+
+
+def test_mad_outliers_zero_mad_flags_off_median_both_engines(spark, tmp_path):
+    """MAD = 0 (more than half the group AT the median) is the rule's
+    documented limiting case: every off-median value flags, in BOTH
+    engines, and the medians stay integer-exact."""
+    import duckdb
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_ruuner_spark.registry import all_queries
+    from simple_map_reduce_ruuner_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    # 3 of every 4 'error' rows pinned at 7.77; the rest keep their value
+    doctored = src.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "error") & (F.col("event_id") % 4 != 0),
+            F.lit(7.77),
+        ).otherwise(F.col("value")),
+    )
+    out = tmp_path / "events_dir"
+    doctored.coalesce(1).write.parquet(str(out))
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    shutil.move(part, str(sfdir / "events.parquet"))
+
+    q = all_queries()["mad_outliers"]
+    rows = {r["event_type"]: r for r in q.fn(spark, str(sfdir)).collect()}
+    err = rows["error"]
+    assert err["mad_e4"] == 0
+    assert err["median_milli"] == 7770
+    # every row whose value != 7.77 must flag
+    n_off = doctored.where(
+        (F.col("event_type") == "error") & (F.col("value") != 7.77)
+    ).count()
+    assert err["n_outliers"] == n_off > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sfdir}/events.parquet')"
+    )
+    duck = {r[0]: r for r in con.execute(q.oracle).fetchall()}
+    assert duck["error"][3] == 0 and duck["error"][4] == n_off
