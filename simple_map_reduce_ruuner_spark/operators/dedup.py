@@ -1625,3 +1625,89 @@ QUERIES["dedup_rate_by_source"] = Query(
     "per-source exact-duplicate rate off the 60-bit digest: the "
     "curation feed-health rollup (exact integers, digest-keyed shuffle)",
 )
+
+
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_agree_perms, jaccard_est_milli): estimated
+    shingle-set Jaccard between every pair of ingest feeds, read off the
+    MinHash signatures — the corpus-level overlap matrix a curation
+    pipeline consults before mixing feeds (two feeds at high overlap are
+    the same crawl twice; ``dedup_rate_by_source`` sees WITHIN-feed
+    copies, this sees BETWEEN-feed redundancy).
+
+    The signature of a feed is the permutation-wise MIN over its docs'
+    signatures — min distributes over union, so this IS the MinHash
+    signature of the union of the feed's shingle sets, and the
+    fraction of agreeing permutations estimates the union-level Jaccard
+    (±1/sqrt(16) ≈ 0.25 per pair; the committed-bounds discipline for
+    sketch queries — the estimate is deterministic and the oracle
+    replays it exactly, so the gate checks it bit-for-bit).
+
+    Scale shape: rides the session-cached (doc_id, shingle-hash) table
+    (the lsh_pipeline family — one corpus shingle pass per session no
+    matter how many dedup queries run); the per-source aggregate is one
+    partial/final MIN over 16 columns keyed by source, output
+    |sources| rows; the pair matrix is a broadcast self-join of that
+    |sources|-bounded table (190 pairs at 20 feeds) — corpus×corpus
+    never forms.
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sig = (
+        wide.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_PERMS)])
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.cast("long").alias("n_agree_perms"),
+            (agree.cast("long") * 1000 / F.lit(N_PERMS))
+            .cast("long")
+            .alias("jaccard_est_milli"),
+        )
+    )
+
+
+def _source_overlap_sql() -> str:
+    perm_exprs = ", ".join(
+        f"({minhash_perm_sql(hash60_sql('shingle'), i)}) AS h{i}"
+        for i in range(N_PERMS)
+    )
+    mins = ", ".join(f"min(h{i}) AS h{i}" for i in range(N_PERMS))
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_PERMS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {perm_exprs} FROM sh),
+sig AS (
+    SELECT d.source, {mins}
+    FROM hashed h JOIN documents d USING (doc_id)
+    GROUP BY d.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST({agree} AS BIGINT) AS n_agree_perms,
+       CAST(CAST({agree} AS BIGINT) * 1000 // {N_PERMS} AS BIGINT)
+           AS jaccard_est_milli
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
+SOURCE_OVERLAP_MINHASH_SQL = _source_overlap_sql()
+
+QUERIES["source_overlap_minhash"] = Query(
+    source_overlap_minhash,
+    SOURCE_OVERLAP_MINHASH_SQL,
+    "between-feed shingle-Jaccard estimate from per-source MinHash "
+    "(min over docs = signature of the union); |sources|-bounded matrix",
+)

@@ -149,6 +149,7 @@ CACHE_FAMILIES: dict[str, tuple[str, ...]] = {
         "neardup_lsh_verified",
         "neardup_minhash_lsh",
         "neardup_shared_span",
+        "source_overlap_minhash",
     ),
     # dedup._SIMHASH_CACHE (textlm.simhash_band_pairs rides it)
     "simhash": ("simhash", "simhash_band_pairs"),
@@ -161,6 +162,9 @@ CACHE_FAMILIES: dict[str, tuple[str, ...]] = {
     # session); the first member to run on a corpus pays the build,
     # every later invocation probes the materialized index
     "ivf_index": ("ann_topk_ivf_indexed", "ivf_index_stats"),
+    # bpe_index.build_bpe_merges: content-keyed ON-DISK merge table
+    # (same contract as ivf_index — first member builds, riders reuse)
+    "bpe_merges": ("bpe_encode_indexed", "bpe_merge_table"),
 }
 
 
@@ -281,6 +285,7 @@ _EXTENSION_MODULES = [
     "operators.codecs",
     "operators.privacy",
     "operators.ivf",
+    "operators.bpe_index",
 ]
 
 _EXTENSION_LOADERS = [_module_loader(m) for m in _EXTENSION_MODULES] + [

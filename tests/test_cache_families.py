@@ -33,6 +33,7 @@ FAMILY_HELPERS = {
     # on-disk content-keyed index rather than session_cache, but the
     # same cold/rider bench semantics: first member builds, rest reuse
     "ivf_index": {"build_ivf_index"},
+    "bpe_merges": {"build_bpe_merges"},
 }
 
 _OPS_DIR = os.path.join(
