@@ -104,6 +104,23 @@ def probe_stat(ts: list[float]) -> tuple[float, list[float]]:
     return min(warm), warm
 
 
+def trace_median_index(trace: list[dict]) -> float | None:
+    """Robust one-number machine index from the per-pass probe trace:
+    the MEDIAN of per-pass ``probe_s``. The r15 close run showed why
+    neither extreme works as the normalizer: the min (start probe
+    1.459) under-represented a run that sat ~2.1 for most passes
+    (over-pessimistic normalization), while per-pass division let one
+    steal-hit 19.9 s probe rescale its whole pass 13× (over-optimistic)
+    — the median of the passes shrugs off a single poisoned probe and
+    tracks the run's typical capability. None when the trace is too
+    short to be robust (<3 usable probes); callers then fall back to
+    machine_index."""
+    vals = [t.get("probe_s", 0.0) for t in trace if t.get("probe_s", 0) > 0]
+    if len(vals) < 3:
+        return None
+    return median(vals)
+
+
 def machine_index_probe(spark, reps: int = 5) -> dict:
     """FROZEN r14 calibration probe (plan in :func:`_probe_plan_once`,
     warm-up/min contract in :func:`probe_stat`).
@@ -577,6 +594,7 @@ def main() -> None:
     vs_prev_round: dict[str, float] = {}
     vs_prev_round_norm: dict[str, float] = {}
     vs_prev_round_trace_norm: dict[str, float] = {}
+    vs_prev_round_median_drift_norm: dict[str, float] = {}
     prev_block: dict = {}
     if prev_full and prev_full.get("sf") != sf:
         # a dev run at another scale must not publish a cross-sf ratio
@@ -604,6 +622,24 @@ def main() -> None:
                 n: round(plain_trace_norm[n] / prev_plain[n] / drift, 3)
                 for n in names
                 if prev_plain.get(n, 0) > 0 and plain_trace_norm.get(n, 0) > 0
+            }
+        # Median-of-trace drift (r15 close-run lesson, promoted to a
+        # column): one robust drift number from the per-pass probe
+        # medians of BOTH rounds (fallback: the other side's
+        # machine_index when it predates the trace). The r15 read-out
+        # had to bracket the truth by hand between the min-index (1.129,
+        # over-pessimistic) and per-pass (0.711, over-optimistic)
+        # columns; median(trace)/median(prev_trace) ≈ the 0.77 the
+        # hand analysis landed on.
+        now_tm = trace_median_index(machine_trace)
+        prev_tm = trace_median_index(
+            prev_full.get("machine", {}).get("machine_trace", [])
+        ) or prev_full.get("machine", {}).get("machine_index")
+        if now_tm and prev_tm and prev_tm > 0:
+            drift_tm = now_tm / prev_tm
+            prev_block["machine_drift_trace_median"] = round(drift_tm, 3)
+            vs_prev_round_median_drift_norm = {
+                n: round(r / drift_tm, 3) for n, r in vs_prev_round.items()
             }
 
     doc = {
@@ -637,6 +673,7 @@ def main() -> None:
         "vs_prev_round_machine_normalized": vs_prev_round_norm,
         "queries_trace_normalized": queries_trace_norm,
         "vs_prev_round_trace_normalized": vs_prev_round_trace_norm,
+        "vs_prev_round_median_drift_normalized": vs_prev_round_median_drift_norm,
         **prev_block,
     }
     print(json.dumps(doc))
@@ -738,6 +775,18 @@ def main() -> None:
                 "vs_prev_round_machine_normalized": _med_p90(
                     prev_ratios_norm
                 ),
+                "vs_prev_round_median_drift_normalized": {
+                    **(
+                        {
+                            "drift": prev_block["machine_drift_trace_median"]
+                        }
+                        if "machine_drift_trace_median" in prev_block
+                        else {}
+                    ),
+                    **_med_p90(
+                        sorted(vs_prev_round_median_drift_norm.values())
+                    ),
+                },
                 "full": "BENCH_FULL_LATEST.json",
             }
         )

@@ -158,3 +158,23 @@ def test_load_prev_full_skips_current_rounds_own_close_file(tmp_path):
     (tmp_path / "CORRECTNESS_r15.json").write_text("{}")
     name, doc = load_prev_full(str(tmp_path))
     assert name == "BENCH_FULL_r15.json" and doc["value"] == 4.0
+
+
+def test_trace_median_index_shrugs_off_one_poisoned_probe():
+    """r15 close-run lesson as a behavior pin: one steal-hit pass probe
+    (19.9 s against ~2.1 s siblings) must not move the robust index,
+    and short traces must decline to answer (fallback handled by the
+    caller)."""
+    from bench import trace_median_index
+
+    trace = [
+        {"probe_s": 19.9},
+        {"probe_s": 2.46},
+        {"probe_s": 1.98},
+        {"probe_s": 2.10},
+        {"probe_s": 2.13},
+    ]
+    assert trace_median_index(trace) == 2.13
+    # zero/missing probes are dropped, not counted
+    assert trace_median_index([{"probe_s": 0.0}, {}, {"probe_s": 2.0}]) is None
+    assert trace_median_index([{"probe_s": 2.0}, {"probe_s": 2.2}]) is None
