@@ -41,7 +41,11 @@ from simple_map_reduce_ruuner_spark.operators.textstats import (
 )
 from simple_map_reduce_ruuner_spark.operators.relational import dsum
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
+from simple_map_reduce_ruuner_spark.sources.tables import (
+    ckpt,
+    load_table,
+    spread_scan,
+)
 
 CHUNK_LEN = 200
 CHUNK_STRIDE = 150
@@ -449,11 +453,18 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = base.groupBy("event_type").agg(
         F.percentile("x2", F.lit(0.5)).cast("long").alias("m2")
     )
-    devs = base.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "x2",
-        "m2",
-        (F.abs(F.col("x2") - F.col("m2")) * 2).alias("dev2"),
+    # ckpt: devs feeds BOTH the MAD percentile pass and the census —
+    # without it each consumer re-scans events and re-runs the median
+    # join (executed-plan audit: 3 event passes); the lazy checkpoint
+    # materializes the 4 narrow columns once.
+    devs = ckpt(
+        base.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "x2",
+            "m2",
+            (F.abs(F.col("x2") - F.col("m2")) * 2).alias("dev2"),
+        ),
+        eager=False,
     )
     mad = devs.groupBy("event_type").agg(
         F.percentile("dev2", F.lit(0.5)).cast("long").alias("mad4")

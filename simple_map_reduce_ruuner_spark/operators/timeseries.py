@@ -917,10 +917,17 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·Σ|y|) is the integer-exact normalized pull, range [0, 2·10⁶],
     NULL when the series is all-zero (n·Σ|y| = 0 — guarded, ANSI-safe).
 
-    Scale shape: one exchange on event_type; the ordered-prefix and
-    whole-partition windows share the same sort, then two
-    |event_type|-bounded aggregates (max, then earliest-argmax via the
-    equality join — broadcast, 5 rows). No driver state, no floats.
+    Scale shape: ONE scan, ONE exchange on event_type. The
+    ordered-prefix and whole-partition windows share the same sort, and
+    the per-type max|D| is a THIRD window over the same partitioning
+    rather than an aggregate-and-join-back — the first cut aggregated
+    max into a broadcast join and the column-pruned aggregate branch
+    canonicalized differently from the probe branch, so the runtime
+    plan scanned events and ran the window stack TWICE (the token_pmi
+    lesson, caught by this round's executed-plan audit). Stacking the
+    max as a window keeps everything in the one sorted partition;
+    the earliest-argmax is then a filter + one |event_type|-bounded
+    aggregate. No join, no driver state, no floats.
     """
     ev = load_table(spark, sf_dir, "events")
     y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
@@ -946,9 +953,8 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("s_k") - d38(F.col("k")) * F.col("s_n")
         ).alias("abs_dev"),
     )
-    peaks = devs.groupBy("event_type").agg(F.max("abs_dev").alias("max_dev"))
     return (
-        devs.join(F.broadcast(peaks), "event_type")
+        devs.withColumn("max_dev", F.max("abs_dev").over(w_all))
         .where(F.col("abs_dev") == F.col("max_dev"))
         .groupBy("event_type")
         .agg(
