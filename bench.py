@@ -632,9 +632,22 @@ def main() -> None:
         # columns; median(trace)/median(prev_trace) ≈ the 0.77 the
         # hand analysis landed on.
         now_tm = trace_median_index(machine_trace)
-        prev_tm = trace_median_index(
-            prev_full.get("machine", {}).get("machine_trace", [])
-        ) or prev_full.get("machine", {}).get("machine_index")
+        prev_machine = prev_full.get("machine", {})
+        # Fallback comparability (review-found): the pre-trace rounds
+        # only published machine_index, a MIN-of-warm-reps — dividing a
+        # median-of-passes by a min systematically inflates the drift
+        # (r15 close: trace median 2.66 vs min 1.54 on the same run)
+        # and biases the normalized column low. Use the MEDIAN of the
+        # prev round's probe warm reps (start+end) — the same order
+        # statistic — and only then fall back to machine_index.
+        prev_reps = prev_machine.get("machine_index_start_reps", []) + (
+            prev_machine.get("machine_index_end_reps", [])
+        )
+        prev_tm = (
+            trace_median_index(prev_machine.get("machine_trace", []))
+            or (median(prev_reps) if len(prev_reps) >= 3 else None)
+            or prev_machine.get("machine_index")
+        )
         if now_tm and prev_tm and prev_tm > 0:
             drift_tm = now_tm / prev_tm
             prev_block["machine_drift_trace_median"] = round(drift_tm, 3)

@@ -295,10 +295,11 @@ QUERIES["nation_yoy_growth"] = Query(
 def session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(t1, t2, t3, n_paths, rank): within-session event-type trigram
     census — the path-mining extension of ``event_transitions``' bigram
-    matrix, with the session boundary enforced (a 30-minute-gap
-    re-entry must not fabricate a path across sessions; the transition
-    matrix deliberately ignores that boundary, this query is the
-    sessionized complement).
+    matrix, with the session boundary enforced (a re-entry after more
+    than SESSION_GAP_SECONDS — the suite-wide 4 h gap from
+    streaming/windows.py — must not fabricate a path across sessions;
+    the transition matrix deliberately ignores that boundary, this
+    query is the sessionized complement).
 
     One exchange, one sort: sessionization (running sum of gap flags,
     the ``sessionize_events`` idiom) and both lookaheads share the same

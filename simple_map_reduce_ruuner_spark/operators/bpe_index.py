@@ -17,9 +17,10 @@ the N×C assignment pass. This module is that shape:
     table, never the chain.
 
   Content-keyed (documents parquet size+mtime of every part, k, format
-  version) with atomic rename + cross-session reuse; concurrent
-  builders race to the rename and losers discard scratch (the
-  ``ivf`` contract, verbatim).
+  version) with atomic rename + cross-session reuse via the SHARED
+  ``sources.index_store.materialize_index`` (one implementation of the
+  build-once contract for every index family — review-found: the first
+  cut copied ivf.py's scaffold verbatim).
 
 - :func:`bpe_merge_table` — reads ``merges/`` back. Oracle:
   ``BPE_TRAIN_MERGES_SQL`` replays all k steps from scratch —
@@ -42,9 +43,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,10 +54,12 @@ from simple_map_reduce_ruuner_spark.operators.textlm import (
     BPE_MERGES,
     BPE_TRAIN_MERGES_SQL,
     _bpe_state_chain,
+    encode_against_types,
+    merge_rows,
+    type_token_counts,
 )
-from simple_map_reduce_ruuner_spark.functions.text import tokens
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
+from simple_map_reduce_ruuner_spark.sources.index_store import materialize_index
 
 INDEX_FORMAT_VERSION = 1
 _MERGES_SCHEMA = "step long, left_sym string, right_sym string, cnt long"
@@ -93,52 +94,30 @@ def build_bpe_merges(
     chain is not re-derived between them. Every later invocation is a
     manifest stat call.
     """
+    if k < 1:
+        raise ValueError(f"BPE needs at least one merge step, got k={k}")
     base = base_dir or os.environ.get("SMRR_BPE_INDEX_DIR") or os.path.join(
         tempfile.gettempdir(), "smrr_bpe_index"
     )
-    key = _index_key(sf_dir, k)
-    final = os.path.join(base, key)
-    manifest = os.path.join(final, "_MANIFEST.json")
-    if not rebuild and os.path.exists(manifest):
-        return final
-    if rebuild and os.path.exists(final):
-        shutil.rmtree(final, ignore_errors=True)
 
-    os.makedirs(base, exist_ok=True)
-    scratch = f"{final}.building-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    def write(scratch: str) -> None:
+        merges, t = _bpe_state_chain(spark, sf_dir, k)
+        merge_rows(merges).write.parquet(os.path.join(scratch, "merges"))
+        t.select(
+            "w", "enc", F.col("wc").cast("long").alias("wc")
+        ).write.parquet(os.path.join(scratch, "types"))
 
-    merges, t = _bpe_state_chain(spark, sf_dir, k)
-    rows = None
-    for step, best in enumerate(merges, start=1):
-        row = best.select(
-            F.lit(step).cast("long").alias("step"),
-            F.col("l").alias("left_sym"),
-            F.col("r").alias("right_sym"),
-            F.col("cnt").cast("long").alias("cnt"),
-        )
-        rows = row if rows is None else rows.unionAll(row)
-    rows.write.parquet(os.path.join(scratch, "merges"))
-    t.select("w", "enc", F.col("wc").cast("long").alias("wc")).write.parquet(
-        os.path.join(scratch, "types")
+    return materialize_index(
+        base,
+        _index_key(sf_dir, k),
+        write,
+        {
+            "format_version": INDEX_FORMAT_VERSION,
+            "k": k,
+            "sf_dir": os.path.realpath(sf_dir),
+        },
+        rebuild=rebuild,
     )
-    with open(os.path.join(scratch, "_MANIFEST.json"), "w") as fh:
-        json.dump(
-            {
-                "format_version": INDEX_FORMAT_VERSION,
-                "k": k,
-                "sf_dir": os.path.realpath(sf_dir),
-            },
-            fh,
-        )
-    try:
-        os.rename(scratch, final)
-    except OSError:
-        # a concurrent builder won the rename; same content key, same
-        # index — discard ours
-        shutil.rmtree(scratch, ignore_errors=True)
-        if not os.path.exists(manifest):
-            raise
-    return final
 
 
 def bpe_merge_table(
@@ -176,37 +155,10 @@ def bpe_encode_indexed(
     the industrial tokenizer shape.
     """
     path = build_bpe_merges(spark, sf_dir, k, base_dir=base_dir)
-    per_type = (
-        spark.read.schema(_TYPES_SCHEMA)
-        .parquet(os.path.join(path, "types"))
-        .select(
-            "w",
-            F.expr("size(split(enc, concat(char(31), char(31))))").alias(
-                "n_tok"
-            ),
-            F.char_length("w").alias("n_ch"),
-        )
+    types = spark.read.schema(_TYPES_SCHEMA).parquet(
+        os.path.join(path, "types")
     )
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    return (
-        words.join(per_type, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.sum("n_ch").cast("long").alias("n_chars"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_tokens",
-            "n_chars",
-            F.expr("n_chars * 1000 div n_tokens").alias(
-                "chars_per_token_milli"
-            ),
-        )
-    )
+    return encode_against_types(spark, sf_dir, type_token_counts(types))
 
 
 QUERIES: dict[str, Query] = {

@@ -1653,10 +1653,15 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     wide = _minhash_wide(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sig = (
+    # ckpt: the self-join's broadcast side cannot reuse the stream
+    # side's exchange, so without it the corpus-sized MIN aggregation
+    # runs twice per invocation (review-found); the checkpoint holds
+    # |sources| x 16 longs.
+    sig = ckpt(
         wide.join(docs, "doc_id")
         .groupBy("source")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_PERMS)])
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_PERMS)]),
+        eager=False,
     )
     a = sig.alias("a")
     b = sig.alias("b")
@@ -1671,9 +1676,14 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
             agree.cast("long").alias("n_agree_perms"),
-            (agree.cast("long") * 1000 / F.lit(N_PERMS))
-            .cast("long")
-            .alias("jaccard_est_milli"),
+        )
+        # integer div, not float-divide-then-cast: the truncation must
+        # be the same operation in both engines by construction, not by
+        # small-operand coincidence (review-found; the module's
+        # pure-integer discipline)
+        .withColumn(
+            "jaccard_est_milli",
+            F.expr(f"n_agree_perms * 1000 div {N_PERMS}"),
         )
     )
 

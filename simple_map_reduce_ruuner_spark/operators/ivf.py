@@ -21,9 +21,10 @@ This module is the deployable shape:
     nprobe/C of the corpus, not the corpus.
 
   The index is content-keyed (embeddings parquet size+mtime, C,
-  format version) and reused across invocations/sessions; a rebuild
-  happens only when the key changes. Concurrent builders race to an
-  atomic directory rename; losers discard their scratch.
+  format version) and reused across invocations/sessions via the shared
+  ``sources.index_store.materialize_index`` scaffold (atomic rename,
+  builder races, manifest-last validity); a rebuild happens only when
+  the key changes.
 
 - :func:`ann_topk_ivf_indexed` — the probe. Quantizes only the query
   vectors, ranks TRAINED cells by exact integer L2 (ties to smaller
@@ -47,9 +48,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 import tempfile
-import uuid
 from math import ceil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -69,6 +68,7 @@ from simple_map_reduce_ruuner_spark.operators.similarity import (
 )
 from simple_map_reduce_ruuner_spark.functions.vectors import with_unrolled_cosine
 from simple_map_reduce_ruuner_spark.registry import Query
+from simple_map_reduce_ruuner_spark.sources.index_store import materialize_index
 from simple_map_reduce_ruuner_spark.sources.tables import load_table
 
 # C ≈ sqrt(N) at the test corpora (500 embeddings at sf0.001 AND
@@ -130,63 +130,50 @@ def build_ivf_index(
     base = base_dir or os.environ.get("SMRR_IVF_INDEX_DIR") or os.path.join(
         tempfile.gettempdir(), "smrr_ivf_index"
     )
-    key = _index_key(sf_dir, n_cells, n_iters)
-    final = os.path.join(base, key)
-    manifest = os.path.join(final, "_MANIFEST.json")
-    if not rebuild and os.path.exists(manifest):
-        return final
-    if rebuild and os.path.exists(final):
-        shutil.rmtree(final, ignore_errors=True)
-
-    os.makedirs(base, exist_ok=True)
-    scratch = f"{final}.building-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-
     n_vecs = _parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
-    n_groups = max(1, ceil(n_vecs / clustering._ASSIGN_GROUP_ROWS))
-    qv = clustering._quantized(spark, sf_dir)
-    seeds = qv.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("c")
-    )
-    assigned = clustering._assign(spark, qv, seeds, n_groups)
-    trained = seeds
-    for _ in range(n_iters):
-        trained = clustering._update(assigned)
-        assigned = clustering._assign(spark, qv, trained, n_groups)
 
-    trained.write.parquet(os.path.join(scratch, "centroids"))
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    (
-        assigned.select("vec_id", "cid", "dist2")
-        .join(emb, "vec_id")
-        .select(
-            "vec_id",
-            "embedding",
-            "dist2",
-            F.col("cid").cast("int").alias("cell"),
+    def write(scratch: str) -> None:
+        n_groups = max(1, ceil(n_vecs / clustering._ASSIGN_GROUP_ROWS))
+        qv = clustering._quantized(spark, sf_dir)
+        seeds = qv.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("c")
         )
-        .write.partitionBy("cell")
-        .parquet(os.path.join(scratch, "postings"))
+        assigned = clustering._assign(spark, qv, seeds, n_groups)
+        trained = seeds
+        for _ in range(n_iters):
+            trained = clustering._update(assigned)
+            assigned = clustering._assign(spark, qv, trained, n_groups)
+
+        trained.write.parquet(os.path.join(scratch, "centroids"))
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        (
+            assigned.select("vec_id", "cid", "dist2")
+            .join(emb, "vec_id")
+            .select(
+                "vec_id",
+                "embedding",
+                "dist2",
+                F.col("cid").cast("int").alias("cell"),
+            )
+            .write.partitionBy("cell")
+            .parquet(os.path.join(scratch, "postings"))
+        )
+
+    return materialize_index(
+        base,
+        _index_key(sf_dir, n_cells, n_iters),
+        write,
+        {
+            "format_version": INDEX_FORMAT_VERSION,
+            "n_cells": n_cells,
+            "n_iters": n_iters,
+            "n_vectors": n_vecs,
+            "sf_dir": os.path.realpath(sf_dir),
+        },
+        rebuild=rebuild,
     )
-    with open(os.path.join(scratch, "_MANIFEST.json"), "w") as fh:
-        json.dump(
-            {
-                "format_version": INDEX_FORMAT_VERSION,
-                "n_cells": n_cells,
-                "n_iters": n_iters,
-                "n_vectors": n_vecs,
-                "sf_dir": os.path.realpath(sf_dir),
-            },
-            fh,
-        )
-    try:
-        os.rename(scratch, final)
-    except OSError:
-        # a concurrent builder won the rename; its index is equivalent
-        # (same content key) — discard ours
-        shutil.rmtree(scratch, ignore_errors=True)
-        if not os.path.exists(manifest):
-            raise
-    return final
 
 
 def _read_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

@@ -621,6 +621,8 @@ def _bpe_state_chain(
     emits the merge table) and the encoder (which tokenizes with the
     final state). State rows carry (w, enc, wc); see
     :func:`bpe_train_merges` for the algorithm and oracle discipline."""
+    if k < 1:
+        raise ValueError(f"BPE needs at least one merge step, got k={k}")
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     types = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -695,6 +697,13 @@ def bpe_train_merges(
     tokenizer training; north-star text-analysis extension.
     """
     merges, _ = _bpe_state_chain(spark, sf_dir, k)
+    return merge_rows(merges)
+
+
+def merge_rows(merges: list[DataFrame]) -> DataFrame:
+    """(step, left_sym, right_sym, cnt) union over the chain's per-step
+    argmax frames — shared output shape of the inline trainer and the
+    materialized index writer (``bpe_index.build_bpe_merges``)."""
     out = None
     for step, best in enumerate(merges, start=1):
         row = best.select(
@@ -727,11 +736,25 @@ def bpe_encode_docs(
     — a corpus that small has no meaningful BPE vocabulary.
     """
     _, t = _bpe_state_chain(spark, sf_dir, k)
-    per_type = t.select(
+    return encode_against_types(spark, sf_dir, type_token_counts(t))
+
+
+def type_token_counts(t: DataFrame) -> DataFrame:
+    """(w, n_tok, n_ch) off a (w, enc, wc) symbolization state — the
+    per-word-type token accounting both encode paths join against."""
+    return t.select(
         "w",
         F.expr("size(split(enc, concat(char(31), char(31))))").alias("n_tok"),
         F.char_length("w").alias("n_ch"),
     )
+
+
+def encode_against_types(
+    spark: SparkSession, sf_dir: str, per_type: DataFrame
+) -> DataFrame:
+    """One corpus explode + a word-type join + a per-doc aggregate:
+    the apply side shared by ``bpe_encode_docs`` (types from the inline
+    chain) and ``bpe_index.bpe_encode_indexed`` (types off disk)."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     return (

@@ -178,3 +178,34 @@ def test_trace_median_index_shrugs_off_one_poisoned_probe():
     # zero/missing probes are dropped, not counted
     assert trace_median_index([{"probe_s": 0.0}, {}, {"probe_s": 2.0}]) is None
     assert trace_median_index([{"probe_s": 2.0}, {"probe_s": 2.2}]) is None
+
+
+def test_median_drift_fallback_uses_prev_probe_rep_median_not_min():
+    """r15 self-review: dividing a median-of-passes by the prev round's
+    MIN-of-warm-reps machine_index inflates drift (r15 close: published
+    1.651 vs corrected 1.295 against r14's rep median). The fallback
+    chain must prefer prev machine_trace, then the median of prev probe
+    warm reps, and only then the min-statistic machine_index."""
+    import statistics
+
+    from bench import trace_median_index, median
+
+    prev_machine = {
+        "machine_index": 1.613,  # min — must NOT be used when reps exist
+        "machine_index_start_reps": [1.815, 1.739, 1.613, 2.536, 1.957],
+        "machine_index_end_reps": [4.003, 2.575, 3.022, 2.157, 1.744],
+    }
+    # mirrors the bench.py fallback chain
+    prev_reps = prev_machine["machine_index_start_reps"] + prev_machine[
+        "machine_index_end_reps"
+    ]
+    prev_tm = (
+        trace_median_index(prev_machine.get("machine_trace", []))
+        or (median(prev_reps) if len(prev_reps) >= 3 else None)
+        or prev_machine["machine_index"]
+    )
+    assert prev_tm == statistics.median(prev_reps) == 2.057
+    # with a trace present, the trace wins
+    prev_machine["machine_trace"] = [{"probe_s": x} for x in (2.0, 2.2, 2.4)]
+    prev_tm = trace_median_index(prev_machine["machine_trace"]) or prev_tm
+    assert prev_tm == 2.2

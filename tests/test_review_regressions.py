@@ -194,14 +194,28 @@ def test_mannwhitney_one_sided_split_is_null_both_engines(spark):
     assert duck is None
 
 
+def _stage_events(doctored, tmp_path):
+    """Write a doctored events DataFrame as <tmp>/sf/events.parquet and
+    return the sf-dir path (single part file, the driver table layout).
+    Shared by every doctored-events regression test below."""
+    import glob
+    import shutil
+
+    out = tmp_path / "events_dir"
+    doctored.coalesce(1).write.parquet(str(out))
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    shutil.move(part, str(sfdir / "events.parquet"))
+    return str(sfdir)
+
+
 def test_ks_value_shift_one_sided_type_is_null_not_ansi_crash(spark, tmp_path):
     """r15 review: an event_type with every event on ONE side of the
     snapshot split (a type first seen after the split date — the drift
     case the monitor exists for) must yield NULL in BOTH engines, not a
     Spark-ANSI DIVIDE_BY_ZERO abort."""
     import duckdb
-    import glob
-    import shutil
 
     from pyspark.sql import functions as F
 
@@ -216,15 +230,10 @@ def test_ks_value_shift_one_sided_type_is_null_not_ansi_crash(spark, tmp_path):
             F.lit("2025-06-01 00:00:00").cast(src.schema["ts"].dataType),
         ).otherwise(F.col("ts")),
     )
-    out = tmp_path / "events_dir"
-    doctored.coalesce(1).write.parquet(str(out))
-    part = glob.glob(f"{out}/part-*.parquet")[0]
-    sfdir = tmp_path / "sf"
-    sfdir.mkdir()
-    shutil.move(part, str(sfdir / "events.parquet"))
+    sfdir = _stage_events(doctored, tmp_path)
 
     q = all_queries()["ks_value_shift"]
-    rows = {r["event_type"]: r for r in q.fn(spark, str(sfdir)).collect()}
+    rows = {r["event_type"]: r for r in q.fn(spark, sfdir).collect()}
     assert rows["error"]["ks_stat"] is None
     assert rows["error"]["n_base"] == 0
     con = duckdb.connect()
@@ -243,8 +252,6 @@ def test_cusum_changepoint_allzero_type_is_null_both_engines(spark, tmp_path):
     cp_pos must still localize deterministically to the earliest row
     (every |D_k| is 0, the argmax tie-break)."""
     import duckdb
-    import glob
-    import shutil
 
     from pyspark.sql import functions as F
 
@@ -258,15 +265,10 @@ def test_cusum_changepoint_allzero_type_is_null_both_engines(spark, tmp_path):
             F.col("value")
         ),
     )
-    out = tmp_path / "events_dir"
-    doctored.coalesce(1).write.parquet(str(out))
-    part = glob.glob(f"{out}/part-*.parquet")[0]
-    sfdir = tmp_path / "sf"
-    sfdir.mkdir()
-    shutil.move(part, str(sfdir / "events.parquet"))
+    sfdir = _stage_events(doctored, tmp_path)
 
     q = all_queries()["cusum_changepoint"]
-    rows = {r["event_type"]: r for r in q.fn(spark, str(sfdir)).collect()}
+    rows = {r["event_type"]: r for r in q.fn(spark, sfdir).collect()}
     assert rows["error"]["dev_ppm"] is None
     assert rows["error"]["cp_pos"] == 1
     con = duckdb.connect()
@@ -283,8 +285,6 @@ def test_mad_outliers_zero_mad_flags_off_median_both_engines(spark, tmp_path):
     documented limiting case: every off-median value flags, in BOTH
     engines, and the medians stay integer-exact."""
     import duckdb
-    import glob
-    import shutil
 
     from pyspark.sql import functions as F
 
@@ -300,15 +300,10 @@ def test_mad_outliers_zero_mad_flags_off_median_both_engines(spark, tmp_path):
             F.lit(7.77),
         ).otherwise(F.col("value")),
     )
-    out = tmp_path / "events_dir"
-    doctored.coalesce(1).write.parquet(str(out))
-    part = glob.glob(f"{out}/part-*.parquet")[0]
-    sfdir = tmp_path / "sf"
-    sfdir.mkdir()
-    shutil.move(part, str(sfdir / "events.parquet"))
+    sfdir = _stage_events(doctored, tmp_path)
 
     q = all_queries()["mad_outliers"]
-    rows = {r["event_type"]: r for r in q.fn(spark, str(sfdir)).collect()}
+    rows = {r["event_type"]: r for r in q.fn(spark, sfdir).collect()}
     err = rows["error"]
     assert err["mad_e4"] == 0
     assert err["median_milli"] == 7770
