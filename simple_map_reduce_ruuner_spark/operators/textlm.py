@@ -28,7 +28,7 @@ the repo-wide determinism rules (see tfidf_scores).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.functions.hashing import hash60_sql
@@ -897,3 +897,105 @@ QUERIES: dict[str, Query] = {
         "per-doc fraction of bigrams first seen in that doc",
     ),
 }
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, docs_upto, vocab_upto, new_tokens, vocab_per_doc_milli):
+    vocabulary growth at geometric corpus checkpoints — the Heaps'-law
+    curve a corpus budget is planned against (how fast does the
+    vocabulary still grow if we ingest 2x more?), and the statistic that
+    separates organic corpora (steady sub-linear growth) from template
+    spam (early plateau).
+
+    Checkpoint b = "the corpus restricted to doc_id < 2^b". Scale-clean
+    construction with NO global rank/sort and no driver state: each
+    token's first-occurrence doc (one vocabulary-bounded MIN aggregate)
+    and each doc land in the integer bucket ``length(bin(id))`` (0 for
+    id 0) — the float-free log2 idiom from ``interarrival_hist`` — and
+    id < 2^b  ⟺  bucket(id) ≤ b, so both cumulative curves are running
+    sums over the ≤64 bucket rows (a single-partition window over a
+    bucket-bounded aggregate, the rankstats convention). The join of
+    the two ≤64-row tables is trivially broadcast. Exact integers
+    everywhere; vocab_per_doc_milli is an integer div.
+
+    Buckets with docs but no new tokens still appear (growth 0 — the
+    plateau signal IS the point), via a left join from the doc curve.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    bucket = lambda c: F.when(  # noqa: E731
+        F.col(c) > 0, F.length(F.bin(F.col(c)))
+    ).otherwise(F.lit(0)).cast("long")
+    firsts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(bucket("first_doc").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    per_doc = (
+        docs.select(bucket("doc_id").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_docs"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        per_doc.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "new_docs",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .select(
+            "bucket",
+            F.sum("new_docs").over(w_cum).cast("long").alias("docs_upto"),
+            F.sum("new_tokens").over(w_cum).cast("long").alias("vocab_upto"),
+            F.col("new_tokens").cast("long").alias("new_tokens"),
+        )
+    )
+    return curve.withColumn(
+        "vocab_per_doc_milli", F.expr("vocab_upto * 1000 div docs_upto")
+    )
+
+
+VOCAB_GROWTH_CURVE_SQL = f"""
+WITH tok AS ({_TOK_ROWS_SQL}),
+firsts AS (
+    SELECT CASE WHEN min(doc_id) > 0 THEN length(bin(min(doc_id)))
+                ELSE 0 END AS bucket
+    FROM tok GROUP BY token
+),
+tok_b AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS new_tokens
+    FROM firsts GROUP BY 1
+),
+doc_b AS (
+    SELECT CASE WHEN doc_id > 0 THEN length(bin(doc_id)) ELSE 0 END
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS new_docs
+    FROM documents GROUP BY 1
+),
+curve AS (
+    SELECT d.bucket,
+           CAST(sum(d.new_docs) OVER w AS BIGINT) AS docs_upto,
+           CAST(sum(coalesce(t.new_tokens, 0)) OVER w AS BIGINT)
+               AS vocab_upto,
+           CAST(coalesce(t.new_tokens, 0) AS BIGINT) AS new_tokens
+    FROM doc_b d LEFT JOIN tok_b t USING (bucket)
+    WINDOW w AS (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, docs_upto, vocab_upto,
+       new_tokens,
+       CAST(vocab_upto * 1000 // docs_upto AS BIGINT)
+           AS vocab_per_doc_milli
+FROM curve
+"""
+
+QUERIES["vocab_growth_curve"] = Query(
+    vocab_growth_curve,
+    VOCAB_GROWTH_CURVE_SQL,
+    "Heaps'-law vocabulary growth at 2^b doc-id checkpoints: log2-bucket "
+    "firsts, cumulative sums over <=64 bucket rows, no global sort",
+)
