@@ -134,42 +134,60 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (0.0 for documents with fewer than 2 tokens)
 
     Both signals are exploded-count partial/final aggregations — the
-    shuffle carries (doc_id, token-or-bigram, count) partial rows, never
-    full documents.
+    shuffle carries (doc_id, kind, gram, count) partial rows, never full
+    documents. Unigrams and bigrams explode out of ONE kind-tagged pass:
+    the old two-branch form tokenized the corpus twice (the interpreted
+    higher-order split is the CPU hot spot) and joined the two per-doc
+    aggregates back — one tokenize, two exchanges, and conditional
+    aggregation replaces the join (guide §2.4;
+    plans/r15/repetition_stats_before.txt shows the doubled subtree).
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
 
-    uni = (
-        toks.select("doc_id", F.explode("toks").alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.max("c").cast("long").alias("top_cnt"),
-        )
-    )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+    # length-guarded slice zip (the ANSI-safe BPE pattern): slice length
+    # 0 gives [] for 0/1-token docs, where sequence(1, size-1) would
+    # yield the DESCENDING [1, 0] and fabricate bigrams
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pair_structs = F.transform(
+        F.arrays_zip(F.slice(F.col("toks"), 1, n1), F.slice(F.col("toks"), 2, n1)),
+        lambda p: F.struct(
+            F.lit(1).alias("kind"),
+            F.concat_ws(" ", p["0"], p["1"]).alias("g"),
         ),
     )
-    bi = (
-        toks.filter(F.size("toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("b"))
-        .groupBy("doc_id", "b")
+    tok_structs = F.transform(
+        F.col("toks"),
+        lambda t: F.struct(F.lit(0).alias("kind"), t.alias("g")),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.concat(tok_structs, pair_structs)).alias("x"),
+    ).select("doc_id", F.col("x.kind").alias("kind"), F.col("x.g").alias("g"))
+
+    per_doc = (
+        grams.groupBy("doc_id", "kind", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            F.max("c").cast("long").alias("top_bi_cnt"),
+            F.sum(F.when(F.col("kind") == 0, F.col("c"))).cast("long").alias(
+                "n_tokens"
+            ),
+            F.count(F.when(F.col("kind") == 0, F.lit(1))).cast("long").alias(
+                "n_distinct"
+            ),
+            F.max(F.when(F.col("kind") == 0, F.col("c"))).cast("long").alias(
+                "top_cnt"
+            ),
+            F.sum(F.when(F.col("kind") == 1, F.col("c"))).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.max(F.when(F.col("kind") == 1, F.col("c"))).cast("long").alias(
+                "top_bi_cnt"
+            ),
         )
     )
-    joined = uni.join(bi, "doc_id", "left")
-    return joined.select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_token_frac"),

@@ -43,20 +43,41 @@ DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected bipartite trading edges: customer node 2k, supplier
-    node 2k+1; one edge pair per distinct trading relationship."""
+    node 2k+1; one edge pair per distinct trading relationship —
+    already hash-partitioned AND deduplicated on src.
+
+    Shuffle accounting (guide §2.3/2.4): the old form ran
+    distinct-on-(c,s) (shuffle 1) then unioned two projections of it
+    (physically duplicating the join+distinct subtree per branch) and
+    repartitioned by src (shuffle 2). Both directions now explode out
+    of ONE join pass, and the single src-keyed exchange does double
+    duty: dropDuplicates runs on top of it without its own shuffle
+    (hash(src) already clusters equal (src, dst) rows), map-side
+    partial aggregation dedupes before the exchange. One shuffle, one
+    subtree. Customer nodes are even, supplier nodes odd, so the two
+    directions cannot collide and per-direction dedup ≡ dedup-then-fan.
+    """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    c = (F.col("o_custkey") * 2).alias("src")
+    s = (F.col("l_suppkey") * 2 + 1).alias("src")
+    both = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
+            F.explode(
+                F.array(
+                    F.struct(c, (F.col("l_suppkey") * 2 + 1).alias("dst")),
+                    F.struct(s, (F.col("o_custkey") * 2).alias("dst")),
+                )
+            ).alias("e")
         )
-        .distinct()
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.unionAll(rev)
+    return (
+        both.repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("src")
+    )
 
 
 def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,19 +90,26 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached blocks in place — only the |V|-sized ranks side moves
     # per iteration, never the |E|-sized edge table (the dominant
     # shuffle of the old plan). Same trick for the node table below.
-    edges = ckpt(
-        _edges(spark, sf_dir).repartition("src").sortWithinPartitions("src")
-    )
+    edges = ckpt(_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = ckpt(
-        deg.select(F.col("src").alias("node"), "outdeg").sortWithinPartitions(
-            "node"
-        )
-    )
-    n_nodes = nodes.select(F.count(F.lit(1)).alias("n"))
+    n_nodes = deg.select(F.count(F.lit(1)).alias("n"))
 
-    # every node appears as src (undirected), so nodes == full node set
-    ranks = nodes.join(F.broadcast(n_nodes)).select(
+    # every node appears as src (undirected), so deg == full node set.
+    # |V| is attached HERE, once, into the checkpointed node table: the
+    # old plan re-joined the 1-row broadcast(n_nodes) inside every
+    # iteration, putting 6 BroadcastNestedLoopJoin + broadcast-exchange
+    # pairs (each a driver round-trip) into the unrolled DAG — 56
+    # Exchange nodes total (plans/r15/pagerank_trading_before.txt).
+    # With (node, outdeg, n) materialized once, each iteration is just
+    # contribute → aggregate → re-attach (guide §2.4: remove repeated
+    # work the optimizer cannot dedupe across an unrolled loop).
+    nodes = ckpt(
+        deg.select(F.col("src").alias("node"), "outdeg")
+        .join(F.broadcast(n_nodes))
+        .sortWithinPartitions("node")
+    )
+
+    ranks = nodes.select(
         "node",
         "outdeg",
         F.col("n"),
@@ -94,20 +122,18 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(F.broadcast(n_nodes))
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                "outdeg",
-                "n",
-                (
-                    F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
-                    + F.expr(
-                        f"({DAMP_DEN - DAMP_NUM} * {SCALE_FEMTO}) div ({DAMP_DEN} * n)"
-                    )
-                ).alias("r"),
-            )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            "outdeg",
+            "n",
+            (
+                F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+                + F.expr(
+                    f"({DAMP_DEN - DAMP_NUM} * {SCALE_FEMTO}) div ({DAMP_DEN} * n)"
+                )
+            ).alias("r"),
         )
     return ranks.select(
         F.col("node").cast("long").alias("node"),

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_map_reduce_ruuner_spark.registry import Query
-from simple_map_reduce_ruuner_spark.sources.tables import load_table
+from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_scan
 
 FORMATS = ("jpeg", "png", "webp")
 
@@ -65,7 +65,18 @@ def cycled_byte_sql(offset: str) -> str:
 
 
 def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, payload) for every codec/container kernel.
+
+    spread_scan (guide §2.5, input skew): documents.parquet at test
+    scale is ONE file with one row group = one input split, so without
+    the repartition every mapInPandas encode/decode kernel downstream —
+    the most CPU-expensive Python in the repo — ran on a single core
+    (measured: decode_image_gif 2.3 s wall for ~1.4 s of kernel CPU
+    that 32 cores should absorb). Every kernel is strictly per-row
+    (each doc encodes to its own container/image/stream), so the
+    round-robin split cannot change any result; at production scale
+    the scan has thousands of splits and spread_scan is a no-op."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

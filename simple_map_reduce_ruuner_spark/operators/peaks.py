@@ -36,11 +36,16 @@ from simple_map_reduce_ruuner_spark.sources.tables import load_table, spread_sca
 DAY_SECONDS = 86_400  # domain bound, finding_peek_numbers/mapper.cpp:16
 
 
-def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _intervals(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """events → (op, number, start_sec, end_sec), inclusive bounds.
     spread_scan: the second-granular interval explode downstream is the
-    CPU hot spot; a one-split local scan would serialize it."""
-    ev = spread_scan(load_table(spark, sf_dir, "events"))
+    CPU hot spot; a one-split local scan would serialize it. The sweep
+    formulation passes ``spread=False``: its first operation is a hash
+    shuffle on (op, number), which already spreads the rows — the
+    round-robin exchange would be a pure extra pass (guide §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    if spread:
+        ev = spread_scan(ev)
     start = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
     ).alias("start_sec")
@@ -95,7 +100,7 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
        Deltas at the same second are summed first so the running sum is
        well-defined at second granularity.
     """
-    iv = _intervals(spark, sf_dir)
+    iv = _intervals(spark, sf_dir, spread=False)
 
     w_order = Window.partitionBy("op", "number").orderBy("start_sec", "end_sec")
     prev_max_end = F.max("end_sec").over(
@@ -112,11 +117,25 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("start_sec").alias("start_sec"), F.max("end_sec").alias("end_sec")
     )
 
+    # Both deltas explode out of ONE pass over merged. The union-of-two-
+    # projections form duplicated the whole upstream subtree (scan →
+    # (op, number) exchange → 2 windows → merge aggregate) into each
+    # union branch — the plan ran the island merge twice (guide §2.4,
+    # remove duplicated work; measured in plans/r15/*_before.txt).
     deltas = merged.select(
-        "op", F.col("start_sec").alias("sec"), F.lit(1).alias("delta")
-    ).unionAll(
-        merged.select("op", (F.col("end_sec") + 1).alias("sec"), F.lit(-1).alias("delta"))
-    )
+        "op",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_sec").alias("sec"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("end_sec") + 1).alias("sec"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("d"),
+    ).select("op", F.col("d.sec").alias("sec"), F.col("d.delta").alias("delta"))
 
     per_sec = deltas.groupBy("op", "sec").agg(F.sum("delta").alias("delta"))
     running = per_sec.withColumn(

@@ -290,25 +290,39 @@ def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     many pairs overlap. At 4h-gap sessions an hour bucket holds ~1/744
     of a month's axis rows; shrink the bucket for denser axes.
     """
+    from simple_map_reduce_ruuner_spark.sources.tables import ckpt
     from simple_map_reduce_ruuner_spark.streaming.windows import session_windows
 
-    sessions = session_windows(spark, sf_dir)
-    ax_start = sessions.select(
+    # Lazy checkpoint: the axis feeds BOTH the per-bucket offset
+    # aggregate and the ranked window below, and the old union-of-two-
+    # projections form additionally duplicated the subtree per branch —
+    # the session-window aggregation (scan + user_id shuffle) appeared
+    # 4× in the physical plan (plans/r15/session_overlap_counts_before
+    # .txt: 18 Exchanges). Exploding both axis rows out of one pass and
+    # materializing sessions once (serialized MEMORY_AND_DISK blocks,
+    # within this one query execution) makes it run once (guide §2.4).
+    sessions = ckpt(session_windows(spark, sf_dir), eager=False)
+    axis = sessions.select(
         "user_id",
         "session_start",
         "session_end",
-        F.col("session_start").alias("t"),
-        F.lit(1).alias("is_start"),
-    )
-    ax_end = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"), F.lit(1).alias("is_start")
+                ),
+                F.struct(
+                    F.col("session_end").alias("t"), F.lit(0).alias("is_start")
+                ),
+            )
+        ).alias("d"),
+    ).select(
         "user_id",
         "session_start",
         "session_end",
-        F.col("session_end").alias("t"),
-        F.lit(0).alias("is_start"),
-    )
-    axis = ax_start.unionByName(ax_end).withColumn(
-        "bucket", F.date_trunc("HOUR", F.col("t"))
+        F.col("d.t").alias("t"),
+        F.col("d.is_start").alias("is_start"),
+        F.date_trunc("HOUR", F.col("d.t")).alias("bucket"),
     )
 
     per_bucket = axis.groupBy("bucket").agg(
