@@ -251,7 +251,7 @@ def countmin_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.operators.mixing import HH_K
     from simple_map_reduce_ruuner_spark.sources.tables import spread_scan
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = explode_tokens(docs).select(
         "token", hash60(F.col("token")).alias("h")
     )
@@ -385,7 +385,7 @@ def bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
     import operator
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     # ONE corpus tokenization: both consumers derive from the distinct
     # (source, h) aggregate, whose shuffle Spark reuses
     # (ReusedExchange) — duplicate tokens can't add bits anyway

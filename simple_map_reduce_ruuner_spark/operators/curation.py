@@ -142,7 +142,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation replaces the join (guide §2.4;
     plans/r15/repetition_stats_before.txt shows the doubled subtree).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
 
     # length-guarded slice zip (the ANSI-safe BPE pattern): slice length
@@ -575,7 +575,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-keyed shuffles; chunk text never leaves the executor (only
     its md5 does).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     # materialize the token array as a COLUMN before the position
     # transform: a lambda that closes over the raw tokens(text)
     # expression re-tokenizes the document per position (interpreted

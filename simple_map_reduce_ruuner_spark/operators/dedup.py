@@ -116,7 +116,7 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spread_scan: the shingle transform is interpreted (HOF), so the
     under-split local scan would serialize it on one core."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     return docs.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)).alias(
@@ -281,7 +281,7 @@ def _doc_shingle_hashes_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache stores the post-distinct rows (~16 B/shingle), so sibling
     queries skip the corpus re-shingle AND its shuffle entirely.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     return (
         docs.select(
             "doc_id",
@@ -542,7 +542,7 @@ def _simhash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_band_pairs riding the shared signatures 62.8 → 17.6 s —
     family total 110 → 24 s.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     hashed = explode_tokens(docs, keep=("doc_id",)).select(
         "doc_id", hash60(F.col("token")).alias("h")
     )
@@ -1257,7 +1257,7 @@ def neardup_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide positional table shuffles once per side, keyed by doc.
     """
     pos_sh = (
-        spread_scan(load_table(spark, sf_dir, "documents"))
+        spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
         .select(
             "doc_id",
             F.posexplode(word_shingles(F.col("text"), SHINGLE_K)).alias(

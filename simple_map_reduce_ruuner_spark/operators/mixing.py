@@ -64,7 +64,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     them too. Deletes the pair-table exchange outright; the only
     shuffle left is the final doc_id groupBy.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -116,7 +116,7 @@ GROUP BY doc_id
 
 def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, lang): docs, tokens, and token share of the corpus."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     per = (
         docs.select("source", "lang", F.size(tokens(F.col("text"))).alias("nt"))
         .groupBy("source", "lang")
@@ -154,7 +154,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm uses BIGINT floor division, so the output is integer-exact;
     the 1-row corpus total is broadcast onto the counts.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     counts = (
         explode_tokens(docs)
         .groupBy("token")
@@ -197,7 +197,7 @@ WHERE cnt * {HH_K} > total
 
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of each document's character distribution."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     per_char = (
         docs.select("doc_id", F.explode(chars(F.col("text"))).alias("ch"))
         .groupBy("doc_id", "ch")
@@ -255,7 +255,7 @@ def mixture_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (an int64 ``total*1e6`` overflows at corpus scale — same
     class as heavy_hitter_tokens' ppm).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     per_doc = docs.select(
         "source", "doc_id", F.size(tokens(F.col("text"))).alias("nt")
     )

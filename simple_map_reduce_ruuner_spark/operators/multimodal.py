@@ -76,7 +76,7 @@ def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each doc encodes to its own container/image/stream), so the
     round-robin split cannot change any result; at production scale
     the scan has thousands of splits and spread_scan is a no-op."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     return docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

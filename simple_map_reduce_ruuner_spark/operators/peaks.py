@@ -45,7 +45,7 @@ def _intervals(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFra
     round-robin exchange would be a pure extra pass (guide §2.4)."""
     ev = load_table(spark, sf_dir, "events")
     if spread:
-        ev = spread_scan(ev)
+        ev = spread_scan(ev, key="event_id")
     start = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
     ).alias("start_sec")

@@ -118,7 +118,7 @@ def _redact_sql(col: str) -> str:
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document containing PII: span counts by type and a digest of
     the redacted text (proving the rewrite, not just the detection)."""
-    docs = _with_pii(spread_scan(load_table(spark, sf_dir, "documents")))
+    docs = _with_pii(spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id"))
     t = F.col("text")
     counted = docs.select(
         "doc_id",
@@ -152,7 +152,7 @@ SELECT * FROM counted WHERE n_emails + n_phones + n_ips > 0
 def pii_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, lang): documents holding PII and span totals by type
     — the report a release review reads before a corpus ships."""
-    docs = _with_pii(spread_scan(load_table(spark, sf_dir, "documents")))
+    docs = _with_pii(spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id"))
     t = F.col("text")
     per_doc = docs.select(
         "source",

@@ -140,7 +140,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a comma-joined numerically-sorted id string (array outputs don't
     survive the driver's hash compare).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     pairs = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("term")
     ).distinct()

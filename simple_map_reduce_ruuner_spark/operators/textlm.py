@@ -92,7 +92,7 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors this with HUGEINT. Both operands are exact integers and
     non-negative, so DIV (truncating) == floor division on both engines.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     tok = explode_tokens(docs, keep=("doc_id",))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
@@ -144,7 +144,7 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams assemble JVM-side from the token array (word_shingles k=2,
     no self-join on position); one partial/final agg keyed by bigram.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     big = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
     )
@@ -195,7 +195,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees differ and defeats exchange reuse (the r14 plan re-scanned
     the corpus 3× through the explode for exactly that reason).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     # the explicit null filters are semantic no-ops (doc_id is the PK;
     # tokens come from split) but make the base subtree CANONICALLY
     # IDENTICAL to what the pair join infers from its keys (isnotnull
@@ -481,7 +481,7 @@ def token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from simple_map_reduce_ruuner_spark.functions.hashing import hash60
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     pairs = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), 2))).alias(
@@ -548,7 +548,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once and never exploded per character; pair rows are
     bounded by Σ|type| over the vocabulary, not by corpus tokens.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     types = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -623,7 +623,7 @@ def _bpe_state_chain(
     :func:`bpe_train_merges` for the algorithm and oracle discipline."""
     if k < 1:
         raise ValueError(f"BPE needs at least one merge step, got k={k}")
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     types = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .where(~F.col("w").contains(_BSEP))
@@ -755,7 +755,7 @@ def encode_against_types(
     """One corpus explode + a word-type join + a per-doc aggregate:
     the apply side shared by ``bpe_encode_docs`` (types from the inline
     chain) and ``bpe_index.bpe_encode_indexed`` (types off disk)."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     return (
         words.join(per_type, "w")
@@ -921,7 +921,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Buckets with docs but no new tokens still appear (growth 0 — the
     plateau signal IS the point), via a left join from the doc curve.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     bucket = lambda c: F.when(  # noqa: E731
         F.col(c) > 0, F.length(F.bin(F.col(c)))
     ).otherwise(F.lit(0)).cast("long")

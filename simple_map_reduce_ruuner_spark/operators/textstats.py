@@ -42,7 +42,7 @@ def _tok_col():
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     t = docs.select("doc_id", F.length("text").alias("n_chars_raw"), _tok_col())
     sum_len = F.aggregate(
         F.transform(F.col("toks"), F.length),
@@ -105,7 +105,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ratio computation + thresholding), not model accuracy. On real data
     the stopword table extends per language (or a model UDF slots into
     the same shape)."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     t = docs.select("doc_id", "lang", _tok_col())
     ratio = _stopword_ratio()
     return t.select(
@@ -141,7 +141,7 @@ FROM r
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic in [0,1]:
     0.4·stopword-signal + 0.3·length-signal + 0.3·token-shape-signal."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     t = docs.select("doc_id", _tok_col())
     n = F.size("toks")
     sum_len = F.aggregate(
@@ -189,7 +189,7 @@ FROM m
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling hash fingerprint of the raw text:
     fold (acc*31 + codepoint) mod 1e9+7 over every character."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     fp = F.aggregate(
         F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")),
         F.lit(0).cast("long"),
@@ -216,7 +216,7 @@ BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style regex tokenization vs whitespace tokenization per doc."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     low = F.lower(F.col("text"))
     n_regex = F.size(F.regexp_extract_all(low, F.lit(BPE_RE), 0)).cast("long")
     n_ws = F.size(tokens(F.col("text"))).cast("long")
@@ -256,7 +256,7 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing ranks on them — rank-crossing float hazards (libm ulp
     differences) can't affect the result set.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     tok = explode_tokens(docs, keep=("doc_id",))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_t = (
@@ -310,7 +310,7 @@ def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 norm: scalar columns hash across engines; raw array cells crash
     the external comparator (round-1 suspects_orders lesson).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     tok = explode_tokens(docs, keep=("doc_id",))
     bucketed = tok.select(
         "doc_id", F.pmod(hash60(F.col("token")), F.lit(HASH_DIM)).alias("b")

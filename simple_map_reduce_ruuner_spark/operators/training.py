@@ -58,7 +58,7 @@ PACK_CAPACITY = 2048  # tokens per packed bin
 
 
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     counts = (
         explode_tokens(docs)
         .groupBy("token")
@@ -317,7 +317,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-group count rides 8-byte digests. At 100 TB this is the
     same one-pass scan as dataset_split plus a count-distinct.
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     h = hash60(norm_text(F.col("text")))
     bucket = F.pmod(
         hash60(F.concat(F.lit("gsplit:"), h.cast("string"))),

@@ -104,7 +104,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.sources.tables import spread_scan
 
-    return char_count_kernel_df(spread_scan(load_table(spark, sf_dir, "documents")))
+    return char_count_kernel_df(spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id"))
 
 
 WORD_COUNT_SQL = r"""

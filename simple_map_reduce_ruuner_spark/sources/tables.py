@@ -179,7 +179,7 @@ def session_cache(
     return got
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition an under-split scan so CPU-heavy per-row work uses
     every core — a NO-OP whenever the scan already has enough splits.
 
@@ -195,11 +195,26 @@ def spread_scan(df: DataFrame) -> DataFrame:
     small-file regime, where the exchange it adds moves megabytes.
     Filters/pruning still reach the scan (Catalyst pushes them through
     Repartition).
+
+    ``key``: a near-unique column to HASH-partition on instead of the
+    keyless round-robin. Two measured wins (guide §2.3/2.5): round-robin
+    repartition first pays a local sort of its input (SPARK-23207
+    ``sortBeforeRepartition``, so retried tasks reproduce the same
+    row placement — 1.03 s vs 0.39 s for the same 600 k-row exchange),
+    and hash partitioning is deterministic under retry BY KEY, not by
+    input order. Bonus: downstream groupBy/window keys that start with
+    ``key`` reuse the exchange outright. Callers pass their natural
+    unique id (doc_id, event_id, orderkey); keys with few distinct
+    values would defeat the spread, so don't pass one.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 

@@ -65,13 +65,20 @@ def test_pii_scrub_counts_multi_type_docs(spark, sf_dir):
 
 
 def test_pii_scrub_zero_shuffle_plan(spark, sf_dir):
-    """The scrub is a pure narrow map — no hash/range shuffle anywhere.
-    The only exchange allowed is spread_scan's small-file RoundRobin
-    (a no-op at production split counts)."""
+    """The scrub is a pure narrow map — no SEMANTIC shuffle anywhere.
+    The only exchange allowed is spread_scan's small-file split (a
+    no-op at production split counts), which since r15 hash-partitions
+    on the near-unique doc_id instead of round-robin (no
+    sortBeforeRepartition pass, deterministic under retry by key)."""
     plan = pii_scrub(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
-    assert plan.count("Exchange") <= 1  # spread_scan RoundRobin only
+    assert plan.count("Exchange") <= 1  # spread_scan's split only
+    # any hash partitioning present must be spread_scan's doc_id split,
+    # never a key synthesized by the scrub itself
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^#)]+)#", plan):
+        assert m.group(1).strip() == "doc_id", plan
 
 
 def test_pii_summary_totals_reconcile(spark, sf_dir):
