@@ -123,25 +123,40 @@ GROUP BY e.user_id, e.event_id
 
 
 def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle (sort-merge) join: lineitem ⋈ lineitem-scale key without a
-    broadcastable side — per (supplier, part) shipped quantity. At scale
-    both inputs shuffle once on the composite key; the aggregate is
-    partial/final."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Per (supplier, part) shipped quantity, kept where it exceeds 1.5×
+    that supplier's mean — ONE supplier-keyed shuffle (guide §2.4).
+
+    The r14 shape aggregated by (supp, part), re-aggregated the result
+    by supp for the mean, and joined the two — three exchanges plus a
+    duplicated agg subtree. Hash-partitioning the projected fact by
+    l_suppkey up front makes everything downstream partition-local:
+    HashPartitioning(l_suppkey) satisfies the (l_suppkey, l_partkey)
+    grouping's ClusteredDistribution (subset rule), and the mean becomes
+    a window over the same partitioning instead of a join. No explicit
+    partition count, so AQE still sizes the exchange from the data.
+
+    mean = exact decimal sum / count (plain avg() would accumulate
+    doubles in engine-dependent order and could flip the boundary
+    filter below); the window's decimal sum is order-exact the same way
+    the old dsum re-aggregate was.
+    """
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .repartition(F.col("l_suppkey"))
+    )
     agg = li.groupBy("l_suppkey", "l_partkey").agg(
         as_money(dsum(F.col("l_quantity"))).alias("total_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
-    # self-join back to find (supp, part) pairs above that supplier's mean.
-    # mean = exact decimal sum / count (plain avg() would accumulate doubles
-    # in engine-dependent order and could flip the boundary filter below)
-    mean_per_supp = agg.groupBy("l_suppkey").agg(
-        (dsum(F.col("total_qty")).cast("double") / F.count(F.lit(1))).alias(
-            "supp_mean"
-        )
-    )
+    w = Window.partitionBy("l_suppkey")
+    supp_mean = dsum(F.col("total_qty")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
     return (
-        agg.join(mean_per_supp, "l_suppkey")
+        agg.withColumn("supp_mean", supp_mean)
         .where(F.col("total_qty") > F.col("supp_mean") * 1.5)
         .select("l_suppkey", "l_partkey", "total_qty", "n_lines")
     )

@@ -55,52 +55,48 @@ def order_followups_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     were followed by more orders from the same customer within 7 days,
     with the follow-on count and spend.
 
-    The interval side explodes into its covered day-buckets (≤8 rows per
-    order — bounded, unlike interval length in seconds); the point side
-    maps each order to its single day-bucket. The join is then a pure
-    equi-join on (customer, day) — hash-partitionable on both sides,
-    with the day component keeping any single hot customer spread over
-    ~2500 shuffle keys per year — and the exact ``ts ∈ [start, start+7d)``
-    predicate refines post-join. A matching point shares exactly one
-    day-bucket with the window, so no dedup pass is needed.
+    One customer-keyed shuffle + a 7-day range-frame window (guide
+    §2.4): per order, followup count/spend is COUNT/SUM over the frame
+    ``[same day, +{WINDOW_DAYS}d)`` in day-ordered customer partitions,
+    minus the row itself. The sum stays in exact decimal until the
+    final round, so subtracting the row's own price is exact and values
+    are identical to the r14 join form (full-compare receipt at sf0.1).
+
+    The r14 shape exploded each order into its ≤8 covered day-buckets
+    and equi-joined points on (customer, day); Spark's size estimate is
+    blind to the 8× Generate, so it BROADCAST the exploded side — 1.2M
+    rows hash-built on the driver at sf0.1 — and at scale the shape is
+    two fact shuffles (one 8×-exploded) plus a third for the final
+    groupBy. The window form shuffles |orders| rows exactly once.
+    Trade, documented: a single pathological customer now lands in one
+    window task where the day-bucket join spread it over ~2500 keys per
+    year — with bounded orders-per-customer (this schema) the
+    single-shuffle form wins at every scale. Equivalence precondition:
+    o_orderdate is day-aligned, so the day-granular frame equals the
+    timestamp interval predicate — verified 0 non-midnight rows at
+    sf0.1 and pinned by the oracle gate (raw-timestamp SQL) at the SFs
+    the driver checks.
     """
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
-    windows = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        F.explode(
-            F.expr(
-                "sequence(date_trunc('DAY', o_orderdate),"
-                f" date_trunc('DAY', o_orderdate + INTERVAL {WINDOW_DAYS} DAYS),"
-                " INTERVAL 1 DAY)"
-            )
-        ).alias("day"),
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(0, WINDOW_DAYS - 1)
     )
-    points = orders.select(
-        F.col("o_orderkey").alias("f_orderkey"),
-        F.col("o_custkey").alias("f_custkey"),
-        F.col("o_orderdate").alias("f_orderdate"),
-        F.col("o_totalprice").alias("f_totalprice"),
-        F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
-    )
-    joined = windows.join(
-        points,
-        on=[
-            windows.o_custkey == points.f_custkey,
-            windows.day == points.day,
-        ],
-    ).where(
-        (F.col("f_orderdate") >= F.col("o_orderdate"))
-        & (
-            F.col("f_orderdate")
-            < F.col("o_orderdate") + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS")
+    price_dec = F.col("o_totalprice").cast("decimal(30,6)")
+    n_follow = F.count(F.lit(1)).over(w) - 1
+    follow_val = F.sum(price_dec).over(w) - price_dec
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            n_follow.cast("long").alias("n_followups"),
+            as_money(follow_val).alias("followup_value"),
         )
-        & (F.col("f_orderkey") != F.col("o_orderkey"))
-    )
-    return joined.groupBy("o_orderkey", "o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_followups"),
-        as_money(dsum(F.col("f_totalprice"))).alias("followup_value"),
+        .where(F.col("n_followups") >= 1)
     )
 
 

@@ -165,8 +165,16 @@ def lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |suppliers-per-order| fraction of the fact. The supplier-name
     lookup broadcasts.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        # one order-keyed shuffle up front (guide §2.4): the pair and
+        # per-order aggregates below then satisfy their distributions
+        # from this partitioning (subset rule) instead of re-shuffling
+        # twice; when orders is too big to broadcast, the join's own
+        # ClusteredDistribution(l_orderkey) is satisfied by the same
+        # exchange, so the repartition is never an extra pass at scale
+        .repartition(F.col("l_orderkey"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
