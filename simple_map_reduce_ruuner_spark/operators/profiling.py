@@ -240,6 +240,11 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "period", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # r15 optimization-round note: deriving this domain from `counts`
+    # (to share its exchange) was tried and measured a NO-OP — Catalyst
+    # prunes the aggregate back out of the domain branch
+    # (RemoveRedundantAggregates), leaving the same 1-column pruned
+    # scan either way; plans/r15/value_drift_psi_{before,after}.txt
     domain = (
         ev.select("event_type")
         .distinct()
