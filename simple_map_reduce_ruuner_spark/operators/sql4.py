@@ -194,6 +194,20 @@ def script_rich_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows instead of re-aggregating the fact table — the loop cost is
     O(log range × |customer|), fact-scan-free (a first cut re-ran the
     orders aggregate per probe: ~0.5 s × probes at sf0.1).
+
+    Seeded start (r15 optimization round): the loop's answer is the
+    smallest power-of-two t ≥ max(2^T0, s) where s is the
+    ({SCRIPT_MAX_RICH}+1)-th largest total (count(total > t) ≤ K ⇔
+    t ≥ s, counting strict exceedances). One top-(K+1) SELECT
+    computes s, and the start value is the largest power of two ≤ s
+    (exactly, via bit length: ``shiftleft(1, length(bin(s)) - 1)`` —
+    no float log2, so power-of-two boundaries cannot round wrong),
+    floored at 2^T0. That start is provably ≤ the fixpoint and in the
+    same doubling sequence, so the WHILE loop — still the declared
+    surface, and still the correctness gate on the seed — exits after
+    1–2 probes instead of the ~12 it took at sf0.1 (measured
+    2.39 → 0.83 s; result pair identical; oracle unchanged — its
+    closed form independently pins the same fixpoint).
     """
     totals = ckpt(
         load_table(spark, sf_dir, "orders")
@@ -205,8 +219,16 @@ def script_rich_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals.createOrReplaceTempView("smrr_script_totals")
     return spark.sql(f"""
     BEGIN
+      DECLARE s BIGINT DEFAULT 0;
       DECLARE t BIGINT DEFAULT {2 ** SCRIPT_T0_EXP};
       DECLARE n BIGINT DEFAULT 0;
+      SET s = (SELECT coalesce(CAST(floor(max(total)) AS BIGINT), 0)
+               FROM (SELECT total FROM smrr_script_totals
+                     ORDER BY total DESC LIMIT 1 OFFSET {SCRIPT_MAX_RICH}));
+      SET t = greatest({2 ** SCRIPT_T0_EXP},
+                       CASE WHEN s > 0
+                            THEN shiftleft(1L, length(bin(s)) - 1)
+                            ELSE 1L END);
       SET n = (SELECT count(*) FROM smrr_script_totals WHERE total > t);
       WHILE n > {SCRIPT_MAX_RICH} DO
         SET t = t * 2;
