@@ -165,6 +165,17 @@ CACHE_FAMILIES: dict[str, tuple[str, ...]] = {
     # bpe_index.build_bpe_merges: content-keyed ON-DISK merge table
     # (same contract as ivf_index — first member builds, riders reuse)
     "bpe_merges": ("bpe_encode_indexed", "bpe_merge_table"),
+    # textlm._BPE_CHAIN_CACHE: the k-step training chain (lazy per-step
+    # localCheckpoints) built once per (session, corpus) — rebuilding it
+    # is ~k × 0.5 s of driver-side physical planning with no data work.
+    # The indexed twins appear here too because build_bpe_merges walks
+    # the same chain when the on-disk index is cold.
+    "bpe_chain": (
+        "bpe_encode_docs",
+        "bpe_encode_indexed",
+        "bpe_merge_table",
+        "bpe_train_merges",
+    ),
 }
 
 

@@ -34,6 +34,9 @@ FAMILY_HELPERS = {
     # same cold/rider bench semantics: first member builds, rest reuse
     "ivf_index": {"build_ivf_index"},
     "bpe_merges": {"build_bpe_merges"},
+    # textlm._BPE_CHAIN_CACHE: the k-step training chain built once per
+    # (session, corpus); the index writer also rides it when it builds
+    "bpe_chain": {"_bpe_state_chain"},
 }
 
 _OPS_DIR = os.path.join(
