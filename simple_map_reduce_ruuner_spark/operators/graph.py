@@ -98,7 +98,16 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B at sf0.1 (4 reps, identical results): eager 4.87 s vs lazy
     # 4.44 s per invocation; dropping the nodes checkpoint instead
     # LOSES (5.28 s) because deg is re-derived per unrolled consumer.
-    edges = ckpt(_edges(spark, sf_dir), eager=False)
+    #
+    # preserve_partitioning (r16): without it the checkpoint scans
+    # report UnknownPartitioning and EVERY unrolled iteration re-built
+    # a hash(src)/hash(node) exchange + sort over the SAME blocks (16
+    # Exchange total, plans/r16/pagerank_trading_before.txt). With the
+    # partitioning + sortWithinPartitions visible, each iteration's
+    # ranks ⋈ edges join and nodes ⋈ contrib re-attach ride the
+    # checkpointed layout, leaving exactly one fundamental exchange per
+    # iteration: the (node, contribution) aggregate keyed by dst.
+    edges = ckpt(_edges(spark, sf_dir), eager=False, preserve_partitioning=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = deg.select(F.count(F.lit(1)).alias("n"))
 
@@ -116,6 +125,7 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_nodes))
         .sortWithinPartitions("node"),
         eager=False,
+        preserve_partitioning=True,
     )
 
     ranks = nodes.select(
@@ -125,8 +135,19 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{SCALE_FEMTO} div n").alias("r"),
     )
     for _ in range(PR_ITERS):
+        # shuffle_hash on the ranks side (guide §3.1): both inputs
+        # already satisfy the join's distribution from the checkpointed
+        # layout, so the planner's default is a sort-merge join — but
+        # ranks is |V|-sized and evenly hash-spread, so a per-partition
+        # hash build of |V|/N rows streams the co-partitioned edge
+        # blocks with no merge bookkeeping (measured interleaved at
+        # sf0.1: ~4.0 s vs ~4.5 s per invocation). The re-attach join
+        # below deliberately stays sort-merge: its left-keys output
+        # ordering feeds the NEXT iteration's ranks sort for free, and
+        # hinting it was a measured LOSS (5.4 s vs 4.9 s).
+        hinted = ranks.hint("shuffle_hash")
         contrib = (
-            ranks.join(edges, ranks.node == edges.src)
+            hinted.join(edges, hinted.node == edges.src)
             .select("dst", F.expr("r div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

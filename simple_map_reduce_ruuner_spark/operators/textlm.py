@@ -87,6 +87,14 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle keyed by token to build the unigram table (bounded
     by vocabulary size, not corpus size), a second keyed by doc_id to
     fold counts back per document; the 1-row corpus total broadcasts.
+    In practice the fact side is never shuffled at all: the vocabulary
+    table broadcasts onto the exploded tokens and the per-doc fold
+    rides the hash(doc_id) spread exchange. The corpus IS tokenized
+    twice (once per aggregate branch) — measured ~0.1 s distributed at
+    sf0.1, and both r16 single-tokenize rewrites LOST (shared
+    pair-grain exchange +0.3 s, per-(doc,token) pre-aggregation
+    +0.15 s — the added exchange/aggregate outweighs the tokenize;
+    receipts in OPTIMIZATION_r16.md), so the two-branch form stays.
     The ppm products are computed in DECIMAL(38,0) (int128-class) so the
     math survives 100 TB corpora: sum_cnt * 1e6 wraps int64 past ~9.2e12
     total token occurrences, well under web scale. The DuckDB oracle

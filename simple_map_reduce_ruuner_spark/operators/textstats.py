@@ -249,12 +249,19 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely JVM-side.
 
     Term frequency and document frequency are two partial/final
-    aggregations over the exploded token table; N (corpus size) joins in
-    as a broadcast single-row aggregate, so the plan has no driver-side
-    scalar collection. tfidf = tf * ln(N / df). Determinism note: the
-    tiebreak-free raw doubles are emitted ROUNDed only at output and
-    nothing ranks on them — rank-crossing float hazards (libm ulp
-    differences) can't affect the result set.
+    aggregations over the exploded token table; tf rides the
+    hash(doc_id) spread exchange (subset rule), the vocabulary-bounded
+    df table broadcasts onto it (planner-chosen), and N (corpus size)
+    joins in as a broadcast single-row aggregate, so the fact side is
+    never shuffled and the plan has no driver-side scalar collection.
+    tfidf = tf * ln(N / df). The corpus is tokenized twice (once per
+    aggregate branch) — a r16 single-tokenize rewrite that derived df
+    FROM tf over one shared pair-grain exchange measured +0.2 s at
+    sf0.1 (the added exchange outweighs the ~0.1 s distributed
+    tokenize; receipts in OPTIMIZATION_r16.md), so the two-branch form
+    stays. Determinism note: the tiebreak-free raw doubles are emitted
+    ROUNDed only at output and nothing ranks on them — rank-crossing
+    float hazards (libm ulp differences) can't affect the result set.
     """
     docs = spread_scan(load_table(spark, sf_dir, "documents"), key="doc_id")
     tok = explode_tokens(docs, keep=("doc_id",))
@@ -262,7 +269,11 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = (
         tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # count over the raw scan, not the spread projection: same number,
+    # no repartition exchange under the single-row aggregate (r16)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     return (
         tf.join(df_t, "token")
         .join(F.broadcast(n_docs))

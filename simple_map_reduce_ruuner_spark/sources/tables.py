@@ -69,13 +69,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return got
 
 
-def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+def ckpt(
+    df: DataFrame, eager: bool = True, preserve_partitioning: bool = False
+) -> DataFrame:
     """``localCheckpoint`` with SERIALIZED memory+disk block storage.
 
     ``eager=False`` defers materialization to the first action so that
     building the DataFrame (EXPLAIN, plan tests, registry sweeps) stays
     side-effect-free; use it when the checkpoint exists to dedupe
     multiple references *within one query* rather than across iterations.
+    (Even lazy, ``localCheckpoint`` compiles the physical plan at call
+    time — ~0.5 s of driver-side planning per call, measured on the BPE
+    chain — so construction is cheap but not free.)
+
+    ``preserve_partitioning=True`` keeps the checkpointed plan's hash
+    partitioning AND sort order visible to consumers. Under AQE the
+    checkpoint's physical plan is an ``AdaptiveSparkPlan`` whose final
+    partitioning is unknown at compile time, so the ``LogicalRDD`` Spark
+    wraps the blocks in reports ``UnknownPartitioning`` — and every
+    downstream join/groupBy on the very key the caller repartitioned by
+    pays a fresh Exchange (measured: pagerank_trading re-shuffled its
+    checkpointed edge table once per unrolled iteration). Compiling the
+    checkpoint subtree with AQE off makes the LogicalRDD carry
+    ``hashpartitioning(k, n)`` + the within-partition sort, so consumers
+    keyed on ``k`` satisfy their distribution from the blocks outright
+    (guide §2.4). Trade-off: THAT subtree executes without AQE
+    (no runtime coalescing/skew-split inside the checkpoint build), so
+    opt in only where the caller already fixed the partitioning
+    deliberately and the build join is skew-free.
 
     Spark's default checkpoint level keeps blocks DESERIALIZED in
     memory, and — worse for scale — re-inflates disk-spilled blocks
@@ -92,9 +113,19 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     scales with the data."""
     from pyspark import StorageLevel
 
-    return df.localCheckpoint(
-        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    if not preserve_partitioning:
+        return df.localCheckpoint(
+            eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    conf = df.sparkSession.conf
+    old = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(
+            eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
 
 
 # Every dict handed to session_cache(), so clear_session_caches() can
