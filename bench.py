@@ -7,10 +7,17 @@ full per-query JSON line:
      "queries": {"<name>": sec, ...}, "sf": <sf>}
 
 followed by a compact one-line summary (same metric/value/unit keys,
-plus median/p90 vs_r01 and the top-5 slowest) as the LAST stdout line —
+plus median/p90 vs_r01, a ``queries`` map of the GATE_WIDTH driver-gate
+entries at 2-decimal seconds — r16, so the driver's per-query PERF
+comparison survives its own stdout truncation — and a length guard that
+sheds lower-priority keys before that map) as the LAST stdout line —
 the driver archives only a ~2000-char tail of stdout, so the summary is
 what survives in BENCH_r{N}.json; the full document is also written to
-BENCH_FULL_LATEST.json beside this script.
+BENCH_FULL_LATEST.json beside this script. r16 also adds
+``value_cache_honest`` (family rows at first_rep — a total with no
+cross-rep cache warmth) and ``cold_index_builds`` (post-run one-shot
+IVF/BPE builds into an ephemeral dir, so the amortized index-probe
+medians are never the only number).
 
 Each query executes its full physical plan via a noop sink (no driver-side
 collect, so we measure engine throughput, not Arrow transfer). Before the
@@ -53,7 +60,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from simple_map_reduce_ruuner_spark.registry import CACHE_FAMILIES, all_queries
+from simple_map_reduce_ruuner_spark.registry import (
+    CACHE_FAMILIES,
+    GATE_WIDTH,
+    all_queries,
+)
 from simple_map_reduce_ruuner_spark.session import get_spark
 from simple_map_reduce_ruuner_spark.sources.tables import clear_session_caches
 
@@ -284,6 +295,67 @@ def rep_spread_raw(xs: list[float]) -> float:
     return s[-1] / s[0]
 
 
+#: keys the summary line sheds (in order) when it would overflow the
+#: driver's ~2000-char stdout tail; each remains in (or is derivable
+#: from) BENCH_FULL_LATEST.json. The gate-query map is never shed.
+SUMMARY_SHED_ORDER = (
+    "vs_prev_round_median_drift_normalized",
+    "noise",
+    "vs_prev_round_machine_normalized",
+    "top5_slowest",
+    "median_vs_r01_trimmed",
+    "p90_vs_r01_trimmed",
+    "first_vs_median_p90",
+    "queries_scope",
+    "median_sec",
+    "machine_index_end",
+    "steal_pct",
+    "reps",
+    "extra_passes",
+)
+SUMMARY_MAX_CHARS = 1900
+
+
+def shed_to_fit(summary: dict, limit: int = SUMMARY_MAX_CHARS) -> str:
+    """Serialize ``summary``, dropping SUMMARY_SHED_ORDER keys (in
+    order) until the line fits ``limit`` — the last stdout line must
+    survive the driver's tail capture intact or NOTHING parses (the
+    r05-r07 "parsed": null lesson). The gate-query map is never dropped;
+    if the line still overflows after every shed (possible only when
+    the rotating gate set lands on unusually long names), the map's
+    values fall back from 2-decimal to 1-decimal seconds. Mutates
+    ``summary``."""
+    line = json.dumps(summary)
+    for victim in SUMMARY_SHED_ORDER:
+        if len(line) <= limit:
+            break
+        summary.pop(victim, None)
+        line = json.dumps(summary)
+    if len(line) > limit and isinstance(summary.get("queries"), dict):
+        summary["queries"] = {
+            n: round(v, 1) for n, v in summary["queries"].items()
+        }
+        line = json.dumps(summary)
+    return line
+
+
+def cache_honest_total(
+    names, timings: dict, first_rep: dict, fam_members: set
+) -> float:
+    """Headline total with no cross-rep cache warmth (r16, PERF item):
+    CACHE_FAMILIES members contribute their FIRST timed rep (the
+    uncached single-pass bound) instead of the warm trimmed median."""
+    return round(
+        sum(
+            first_rep.get(n, 0.0)
+            if n in fam_members
+            else (timings[n] if timings[n] >= 0 else 0.0)
+            for n in names
+        ),
+        3,
+    )
+
+
 def pick_noisy(samples: dict[str, list[float]], failed: set[str]) -> list[str]:
     """Queries that get extra round-robin passes: provisional median
     sub-second (pure scheduling jitter territory), or rep spread > 1.5x
@@ -435,6 +507,54 @@ def main() -> None:
 
     mi_end = machine_index_probe(spark)
     proc_after = proc_snapshot()
+
+    # Cold-build receipt for the on-disk index families (r16, judge
+    # item 3): the IVF/BPE indexes under /tmp/smrr_{ivf,bpe}_index
+    # outlive the session, so the timed probe medians above are
+    # amortized numbers that never pay the build after the first run
+    # ever. Build both indexes ONCE per bench run into a bench-ephemeral
+    # dir — AFTER every timed pass and the closing machine probe, with
+    # the session caches dropped first so the BPE chain is genuinely
+    # re-derived — and publish the timed builds beside the medians. The
+    # ephemeral dir is deleted afterwards: nothing is precomputed for,
+    # or reusable by, any later run.
+    cold_index: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD_INDEX", "1") == "1":
+        import shutil
+        import tempfile
+
+        ephemeral = tempfile.mkdtemp(prefix="smrr_cold_index_")
+        cold_index["session_caches_dropped"] = clear_session_caches(sf_dir)
+        cold_index["note"] = (
+            "one-shot builds into a bench-ephemeral dir (deleted after), "
+            "session caches cleared first; JVM/codegen warm from the "
+            "bench run. The per-query medians above amortize the "
+            "persistent /tmp index store as designed."
+        )
+        try:
+            from simple_map_reduce_ruuner_spark.operators.bpe_index import (
+                build_bpe_merges,
+            )
+            from simple_map_reduce_ruuner_spark.operators.ivf import (
+                build_ivf_index,
+            )
+
+            t0 = time.perf_counter()
+            build_ivf_index(
+                spark, sf_dir, base_dir=os.path.join(ephemeral, "ivf")
+            )
+            cold_index["ivf_build_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            build_bpe_merges(
+                spark, sf_dir, base_dir=os.path.join(ephemeral, "bpe")
+            )
+            cold_index["bpe_build_s"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # receipt failure must not kill the bench
+            cold_index["err"] = str(exc)[:300]
+            print(f"BENCH COLD-INDEX ERROR: {exc}", file=sys.stderr)
+        finally:
+            shutil.rmtree(ephemeral, ignore_errors=True)
+
     machine = {
         # overall index = min over both probe placements: the bench's
         # best observed machine capability (uniform sandbox slowdown —
@@ -511,6 +631,22 @@ def main() -> None:
     # comparisons honest about which number benefits from cache warmth.
     total_first = round(sum(first_rep.get(n, 0.0) for n in names), 3)
     total_plain = round(sum(t for t in plain.values() if t >= 0), 3)
+    # Cache-honest total (r16, judge item 5): session caches legitimately
+    # amortize shared subtrees across reps, so a CACHE_FAMILIES member's
+    # trimmed median is a warm-engine number (reps 2+ ride rep 1's
+    # materialization). This column swaps every family member's
+    # contribution for its FIRST timed rep — the uncached single-pass
+    # bound — while non-family rows keep their medians: a total that
+    # does not benefit from cross-rep cache warmth.
+    fam_members = {
+        m
+        for members in CACHE_FAMILIES.values()
+        for m in members
+        if m in queries
+    }
+    total_cache_honest = cache_honest_total(
+        names, timings, first_rep, fam_members
+    )
     # failures must be visible IN the JSON: a fully-failed query would
     # otherwise just shrink the headline total (reads as a speedup), and
     # a partially-failed one would look like a clean run (review-found)
@@ -664,6 +800,8 @@ def main() -> None:
         "value_plain_median": total_plain,
         "first_rep": first_rep,
         "value_first_rep": total_first,
+        "value_cache_honest": total_cache_honest,
+        "cold_index_builds": cold_index,
         "rep_trace": rep_trace,
         "cache_families": families,
         "incomplete": incomplete,
@@ -721,18 +859,33 @@ def main() -> None:
     slowest = sorted(
         ((t, n) for n, t in timings.items() if t > 0), reverse=True
     )[:5]
-    print(
-        json.dumps(
-            {
+    # Per-query map for the driver's cross-round comparison (r16, judge
+    # item 2): PERF_r15 came back with per_query={} / n_common=0 because
+    # the full per-query line above never survives the driver's
+    # ~2000-char stdout tail — only this LAST line does. Carry the
+    # driver-gate set (the first GATE_WIDTH registry entries, the same
+    # 50 the correctness gate records this round) at 2-decimal seconds;
+    # the other 150 queries stay in BENCH_FULL_LATEST.json. The
+    # length-guard below drops lower-priority summary keys (each still
+    # present in, or derivable from, the full document) before it would
+    # ever truncate this map.
+    gate_names = list(queries)[:GATE_WIDTH]
+    queries_gate = {
+        n: round(timings[n], 2) for n in gate_names if timings.get(n, -1) >= 0
+    }
+    summary = {
                 "metric": "total_query_seconds",
                 "value": total,
                 "value_plain_median": total_plain,
                 "value_first_rep": total_first,
+                "value_cache_honest": total_cache_honest,
                 "unit": "sec",
                 "sf": sf,
                 "reps": reps,
                 "extra_passes": extra_passes,
                 "queries_n": len(names),
+                "queries": queries_gate,
+                "queries_scope": f"first {GATE_WIDTH} registry entries (driver gate set); all {len(names)} in the full doc",
                 "median_sec": round(median([t for t in timings.values() if t >= 0]), 3),
                 # vs_r01 is plain-median / r01-plain-median (one
                 # statistic across rounds); *_trimmed is the r10-style
@@ -801,9 +954,8 @@ def main() -> None:
                     ),
                 },
                 "full": "BENCH_FULL_LATEST.json",
-            }
-        )
-    )
+    }
+    print(shed_to_fit(summary))
 
 
 if __name__ == "__main__":

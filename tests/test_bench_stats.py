@@ -209,3 +209,76 @@ def test_median_drift_fallback_uses_prev_probe_rep_median_not_min():
     prev_machine["machine_trace"] = [{"probe_s": x} for x in (2.0, 2.2, 2.4)]
     prev_tm = trace_median_index(prev_machine["machine_trace"]) or prev_tm
     assert prev_tm == 2.2
+
+
+def test_shed_to_fit_keeps_gate_queries_and_core_keys():
+    """r16 summary contract: the last stdout line must fit the driver's
+    ~2000-char tail WITH the 50-entry gate-query map intact; the shed
+    order sacrifices derivable keys first and never the map."""
+    from bench import SUMMARY_SHED_ORDER, shed_to_fit
+    import json
+
+    queries = {f"query_name_number_{i:03d}": round(0.5 + i * 0.01, 2)
+               for i in range(50)}
+    summary = {
+        "metric": "total_query_seconds",
+        "value": 136.3,
+        "value_plain_median": 141.9,
+        "value_first_rep": 160.9,
+        "value_cache_honest": 150.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries_n": 200,
+        "queries": queries,
+        "queries_scope": "first 50 registry entries (driver gate set)",
+        "median_vs_r01": 0.67,
+        "p90_vs_r01": 0.96,
+        "median_vs_r01_trimmed": 0.6,
+        "p90_vs_r01_trimmed": 0.9,
+        "top5_slowest": {f"slow_query_{i}": 5.0 - i for i in range(5)},
+        "first_vs_median_p90": 1.5,
+        "incomplete": [],
+        "noise": {"median_rep_spread": 1.1, "p90_rep_spread": 1.4,
+                   "spread_def": "max/min over the stat's samples",
+                   "median_rep_spread_raw": 1.6, "p90_rep_spread_raw": 3.2},
+        "machine_index": 1.5,
+        "machine_index_end": 1.6,
+        "steal_pct": 0.3,
+        "vs_prev_round": {"file": "BENCH_FULL_r15.json", "median": 1.0,
+                           "p90": 1.1},
+        "vs_prev_round_machine_normalized": {"median": 1.0, "p90": 1.1},
+        "vs_prev_round_median_drift_normalized": {"drift": 1.1,
+                                                   "median": 0.9, "p90": 1.0},
+        "full": "BENCH_FULL_LATEST.json",
+    }
+    line = shed_to_fit(summary)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    # the per-query map always survives (values may drop to 1 decimal
+    # only in the worst case, after every shed key is gone)
+    assert set(parsed["queries"]) == set(queries)
+    assert all(
+        abs(parsed["queries"][n] - queries[n]) <= 0.051 for n in queries
+    )
+    for key in ("metric", "value", "value_first_rep", "value_cache_honest",
+                 "unit", "sf", "median_vs_r01", "incomplete",
+                 "machine_index", "vs_prev_round", "full"):
+        assert key in parsed, key
+    # shed keys are exactly a prefix of the declared order
+    shed = [k for k in SUMMARY_SHED_ORDER if k not in parsed]
+    assert shed == list(SUMMARY_SHED_ORDER[: len(shed)])
+    # an already-small summary sheds nothing
+    small = {"metric": "total_query_seconds", "value": 1.0,
+             "noise": {"median_rep_spread": 1.1}}
+    assert json.loads(shed_to_fit(dict(small))) == small
+
+
+def test_cache_honest_total_swaps_family_rows_to_first_rep():
+    from bench import cache_honest_total
+
+    names = ["plain_a", "fam_b", "fam_c", "failed_d"]
+    timings = {"plain_a": 1.0, "fam_b": 0.2, "fam_c": 0.3, "failed_d": -1.0}
+    first = {"plain_a": 1.4, "fam_b": 2.0, "fam_c": 0.9}
+    got = cache_honest_total(names, timings, first, {"fam_b", "fam_c"})
+    # plain rows keep medians, family rows pay first_rep, failures drop
+    assert got == round(1.0 + 2.0 + 0.9, 3)
