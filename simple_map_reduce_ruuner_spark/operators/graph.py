@@ -40,6 +40,35 @@ PR_ITERS = 5
 SCALE_FEMTO = 10**15  # rank unit = 1e-15
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
 
+# Deserialized checkpoint blocks iff the edge table provably fits in
+# memory (footer-derived, like the dedup refusal gates): the unrolled
+# loop reads the edge checkpoint PR_ITERS+1 times per invocation, and a
+# serialized block read pays per-row java deserialization on every pass
+# — measured +1.3 s/invocation at sf0.1 (interleaved A/B: serialized
+# 5.2 s, deserialized 3.9 s medians). Unconditional deserialized
+# storage is NOT safe: at the 100× sweep (60 M-row lineitem) the
+# deserialized default killed an 8 GiB JVM via disk-block re-inflation
+# (the r15 finding that made ckpt() serialized). The gate is
+# conservative: edges ≤ 2×lineitem rows, and 2×8M two-long UnsafeRows
+# deserialized ≈ 1.2 GiB with object overhead — comfortable in the
+# storage pool; past the gate the serialized+disk default rules.
+DESER_MAX_SOURCE_ROWS = 8_000_000
+
+
+def _edge_ckpt_level(sf_dir: str):
+    from pyspark import StorageLevel
+
+    from simple_map_reduce_ruuner_spark.operators.dedup import (
+        _parquet_row_count,
+    )
+
+    import os
+
+    n = _parquet_row_count(os.path.join(sf_dir, "lineitem.parquet"))
+    if n <= DESER_MAX_SOURCE_ROWS:
+        return StorageLevel.MEMORY_AND_DISK_DESER
+    return StorageLevel.MEMORY_AND_DISK
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected bipartite trading edges: customer node 2k, supplier
@@ -94,7 +123,10 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LAZY checkpoints (eager=False): the blocks materialize inside the
     # consuming action instead of as two standalone blocking jobs, so
     # the same data work rides the action's own job graph (no extra
-    # job-scheduling round-trips, stages overlap). Measured interleaved
+    # job-scheduling round-trips, stages overlap). Construction is NOT
+    # free even when lazy: localCheckpoint still compiles the physical
+    # plan at call time (~0.5 s of driver-side planning per call — the
+    # repo's BPE-chain finding; ADVICE r15). Measured interleaved
     # A/B at sf0.1 (4 reps, identical results): eager 4.87 s vs lazy
     # 4.44 s per invocation; dropping the nodes checkpoint instead
     # LOSES (5.28 s) because deg is re-derived per unrolled consumer.
@@ -107,7 +139,13 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks ⋈ edges join and nodes ⋈ contrib re-attach ride the
     # checkpointed layout, leaving exactly one fundamental exchange per
     # iteration: the (node, contribution) aggregate keyed by dst.
-    edges = ckpt(_edges(spark, sf_dir), eager=False, preserve_partitioning=True)
+    level = _edge_ckpt_level(sf_dir)
+    edges = ckpt(
+        _edges(spark, sf_dir),
+        eager=False,
+        preserve_partitioning=True,
+        storage_level=level,
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = deg.select(F.count(F.lit(1)).alias("n"))
 
@@ -126,6 +164,7 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("node"),
         eager=False,
         preserve_partitioning=True,
+        storage_level=level,
     )
 
     ranks = nodes.select(

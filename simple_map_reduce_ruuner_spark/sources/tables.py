@@ -70,7 +70,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def ckpt(
-    df: DataFrame, eager: bool = True, preserve_partitioning: bool = False
+    df: DataFrame,
+    eager: bool = True,
+    preserve_partitioning: bool = False,
+    storage_level=None,
 ) -> DataFrame:
     """``localCheckpoint`` with SERIALIZED memory+disk block storage.
 
@@ -110,20 +113,27 @@ def ckpt(
     and degrades to disk streaming under pressure instead of OOM —
     blocks that fit stay in memory, so the small-scale fast path is
     unchanged. Use for every iterative/replayed checkpoint whose size
-    scales with the data."""
+    scales with the data.
+
+    ``storage_level`` overrides the serialized default for callers that
+    READ the blocks many times per action AND can prove the
+    deserialized footprint fits (a serialized block read pays per-row
+    java deserialization on EVERY pass — measured ~1.3 s/invocation on
+    pagerank's 6 reads of a 1.2 M-row checkpoint — while a deserialized
+    read is pointer iteration). Size-gate the choice from parquet
+    footer counts like graph.pagerank_trading does; an unconditional
+    deserialized level is exactly the 100×-sweep OOM this helper's
+    default exists to prevent."""
     from pyspark import StorageLevel
 
+    level = storage_level or StorageLevel.MEMORY_AND_DISK
     if not preserve_partitioning:
-        return df.localCheckpoint(
-            eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
+        return df.localCheckpoint(eager=eager, storageLevel=level)
     conf = df.sparkSession.conf
     old = conf.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return df.localCheckpoint(
-            eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
+        return df.localCheckpoint(eager=eager, storageLevel=level)
     finally:
         conf.set("spark.sql.adaptive.enabled", old)
 
