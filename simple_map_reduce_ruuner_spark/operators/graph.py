@@ -40,35 +40,6 @@ PR_ITERS = 5
 SCALE_FEMTO = 10**15  # rank unit = 1e-15
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
 
-# Deserialized checkpoint blocks iff the edge table provably fits in
-# memory (footer-derived, like the dedup refusal gates): the unrolled
-# loop reads the edge checkpoint PR_ITERS+1 times per invocation, and a
-# serialized block read pays per-row java deserialization on every pass
-# — measured +1.3 s/invocation at sf0.1 (interleaved A/B: serialized
-# 5.2 s, deserialized 3.9 s medians). Unconditional deserialized
-# storage is NOT safe: at the 100× sweep (60 M-row lineitem) the
-# deserialized default killed an 8 GiB JVM via disk-block re-inflation
-# (the r15 finding that made ckpt() serialized). The gate is
-# conservative: edges ≤ 2×lineitem rows, and 2×8M two-long UnsafeRows
-# deserialized ≈ 1.2 GiB with object overhead — comfortable in the
-# storage pool; past the gate the serialized+disk default rules.
-DESER_MAX_SOURCE_ROWS = 8_000_000
-
-
-def _edge_ckpt_level(sf_dir: str):
-    from pyspark import StorageLevel
-
-    from simple_map_reduce_ruuner_spark.operators.dedup import (
-        _parquet_row_count,
-    )
-
-    import os
-
-    n = _parquet_row_count(os.path.join(sf_dir, "lineitem.parquet"))
-    if n <= DESER_MAX_SOURCE_ROWS:
-        return StorageLevel.MEMORY_AND_DISK_DESER
-    return StorageLevel.MEMORY_AND_DISK
-
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected bipartite trading edges: customer node 2k, supplier
@@ -131,21 +102,18 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.44 s per invocation; dropping the nodes checkpoint instead
     # LOSES (5.28 s) because deg is re-derived per unrolled consumer.
     #
-    # preserve_partitioning (r16): without it the checkpoint scans
-    # report UnknownPartitioning and EVERY unrolled iteration re-built
-    # a hash(src)/hash(node) exchange + sort over the SAME blocks (16
-    # Exchange total, plans/r16/pagerank_trading_before.txt). With the
-    # partitioning + sortWithinPartitions visible, each iteration's
-    # ranks ⋈ edges join and nodes ⋈ contrib re-attach ride the
-    # checkpointed layout, leaving exactly one fundamental exchange per
-    # iteration: the (node, contribution) aggregate keyed by dst.
-    level = _edge_ckpt_level(sf_dir)
-    edges = ckpt(
-        _edges(spark, sf_dir),
-        eager=False,
-        preserve_partitioning=True,
-        storage_level=level,
-    )
+    # r16 NULL RESULT (receipts in OPTIMIZATION_r16.md): a
+    # preserve_partitioning rewrite cut the plan to 5 Exchange (each
+    # iteration riding the checkpointed hash(src)/hash(node) layout,
+    # shuffle-hash contribution joins) but LOST 1.4-1.7 s per invocation
+    # in full-bench context with BOTH storage levels — the PR_ITERS+1
+    # block-cache re-reads per invocation cost more than the reused
+    # exchange + AQE's runtime ranks-broadcast conversion they replace,
+    # and deserialized blocks thrash once the bench's session-cache
+    # families occupy the storage pool. This form delegates the
+    # per-scale join strategy to AQE (broadcast at bench scale,
+    # sort-merge when |V| outgrows it), which measured best end to end.
+    edges = ckpt(_edges(spark, sf_dir), eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = deg.select(F.count(F.lit(1)).alias("n"))
 
@@ -163,8 +131,6 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_nodes))
         .sortWithinPartitions("node"),
         eager=False,
-        preserve_partitioning=True,
-        storage_level=level,
     )
 
     ranks = nodes.select(
@@ -174,19 +140,8 @@ def pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{SCALE_FEMTO} div n").alias("r"),
     )
     for _ in range(PR_ITERS):
-        # shuffle_hash on the ranks side (guide §3.1): both inputs
-        # already satisfy the join's distribution from the checkpointed
-        # layout, so the planner's default is a sort-merge join — but
-        # ranks is |V|-sized and evenly hash-spread, so a per-partition
-        # hash build of |V|/N rows streams the co-partitioned edge
-        # blocks with no merge bookkeeping (measured interleaved at
-        # sf0.1: ~4.0 s vs ~4.5 s per invocation). The re-attach join
-        # below deliberately stays sort-merge: its left-keys output
-        # ordering feeds the NEXT iteration's ranks sort for free, and
-        # hinting it was a measured LOSS (5.4 s vs 4.9 s).
-        hinted = ranks.hint("shuffle_hash")
         contrib = (
-            hinted.join(edges, hinted.node == edges.src)
+            ranks.join(edges, ranks.node == edges.src)
             .select("dst", F.expr("r div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

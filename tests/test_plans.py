@@ -766,25 +766,3 @@ def test_ckpt_preserve_partitioning_feeds_consumers(spark, sf_dir):
     # the plain form keeps its lazy-construction contract (no regression)
     plain = ckpt(base.repartition("k"), eager=False)
     assert plain.count() == 1000
-
-
-def test_pagerank_iterations_ride_checkpoint_partitioning(spark, sf_dir):
-    """pagerank_trading (r16): the only exchanges left in the unrolled
-    plan are the five per-iteration contribution aggregates — the
-    ranks ⋈ edges join (shuffled-hash, ranks build side) and the
-    nodes ⋈ contrib re-attach ride the checkpointed hash(src)/
-    hash(node) layout, so the edge table is never re-shuffled."""
-    from simple_map_reduce_ruuner_spark.operators.graph import (
-        PR_ITERS,
-        pagerank_trading,
-    )
-
-    plan = plan_of(pagerank_trading(spark, sf_dir))
-    n_exchange = sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line and "Reused" not in line
-    )
-    assert n_exchange == PR_ITERS, plan
-    assert plan.count("ShuffledHashJoin") == PR_ITERS, plan
-    assert "BroadcastNestedLoopJoin" not in plan
