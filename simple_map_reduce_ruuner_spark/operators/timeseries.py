@@ -293,22 +293,26 @@ def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_map_reduce_ruuner_spark.sources.tables import ckpt
     from simple_map_reduce_ruuner_spark.streaming.windows import session_windows
 
-    # The axis feeds BOTH the per-bucket offset aggregate and the
-    # ranked window below; the old union-of-two-projections form
-    # duplicated the whole session subtree per branch (r15 landed a
-    # sessions checkpoint: 18 → 10 Exchanges). r16 moves the checkpoint
-    # UP to the repartitioned axis itself: column pruning gives the two
-    # consumers differently-projected exchanges over the axis (6-col
-    # probe vs 2-col aggregate), so AQE stage reuse can never dedupe
-    # them — but one bucket-partitioned checkpoint (partitioning
-    # preserved) is readable by both: the offset aggregate satisfies
-    # its distribution from the blocks (subset rule) and the ranked
-    # window sorts in place, so sessions are built once, the explode
-    # runs once, and the only exchanges left are the bucket spread
-    # inside the checkpoint and the final per-session aggregate
-    # (guide §2.4). sessions itself now has a single consumer, so its
-    # former checkpoint is redundant and dropped.
-    sessions = session_windows(spark, sf_dir)
+    # Lazy checkpoint: the axis feeds BOTH the per-bucket offset
+    # aggregate and the ranked window below, and the old union-of-two-
+    # projections form additionally duplicated the subtree per branch —
+    # the session-window aggregation (scan + user_id shuffle) appeared
+    # 4× in the physical plan (plans/r15/session_overlap_counts_before
+    # .txt: 18 Exchanges). Exploding both axis rows out of one pass and
+    # materializing sessions once (serialized MEMORY_AND_DISK blocks,
+    # within this one query execution) makes it run once (guide §2.4).
+    #
+    # r16 NULL RESULT (receipts in OPTIMIZATION_r16.md): moving the
+    # checkpoint UP to the bucket-repartitioned axis (partitioning
+    # preserved, one exchange shared by the offset aggregate and the
+    # ranked window; naive exchange-sharing fails twice over — the
+    # inner join's inferred isnotnull(bucket) and column pruning make
+    # the sibling exchanges canonically unequal) measured +0.2-0.3 s
+    # per invocation over 3×5-rep interleaved process rounds: two
+    # block-cache reads of the axis cost more than re-deriving it from
+    # this sessions checkpoint. Same finding as pagerank's reverted
+    # preserve-partitioning rewrite, at smaller magnitude.
+    sessions = ckpt(session_windows(spark, sf_dir), eager=False)
     axis = sessions.select(
         "user_id",
         "session_start",
@@ -330,16 +334,6 @@ def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.t").alias("t"),
         F.col("d.is_start").alias("is_start"),
         F.date_trunc("HOUR", F.col("d.t")).alias("bucket"),
-    )
-    # The explicit isnotnull(bucket) keeps the checkpointed axis usable
-    # by the inner join below without a post-checkpoint filter (the
-    # join infers isnotnull(bucket) on its probe side). It drops no
-    # rows: bucket = date_trunc(HOUR, t) over session_start/session_end,
-    # which are MIN/MAX aggregates of the events table's non-null ts.
-    axis = ckpt(
-        axis.where(F.col("bucket").isNotNull()).repartition("bucket"),
-        eager=False,
-        preserve_partitioning=True,
     )
 
     per_bucket = axis.groupBy("bucket").agg(
